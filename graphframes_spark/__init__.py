@@ -1,0 +1,18 @@
+"""graphframes_spark — a PySpark-native graph analytics engine.
+
+A from-scratch, pure-Python re-expression of the capabilities of
+graphframes/graphframes (reference surveyed in SURVEY.md) on the public
+PySpark DataFrame API. A graph is a pair of DataFrames (vertices with an
+``id`` column, edges with ``src``/``dst``); every operator compiles to
+declarative DataFrame algebra so Catalyst/AQE pick the physical plan.
+
+No JVM-side code, no RDDs: works identically on Spark classic and
+Spark Connect, and scales with ordinary Spark partitioning semantics.
+"""
+
+from graphframes_spark.graphframe import GraphFrame
+from graphframes_spark.pregel import Pregel
+
+__version__ = "0.1.0"
+
+__all__ = ["GraphFrame", "Pregel", "__version__"]

@@ -1,0 +1,462 @@
+"""GraphFrame: a graph as a pair of DataFrames (vertices, edges).
+
+Semantics follow the reference public API
+(/root/reference/core/src/main/scala/org/graphframes/GraphFrame.scala):
+vertices require an ``id`` column; edges require ``src``/``dst``. Every
+operator is pure DataFrame algebra — Catalyst/AQE choose the physical plan
+(broadcast vs shuffle joins, AQE skew handling), so the same code scales
+from local[.] to a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphframes_spark import motif
+from graphframes_spark import patterns as P
+from graphframes_spark.util import (
+    DST,
+    EDGE,
+    ID,
+    SRC,
+    GraphFramesError,
+    InvalidPatternError,
+    nest_as_col,
+)
+
+if TYPE_CHECKING:
+    from graphframes_spark.pregel import Pregel
+
+
+class GraphFrame:
+    """A graph backed by two DataFrames.
+
+    Parameters
+    ----------
+    v : DataFrame with a column ``id`` (vertex attributes in other columns)
+    e : DataFrame with columns ``src`` and ``dst`` (edge attributes in others)
+    """
+
+    def __init__(self, v: DataFrame, e: DataFrame) -> None:
+        if ID not in v.columns:
+            raise GraphFramesError(
+                f"Vertex ID column '{ID}' missing from vertex DataFrame, "
+                f"which has columns: {', '.join(v.columns)}"
+            )
+        if SRC not in e.columns:
+            raise GraphFramesError(
+                f"Source vertex ID column '{SRC}' missing from edge DataFrame, "
+                f"which has columns: {', '.join(e.columns)}"
+            )
+        if DST not in e.columns:
+            raise GraphFramesError(
+                f"Destination vertex ID column '{DST}' missing from edge DataFrame, "
+                f"which has columns: {', '.join(e.columns)}"
+            )
+        self._vertices = v
+        self._edges = e
+
+    # ---------------------------------------------------------------- basics
+
+    @property
+    def vertices(self) -> DataFrame:
+        return self._vertices
+
+    @property
+    def edges(self) -> DataFrame:
+        return self._edges
+
+    @property
+    def spark(self) -> SparkSession:
+        return self._vertices.sparkSession
+
+    def __repr__(self) -> str:
+        v_cols = ", ".join(self._vertices.columns)
+        e_cols = ", ".join(self._edges.columns)
+        return f"GraphFrame(v:[{v_cols}], e:[{e_cols}])"
+
+    @classmethod
+    def fromEdges(cls, e: DataFrame) -> "GraphFrame":
+        """Derive vertices as distinct(src ∪ dst) (GraphFrame.scala:1213-1240)."""
+        v = (
+            e.select(F.col(SRC).alias(ID))
+            .unionByName(e.select(F.col(DST).alias(ID)))
+            .distinct()
+        )
+        return cls(v, e)
+
+    from_edges = fromEdges
+
+    def validate(self) -> None:
+        """Integrity check: unique vertex ids; every edge endpoint exists
+        (GraphFrame.scala:160-215)."""
+        v, e = self._vertices, self._edges
+        counts = v.select(
+            F.count(ID).alias("n"), F.countDistinct(ID).alias("nd")
+        ).collect()[0]
+        if counts["n"] != counts["nd"]:
+            raise GraphFramesError(
+                f"Vertex ids are not unique: {counts['n']} rows, "
+                f"{counts['nd']} distinct ids"
+            )
+        endpoints = (
+            e.select(F.col(SRC).alias(ID))
+            .unionByName(e.select(F.col(DST).alias(ID)))
+            .distinct()
+        )
+        missing = endpoints.join(v.select(ID), on=ID, how="left_anti").count()
+        if missing > 0:
+            raise GraphFramesError(
+                f"{missing} edge endpoint id(s) are missing from the vertex DataFrame"
+            )
+
+    # ----------------------------------------------------------- persistence
+
+    def cache(self) -> "GraphFrame":
+        self._vertices.cache()
+        self._edges.cache()
+        return self
+
+    def persist(
+        self, storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK
+    ) -> "GraphFrame":
+        self._vertices.persist(storageLevel)
+        self._edges.persist(storageLevel)
+        return self
+
+    def unpersist(self, blocking: bool = False) -> "GraphFrame":
+        self._vertices.unpersist(blocking)
+        self._edges.unpersist(blocking)
+        return self
+
+    # -------------------------------------------------------------- triplets
+
+    @property
+    def triplets(self) -> DataFrame:
+        """(src-vertex, edge, dst-vertex) rows as three struct columns
+        (GraphFrame.scala:309-320)."""
+        v, e = self._vertices, self._edges
+        src_v = v.select(nest_as_col(v, SRC))
+        dst_v = v.select(nest_as_col(v, DST))
+        e_nested = e.select(nest_as_col(e, EDGE))
+        return (
+            e_nested.join(src_v, e_nested[EDGE][SRC] == src_v[SRC][ID])
+            .join(dst_v, e_nested[EDGE][DST] == dst_v[DST][ID])
+            .select(SRC, EDGE, DST)
+        )
+
+    # --------------------------------------------------------------- degrees
+
+    @property
+    def outDegrees(self) -> DataFrame:
+        e = self._edges
+        return e.groupBy(e[SRC].alias(ID)).agg(
+            F.count("*").cast("int").alias("outDegree")
+        )
+
+    @property
+    def inDegrees(self) -> DataFrame:
+        e = self._edges
+        return e.groupBy(e[DST].alias(ID)).agg(
+            F.count("*").cast("int").alias("inDegree")
+        )
+
+    @property
+    def degrees(self) -> DataFrame:
+        e = self._edges
+        return (
+            e.select(F.explode(F.array(SRC, DST)).alias(ID))
+            .groupBy(ID)
+            .agg(F.count("*").cast("int").alias("degree"))
+        )
+
+    def _type_degree(
+        self,
+        key_expr: Column,
+        edge_type_col: str,
+        edge_types: Optional[Sequence[Any]],
+        out_name: str,
+        exploded: bool = False,
+    ) -> DataFrame:
+        e = self._edges
+        base = (
+            e.select(F.explode(F.array(F.col(SRC), F.col(DST))).alias(ID), F.col(edge_type_col))
+            if exploded
+            else e.select(key_expr.alias(ID), F.col(edge_type_col))
+        )
+        grouped = base.groupBy(ID)
+        pivoted = (
+            grouped.pivot(edge_type_col, list(edge_types))
+            if edge_types is not None
+            else grouped.pivot(edge_type_col)
+        )
+        count_df = pivoted.agg(F.count(F.lit(1))).na.fill(0)
+        struct_cols = [
+            F.col(c).cast("int").alias(c) for c in count_df.columns if c != ID
+        ]
+        return count_df.select(F.col(ID), F.struct(*struct_cols).alias(out_name))
+
+    def typeOutDegree(
+        self, edgeTypeCol: str, edgeTypes: Optional[Sequence[Any]] = None
+    ) -> DataFrame:
+        """Out-degree per edge type, one struct field per type
+        (GraphFrame.scala:460-537)."""
+        return self._type_degree(F.col(SRC), edgeTypeCol, edgeTypes, "outDegrees")
+
+    def typeInDegree(
+        self, edgeTypeCol: str, edgeTypes: Optional[Sequence[Any]] = None
+    ) -> DataFrame:
+        return self._type_degree(F.col(DST), edgeTypeCol, edgeTypes, "inDegrees")
+
+    def typeDegree(
+        self, edgeTypeCol: str, edgeTypes: Optional[Sequence[Any]] = None
+    ) -> DataFrame:
+        return self._type_degree(
+            F.col(SRC), edgeTypeCol, edgeTypes, "degrees", exploded=True
+        )
+
+    # ------------------------------------------------------------- subgraphs
+
+    def filterVertices(self, condition: Union[str, Column]) -> "GraphFrame":
+        """Keep matching vertices; drop edges with a dropped endpoint
+        (GraphFrame.scala:752-765)."""
+        v = self._vertices.filter(condition)
+        v_ids = v.select(ID)
+        e = (
+            self._edges.join(
+                v_ids.withColumnRenamed(ID, SRC), on=SRC, how="left_semi"
+            ).join(v_ids.withColumnRenamed(ID, DST), on=DST, how="left_semi")
+        ).select(self._edges.columns)
+        return GraphFrame(v, e)
+
+    def filterEdges(self, condition: Union[str, Column]) -> "GraphFrame":
+        """Keep matching edges; all vertices (GraphFrame.scala:771-781)."""
+        return GraphFrame(self._vertices, self._edges.filter(condition))
+
+    def dropIsolatedVertices(self) -> "GraphFrame":
+        """Remove vertices participating in no edge (GraphFrame.scala:787-792)."""
+        endpoints = self._edges.select(F.explode(F.array(SRC, DST)).alias(ID))
+        v = self._vertices.join(endpoints, on=ID, how="left_semi")
+        return GraphFrame(v, self._edges)
+
+    def asUndirected(self) -> "GraphFrame":
+        """Add a reversed copy of every edge (GraphFrame.scala:226-237)."""
+        e = self._edges
+        others = [c for c in e.columns if c not in (SRC, DST)]
+        reversed_e = e.select(
+            F.col(DST).alias(SRC), F.col(SRC).alias(DST), *[F.col(c) for c in others]
+        )
+        return GraphFrame(self._vertices, e.select(SRC, DST, *others).unionByName(reversed_e))
+
+    def asReversed(self) -> "GraphFrame":
+        """Flip every edge direction (GraphFrame.scala:248-257)."""
+        e = self._edges
+        others = [c for c in e.columns if c not in (SRC, DST)]
+        return GraphFrame(
+            self._vertices,
+            e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), *[F.col(c) for c in others]),
+        )
+
+    # ---------------------------------------------------------- motif finding
+
+    def find(self, pattern: str) -> DataFrame:
+        """Motif finding (GraphFrame.scala:601-674). See patterns module for
+        the DSL grammar."""
+        stripped = "".join(pattern.split())
+        m = P.VAR_LENGTH.match(stripped)
+        if m:
+            src, name, mn, mx, direction, dst = m.groups()
+            if mn == "" or mx == "":
+                raise InvalidPatternError(
+                    f"Unbounded length pattern {pattern} is not supported! "
+                    "Please use a pattern of defined length."
+                )
+            return self._find_var_length(src, name, int(mn), int(mx), direction, dst)
+        m = P.FIXED_LENGTH_UNDIRECTED.match(stripped)
+        if m:
+            src, name, hop, dst = m.groups()
+            if hop == "":
+                raise InvalidPatternError("Missing hop!")
+            return self._find_var_length(src, name, int(hop), int(hop), "", dst)
+        return self._find_augmented(pattern)
+
+    def _find_var_length(
+        self, src: str, name: str, mn: int, mx: int, direction: str, dst: str
+    ) -> DataFrame:
+        out_specs = [(hop, f"({src})-[{name}*{hop}]->({dst})", "out")
+                     for hop in range(mx, mn - 1, -1)]
+        in_specs = (
+            [(hop, f"({src})<-[{name}*{hop}]-({dst})", "in")
+             for hop in range(mx, mn - 1, -1)]
+            if direction == ""
+            else []
+        )
+        dfs = [
+            self._find_augmented(pat)
+            .withColumn("_hop", F.lit(hop))
+            .withColumn("_pattern", F.lit(pat))
+            .withColumn("_direction", F.lit(d))
+            for hop, pat, d in out_specs + in_specs
+        ]
+        ret = dfs[0]
+        for d in dfs[1:]:
+            ret = ret.unionByName(d, allowMissingColumns=True)
+        return ret.orderBy("_hop", "_direction")
+
+    def _find_augmented(self, pattern: str) -> DataFrame:
+        pats = P.parse(pattern)
+        # Vertices named only inside negated terms become standalone positive
+        # terms (issue #276 semantics, GraphFrame.scala:659-674).
+        extra = [P.NamedVertex(v) for v in P.named_vertices_only_in_negated_terms(pats)]
+        df = motif.find_simple(self, extra + pats)
+        names = [
+            n
+            for n in P.named_elements_in_order(pats, include_edges=True)
+            if not n.startswith("__tmpv")
+        ]
+        if not names:
+            return df
+        return df.select(*names)
+
+    # ------------------------------------------------------ algorithm surface
+
+    @property
+    def pregel(self) -> "Pregel":
+        from graphframes_spark.pregel import Pregel
+
+        return Pregel(self)
+
+    def aggregateMessages(
+        self,
+        aggCol: Union[Column, Sequence[Column]],
+        sendToSrc: Optional[Union[Column, Sequence[Column]]] = None,
+        sendToDst: Optional[Union[Column, Sequence[Column]]] = None,
+    ) -> DataFrame:
+        from graphframes_spark.lib.aggregate_messages import aggregate_messages
+
+        return aggregate_messages(self, aggCol, sendToSrc, sendToDst)
+
+    def bfs(
+        self,
+        fromExpr: Union[str, Column],
+        toExpr: Union[str, Column],
+        edgeFilter: Optional[Union[str, Column]] = None,
+        maxPathLength: int = 10,
+    ) -> DataFrame:
+        from graphframes_spark.lib.bfs import bfs
+
+        return bfs(self, fromExpr, toExpr, edgeFilter, maxPathLength)
+
+    def pageRank(
+        self,
+        resetProbability: float = 0.15,
+        sourceId: Optional[Any] = None,
+        maxIter: Optional[int] = None,
+        tol: Optional[float] = None,
+    ) -> "GraphFrame":
+        from graphframes_spark.lib.pagerank import page_rank
+
+        return page_rank(self, resetProbability, sourceId, maxIter, tol)
+
+    def parallelPersonalizedPageRank(
+        self,
+        resetProbability: float = 0.15,
+        sourceIds: Optional[Sequence[Any]] = None,
+        maxIter: Optional[int] = None,
+    ) -> "GraphFrame":
+        from graphframes_spark.lib.pagerank import parallel_personalized_page_rank
+
+        return parallel_personalized_page_rank(self, resetProbability, sourceIds, maxIter)
+
+    def shortestPaths(
+        self, landmarks: Sequence[Any], isDirected: bool = True
+    ) -> DataFrame:
+        from graphframes_spark.lib.shortest_paths import shortest_paths
+
+        return shortest_paths(self, landmarks, isDirected)
+
+    def connectedComponents(
+        self,
+        algorithm: str = "graphframes",
+        checkpointInterval: int = 2,
+        broadcastThreshold: int = -1,
+        useLabelsAsComponents: bool = False,
+    ) -> DataFrame:
+        from graphframes_spark.lib.connected_components import connected_components
+
+        return connected_components(
+            self,
+            algorithm=algorithm,
+            checkpoint_interval=checkpointInterval,
+            broadcast_threshold=broadcastThreshold,
+            use_labels_as_components=useLabelsAsComponents,
+        )
+
+    def stronglyConnectedComponents(self, maxIter: int = 20) -> DataFrame:
+        from graphframes_spark.lib.scc import strongly_connected_components
+
+        return strongly_connected_components(self, maxIter)
+
+    def labelPropagation(self, maxIter: int = 5) -> DataFrame:
+        from graphframes_spark.lib.label_propagation import label_propagation
+
+        return label_propagation(self, maxIter)
+
+    def triangleCount(self) -> DataFrame:
+        from graphframes_spark.lib.triangle_count import triangle_count
+
+        return triangle_count(self)
+
+    def kCore(self, maxIter: int = 100) -> DataFrame:
+        from graphframes_spark.lib.kcore import k_core
+
+        return k_core(self, maxIter)
+
+    k_core = kCore
+
+    def detectingCycles(self, checkpointInterval: int = 2) -> DataFrame:
+        from graphframes_spark.lib.cycles import detecting_cycles
+
+        return detecting_cycles(self, checkpointInterval)
+
+    def maximalIndependentSet(self, seed: int = 42, maxIter: int = 100) -> DataFrame:
+        from graphframes_spark.lib.mis import maximal_independent_set
+
+        return maximal_independent_set(self, seed, maxIter)
+
+    maximal_independent_set = maximalIndependentSet
+
+    def aggregateNeighbors(self, **kwargs):
+        from graphframes_spark.lib.aggregate_neighbors import AggregateNeighbors
+
+        return AggregateNeighbors(self, **kwargs)
+
+    aggregate_neighbors = aggregateNeighbors
+
+    def powerIterationClustering(
+        self, k: int, maxIter: int = 20, weightCol: Optional[str] = None
+    ) -> DataFrame:
+        from graphframes_spark.lib.pic import power_iteration_clustering
+
+        return power_iteration_clustering(self, k, maxIter, weightCol)
+
+    def svdPlusPlus(
+        self,
+        rank: int = 10,
+        maxIter: int = 2,
+        minValue: float = 0.0,
+        maxValue: float = 5.0,
+        gamma1: float = 0.007,
+        gamma2: float = 0.007,
+        gamma6: float = 0.005,
+        gamma7: float = 0.015,
+    ):
+        from graphframes_spark.lib.svdpp import svd_plus_plus
+
+        return svd_plus_plus(
+            self, rank, maxIter, minValue, maxValue, gamma1, gamma2, gamma6, gamma7
+        )

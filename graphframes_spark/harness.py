@@ -1,0 +1,158 @@
+"""Shared iteration harness for iterative graph algorithms.
+
+The reference repeats the same loop skeleton in Pregel, TwoPhase,
+AggregateNeighbors, MIS and RandomizedContraction
+(/root/reference/core/src/main/scala/org/graphframes/lib/Pregel.scala:392-545,
+lib/TwoPhase.scala:236-304, lib/mixins.scala:28-121): persist the current
+round, unpersist the previous one, checkpoint every N iterations so the
+lineage/plan doesn't grow without bound, and guard AQE around randomized
+steps. This module centralizes that skeleton so no algorithm can forget it
+— forgetting checkpointing is the #1 scale killer for iterative DataFrame
+programs (driver hangs analyzing exponentially-grown plans).
+"""
+
+from __future__ import annotations
+
+import uuid
+from contextlib import contextmanager
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+CONF_PREFIX = "spark.graphframes_spark."
+
+
+def get_conf(spark: SparkSession, key: str, default: str) -> str:
+    """Read an engine conf key (``spark.graphframes_spark.<key>``)."""
+    try:
+        return spark.conf.get(CONF_PREFIX + key, default)
+    except Exception:
+        return default
+
+
+@contextmanager
+def aqe_disabled(spark: SparkSession) -> Iterator[None]:
+    """Disable AQE for the duration of a randomized computation.
+
+    AQE may re-execute stages during re-planning; with ``rand()``-dependent
+    logic that silently changes results (reference disables AQE in
+    MaximalIndependentSet.scala:104-107 and TwoPhase.scala:189-192).
+    """
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def ensure_checkpoint_dir(spark: SparkSession) -> None:
+    """Set the reliable checkpoint dir from conf if unset (the reference's
+    Spark-Connect workaround, Pregel.scala:431-439)."""
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        return  # Spark Connect: rely on spark.checkpoint.dir conf server-side
+    if sc.getCheckpointDir() is None:
+        conf_dir = spark.conf.get("spark.checkpoint.dir", None)
+        if conf_dir is not None:
+            sc.setCheckpointDir(conf_dir)
+        else:
+            sc.setCheckpointDir(f"/tmp/graphframes_spark-checkpoints/{uuid.uuid4().hex}")
+
+
+class IterationHarness:
+    """Persist-queue + checkpoint policy for a driver-side iteration loop.
+
+    Usage::
+
+        h = IterationHarness(spark, checkpoint_interval=2)
+        state = h.persist(initial_state)
+        for i in h.iterations(max_iter):
+            new_state = step(state)
+            state = h.commit(new_state)       # persist/checkpoint + rotate
+            if converged:
+                break
+        result = h.finish(state)              # materialize + cleanup
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_interval: int = 2,
+        use_local_checkpoints: bool = True,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ) -> None:
+        self.spark = spark
+        self.checkpoint_interval = checkpoint_interval
+        self.use_local_checkpoints = use_local_checkpoints
+        self.storage_level = storage_level
+        self._current: list[DataFrame] = []
+        self._previous: list[DataFrame] = []
+        self._pinned: list[DataFrame] = []
+        self.iteration = 0
+        if checkpoint_interval > 0 and not use_local_checkpoints:
+            ensure_checkpoint_dir(spark)
+
+    # ------------------------------------------------------------- lifecycle
+
+    def iterations(self, max_iter: int) -> Iterator[int]:
+        for i in range(1, max_iter + 1):
+            self.iteration = i
+            yield i
+
+    def pin(self, df: DataFrame) -> DataFrame:
+        """Persist for the whole loop (e.g. the pre-shaped edge relation)."""
+        df = df.persist(self.storage_level)
+        self._pinned.append(df)
+        return df
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        df = df.persist(self.storage_level)
+        self._current.append(df)
+        return df
+
+    def checkpoint(self, df: DataFrame, eager: bool = False) -> DataFrame:
+        if self.use_local_checkpoints:
+            return df.localCheckpoint(eager=eager)
+        return df.checkpoint(eager=eager)
+
+    def commit(self, df: DataFrame, materialize: bool = False) -> DataFrame:
+        """End-of-iteration: persist or checkpoint the new state (cutting
+        lineage every ``checkpoint_interval`` rounds), then drop the
+        previous round's cached data."""
+        should_ckpt = (
+            self.checkpoint_interval > 0
+            and self.iteration % self.checkpoint_interval == 0
+        )
+        if should_ckpt:
+            df = self.checkpoint(df)
+            self._current.append(df)
+        else:
+            df = self.persist(df)
+        if materialize:
+            df.count()
+        self.rotate()
+        return df
+
+    def rotate(self) -> None:
+        """Unpersist the previous round; current becomes previous."""
+        for df in self._previous:
+            df.unpersist()
+        self._previous = self._current
+        self._current = []
+
+    def finish(self, result: DataFrame, materialize: bool = True) -> DataFrame:
+        result = result.persist(self.storage_level)
+        if materialize:
+            result.count()
+        for df in self._previous + self._current:
+            df.unpersist()
+        for df in self._pinned:
+            df.unpersist()
+        self._previous = []
+        self._current = []
+        self._pinned = []
+        return result

@@ -1,0 +1,166 @@
+"""PageRank on the DataFrame Pregel engine.
+
+The reference delegates PageRank to its GraphX fork
+(/root/reference/core/src/main/scala/org/graphframes/lib/PageRank.scala:67-181)
+but documents the DataFrame-Pregel recipe (lib/Pregel.scala:62-76). We
+implement the normalized formulation directly on Pregel:
+
+    rank_0(v)   = 1 / N
+    rank_t+1(v) = resetProb / N + (1 - resetProb) * sum_{u->v} rank_t(u) / outDeg(u)
+
+Dangling-vertex mass is not redistributed (GraphX-compatible). The
+personalized variant replaces the uniform reset with an indicator on the
+source vertex. Output mirrors the reference: vertices gain ``pagerank``,
+edges gain ``weight`` = 1/outDeg(src).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Optional, Sequence
+
+from pyspark.sql import functions as F
+
+from graphframes_spark.pregel import Pregel
+from graphframes_spark.util import DST, ID, SRC, GraphFramesError
+
+if TYPE_CHECKING:
+    from graphframes_spark.graphframe import GraphFrame
+
+_OUT_DEG = "_pr_out_deg"
+
+
+def _prepared_graph(graph: "GraphFrame") -> "GraphFrame":
+    """Vertices reduced to (id, outDeg); edges to (src, dst)."""
+    from graphframes_spark.graphframe import GraphFrame
+
+    out_deg = graph.edges.groupBy(F.col(SRC).alias(ID)).agg(
+        F.count("*").alias(_OUT_DEG)
+    )
+    v = graph.vertices.select(ID).join(out_deg, on=ID, how="left_outer").select(
+        F.col(ID), F.coalesce(F.col(_OUT_DEG), F.lit(1)).alias(_OUT_DEG)
+    )
+    e = graph.edges.select(SRC, DST)
+    return GraphFrame(v, e)
+
+
+def page_rank(
+    graph: "GraphFrame",
+    reset_probability: float = 0.15,
+    source_id: Optional[Any] = None,
+    max_iter: Optional[int] = None,
+    tol: Optional[float] = None,
+) -> "GraphFrame":
+    from graphframes_spark.graphframe import GraphFrame
+
+    if max_iter is None and tol is None:
+        raise GraphFramesError("pageRank requires maxIter or tol")
+    if max_iter is not None and tol is not None:
+        raise GraphFramesError("pageRank accepts maxIter or tol, not both")
+    alpha = reset_probability
+
+    prepared = _prepared_graph(graph)
+    n = prepared.vertices.count()
+    if n == 0:
+        spark = graph.spark
+        empty_v = graph.vertices.withColumn("pagerank", F.lit(0.0)).limit(0)
+        empty_e = graph.edges.withColumn("weight", F.lit(0.0)).limit(0)
+        return GraphFrame(empty_v, empty_e)
+
+    if source_id is not None:
+        init = F.when(F.col(ID) == F.lit(source_id), F.lit(1.0)).otherwise(F.lit(0.0))
+        reset = F.when(F.col(ID) == F.lit(source_id), F.lit(alpha)).otherwise(F.lit(0.0))
+    else:
+        init = F.lit(1.0 / n)
+        reset = F.lit(alpha / n)
+
+    new_rank = reset + F.lit(1.0 - alpha) * F.coalesce(Pregel.msg(), F.lit(0.0))
+
+    pregel = (
+        prepared.pregel.withVertexColumn("pagerank", init, new_rank)
+        .sendMsgToDst(Pregel.src("pagerank") / Pregel.src(_OUT_DEG))
+        .aggMsgs(F.sum(Pregel.msg()))
+        .requiredSrcColumns("pagerank", _OUT_DEG)
+    )
+
+    if tol is not None:
+        pregel = (
+            pregel.setMaxIter(1_000_000)
+            .setUpdateActiveVertexExpression(
+                F.abs(new_rank - F.col("pagerank")) >= F.lit(tol)
+            )
+            .setStopIfAllNonActiveVertices(True)
+        )
+    else:
+        pregel = pregel.setMaxIter(max_iter)
+
+    ranks = pregel.run().select(ID, "pagerank")
+
+    out_v = graph.vertices.join(ranks, on=ID, how="left_outer")
+    deg = prepared.vertices
+    out_e = (
+        graph.edges.join(deg.withColumnRenamed(ID, SRC), on=SRC, how="left_outer")
+        .withColumn("weight", F.lit(1.0) / F.col(_OUT_DEG))
+        .drop(_OUT_DEG)
+    )
+    return GraphFrame(out_v, out_e)
+
+
+def parallel_personalized_page_rank(
+    graph: "GraphFrame",
+    reset_probability: float = 0.15,
+    source_ids: Optional[Sequence[Any]] = None,
+    max_iter: Optional[int] = None,
+) -> "GraphFrame":
+    """PPR from k sources simultaneously; vertex column ``pageranks`` is an
+    array<double> aligned with ``source_ids`` (reference returns an ML
+    vector — lib/ParallelPersonalizedPageRank.scala:50-55)."""
+    from graphframes_spark.graphframe import GraphFrame
+
+    if not source_ids:
+        raise GraphFramesError("parallelPersonalizedPageRank requires sourceIds")
+    if max_iter is None:
+        raise GraphFramesError("parallelPersonalizedPageRank requires maxIter")
+    alpha = reset_probability
+    k = len(source_ids)
+
+    prepared = _prepared_graph(graph)
+    sources = F.array(*[F.lit(s) for s in source_ids])
+
+    init = F.transform(sources, lambda s: F.when(F.col(ID) == s, 1.0).otherwise(0.0))
+    zeros = F.array(*[F.lit(0.0) for _ in range(k)])
+    msg_or_zero = F.coalesce(Pregel.msg(), zeros)
+    update = F.zip_with(
+        msg_or_zero,
+        sources,
+        lambda m, s: F.lit(1.0 - alpha) * m
+        + F.when(F.col(ID) == s, F.lit(alpha)).otherwise(F.lit(0.0)),
+    )
+
+    ranks = (
+        prepared.pregel.withVertexColumn("pageranks", init, update)
+        .sendMsgToDst(
+            F.transform(
+                Pregel.src("pageranks"), lambda r: r / Pregel.src(_OUT_DEG)
+            )
+        )
+        .aggMsgs(
+            F.aggregate(
+                F.collect_list(Pregel.msg()),
+                zeros,
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            )
+        )
+        .requiredSrcColumns("pageranks", _OUT_DEG)
+        .setMaxIter(max_iter)
+        .run()
+        .select(ID, "pageranks")
+    )
+
+    out_v = graph.vertices.join(ranks, on=ID, how="left_outer")
+    deg = prepared.vertices
+    out_e = (
+        graph.edges.join(deg.withColumnRenamed(ID, SRC), on=SRC, how="left_outer")
+        .withColumn("weight", F.lit(1.0) / F.col(_OUT_DEG))
+        .drop(_OUT_DEG)
+    )
+    return GraphFrame(out_v, out_e)

@@ -1,0 +1,281 @@
+"""DataFrame-native Pregel (bulk-synchronous message passing).
+
+Semantics mirror the reference engine
+(/root/reference/core/src/main/scala/org/graphframes/lib/Pregel.scala:86-559):
+per superstep — build triplets (src-state ⋈ edges [⋈ dst-state]), emit
+messages via ``explode(array(struct(target_id, msg), ...))``, drop null
+messages, ``groupBy(id).agg(...)``, left-outer join the aggregate back onto
+the vertex state, apply update expressions. Checkpoint every N supersteps
+to cut lineage; optional early stop on no messages or all-inactive voting.
+
+Scale notes:
+- the edge relation is pre-shaped once (src/dst extracted, attrs nested)
+  and hash-repartitioned on ``edge_src`` + persisted, so the per-superstep
+  src join reuses one shuffle for the whole run;
+- the dst-side join is skipped entirely when no message expression
+  references dst state (auto-detected from the message expressions'
+  string form, with explicit required-columns hints as the escape hatch).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphframes_spark.harness import IterationHarness
+from graphframes_spark.util import DST, EDGE, ID, SRC, GraphFramesError
+
+if TYPE_CHECKING:
+    from graphframes_spark.graphframe import GraphFrame
+
+ACTIVE_FLAG_COL = "_pregel_is_active"
+MSG_COL_NAME = "_pregel_msg"
+
+
+class Pregel:
+    """Builder-style Pregel API; see class docstring for execution model."""
+
+    def __init__(self, graph: "GraphFrame") -> None:
+        self.graph = graph
+        self._with_vertex_columns: list[tuple[str, Column, Column]] = []
+        self._send_msgs: list[tuple[Column, Column, str]] = []  # (target, msg, kind)
+        self._agg_msgs_col: Optional[Column] = None
+        self._max_iter = 10
+        self._checkpoint_interval = 2
+        self._early_stopping = False
+        self._stop_if_all_non_active = False
+        self._skip_messages_from_non_active = False
+        self._initial_active_expr: Column = F.lit(True)
+        self._update_active_expr: Column = F.lit(True)
+        self._required_src_columns: list[str] = []
+        self._required_dst_columns: list[str] = []
+        self._use_local_checkpoints = True
+        self._storage_level = StorageLevel.MEMORY_AND_DISK
+
+    # ------------------------------------------------------------- builders
+
+    def setMaxIter(self, value: int) -> "Pregel":
+        self._max_iter = value
+        return self
+
+    def setCheckpointInterval(self, value: int) -> "Pregel":
+        self._checkpoint_interval = value
+        return self
+
+    def setEarlyStopping(self, value: bool) -> "Pregel":
+        self._early_stopping = value
+        return self
+
+    def setStopIfAllNonActiveVertices(self, value: bool) -> "Pregel":
+        self._stop_if_all_non_active = value
+        return self
+
+    def setInitialActiveVertexExpression(self, expr: Column) -> "Pregel":
+        self._initial_active_expr = expr
+        return self
+
+    def setUpdateActiveVertexExpression(self, expr: Column) -> "Pregel":
+        self._update_active_expr = expr
+        return self
+
+    def setSkipMessagesFromNonActiveVertices(self, value: bool) -> "Pregel":
+        self._skip_messages_from_non_active = value
+        return self
+
+    def setUseLocalCheckpoints(self, value: bool) -> "Pregel":
+        self._use_local_checkpoints = value
+        return self
+
+    def setIntermediateStorageLevel(self, level: StorageLevel) -> "Pregel":
+        self._storage_level = level
+        return self
+
+    def withVertexColumn(
+        self, colName: str, initialExpr: Column, updateAfterAggMsgsExpr: Column
+    ) -> "Pregel":
+        if colName in (None, ID, MSG_COL_NAME):
+            raise GraphFramesError(
+                "additional column name cannot be null, the ID column, or the msg column"
+            )
+        self._with_vertex_columns.append((colName, initialExpr, updateAfterAggMsgsExpr))
+        return self
+
+    def sendMsgToSrc(self, msgExpr: Column) -> "Pregel":
+        self._send_msgs.append((Pregel.src(ID), msgExpr, "src"))
+        return self
+
+    def sendMsgToDst(self, msgExpr: Column) -> "Pregel":
+        self._send_msgs.append((Pregel.dst(ID), msgExpr, "dst"))
+        return self
+
+    def aggMsgs(self, aggExpr: Column) -> "Pregel":
+        self._agg_msgs_col = aggExpr
+        return self
+
+    def requiredSrcColumns(self, *colNames: str) -> "Pregel":
+        self._required_src_columns = list(colNames)
+        return self
+
+    def requiredDstColumns(self, *colNames: str) -> "Pregel":
+        self._required_dst_columns = list(colNames)
+        return self
+
+    required_src_columns = requiredSrcColumns
+    required_dst_columns = requiredDstColumns
+
+    # ------------------------------------------------------- static helpers
+
+    @staticmethod
+    def msg() -> Column:
+        return F.col(MSG_COL_NAME)
+
+    @staticmethod
+    def src(colName: str) -> Column:
+        return F.col(SRC + "." + colName)
+
+    @staticmethod
+    def dst(colName: str) -> Column:
+        return F.col(DST + "." + colName)
+
+    @staticmethod
+    def edge(colName: str) -> Column:
+        return F.col(EDGE + "." + colName)
+
+    # --------------------------------------------------------------- engine
+
+    def _needs_dst_state(self) -> bool:
+        """True if any message expression references dst state beyond dst.id.
+
+        Mirrors the reference's expression analysis
+        (Pregel.scala:399-420, SparkShims.scala:63-107) via the string form
+        of the unresolved Column expression; conservative on anything it
+        cannot classify.
+        """
+        fields: set[str] = set()
+        for _, msg_expr, _ in self._send_msgs:
+            s = str(msg_expr)
+            for m in re.finditer(r"\bdst\.(\w+)", s):
+                fields.add(m.group(1))
+            for m in re.finditer(r"\bdst\[(\w+)\]", s):
+                fields.add(m.group(1))
+            # unparseable references to dst, e.g. dst['x'] / getField forms
+            if re.search(r"\bdst\b(?!\.|\[)", s):
+                return True
+        if not fields:
+            return False
+        return fields != {ID}
+
+    def run(self) -> DataFrame:
+        if not self._send_msgs:
+            raise GraphFramesError("set at least one message expression (sendMsgToSrc/Dst)")
+        if self._agg_msgs_col is None:
+            raise GraphFramesError("set aggMsgs before running")
+        if self._max_iter < 1:
+            raise GraphFramesError("maxIter must be >= 1")
+        if not self._with_vertex_columns:
+            raise GraphFramesError("add at least one vertex column (withVertexColumn)")
+
+        graph = self.graph
+        spark = graph.spark
+
+        send_msg_cols = [
+            F.struct(target.alias(ID), msg.alias("msg"))
+            for target, msg, _ in self._send_msgs
+        ]
+        init_cols = [init.alias(name) for name, init, _ in self._with_vertex_columns]
+        update_cols = [upd.alias(name) for name, _, upd in self._with_vertex_columns]
+        orig_cols = [F.col(c) for c in graph.vertices.columns]
+
+        harness = IterationHarness(
+            spark,
+            checkpoint_interval=self._checkpoint_interval,
+            use_local_checkpoints=self._use_local_checkpoints,
+            storage_level=self._storage_level,
+        )
+
+        needs_dst_state = self._needs_dst_state()
+
+        current = graph.vertices.select(
+            *orig_cols, self._initial_active_expr.alias(ACTIVE_FLAG_COL), *init_cols
+        )
+
+        # Pre-shape + co-partition edges once; every superstep's src join
+        # then shuffles only the (smaller) vertex-state side.
+        edges = harness.pin(
+            graph.edges.select(
+                F.col(SRC).alias("edge_src"),
+                F.col(DST).alias("edge_dst"),
+                F.struct("*").alias(EDGE),
+            ).repartition(F.col("edge_src"))
+        )
+
+        if self._required_src_columns:
+            src_cols = [
+                F.col(c)
+                for c in dict.fromkeys([ID, ACTIVE_FLAG_COL] + self._required_src_columns)
+            ]
+        else:
+            src_cols = [F.col("*")]
+        if self._required_dst_columns:
+            dst_cols = [
+                F.col(c)
+                for c in dict.fromkeys([ID, ACTIVE_FLAG_COL] + self._required_dst_columns)
+            ]
+        else:
+            dst_cols = [F.col("*")]
+
+        for iteration in harness.iterations(self._max_iter):
+            current = harness.persist(current)
+
+            if not needs_dst_state and self._skip_messages_from_non_active:
+                src_vertices = current.filter(F.col(ACTIVE_FLAG_COL))
+            else:
+                src_vertices = current
+
+            src_with_edges = src_vertices.select(F.struct(*src_cols).alias(SRC)).join(
+                edges, Pregel.src(ID) == F.col("edge_src")
+            )
+
+            if needs_dst_state:
+                triplets = src_with_edges.join(
+                    current.select(F.struct(*dst_cols).alias(DST)),
+                    F.col("edge_dst") == Pregel.dst(ID),
+                ).drop("edge_src", "edge_dst")
+                if self._skip_messages_from_non_active:
+                    triplets = triplets.filter(
+                        Pregel.src(ACTIVE_FLAG_COL) | Pregel.dst(ACTIVE_FLAG_COL)
+                    )
+            else:
+                # dst state unused by messages: synthesize dst.id from the edge
+                triplets = src_with_edges.withColumn(
+                    DST, F.struct(F.col("edge_dst").alias(ID))
+                ).drop("edge_src", "edge_dst")
+
+            msg_df = (
+                triplets.select(F.explode(F.array(*send_msg_cols)).alias("msg"))
+                .select(F.col("msg.id").alias(ID), F.col("msg.msg").alias(MSG_COL_NAME))
+                .filter(F.col(MSG_COL_NAME).isNotNull())
+            )
+
+            if self._early_stopping and msg_df.isEmpty():
+                break
+
+            agg_df = msg_df.groupBy(ID).agg(self._agg_msgs_col.alias(MSG_COL_NAME))
+            with_msg = current.join(agg_df, on=[ID], how="left_outer")
+            current = with_msg.select(
+                *orig_cols, self._update_active_expr.alias(ACTIVE_FLAG_COL), *update_cols
+            )
+
+            materialize = not (self._early_stopping or self._stop_if_all_non_active)
+            current = harness.commit(current, materialize=materialize)
+
+            if self._stop_if_all_non_active:
+                if current.filter(F.col(ACTIVE_FLAG_COL)).isEmpty():
+                    break
+
+        result = current.drop(ACTIVE_FLAG_COL)
+        return harness.finish(result)

@@ -1,0 +1,89 @@
+import pytest
+
+from graphframes_spark import GraphFrame
+from graphframes_spark.util import GraphFramesError
+
+
+def test_construction_validates_columns(spark):
+    v = spark.createDataFrame([(1,)], ["id"])
+    e = spark.createDataFrame([(1, 1)], ["src", "dst"])
+    GraphFrame(v, e)
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v.withColumnRenamed("id", "vid"), e)
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e.withColumnRenamed("src", "s"))
+
+
+def test_from_edges(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    g = GraphFrame.fromEdges(e)
+    assert sorted(r["id"] for r in g.vertices.collect()) == [1, 2, 3]
+
+
+def test_degrees(friends):
+    out = {r["id"]: r["outDegree"] for r in friends.outDegrees.collect()}
+    assert out == {"a": 2, "b": 1, "c": 1, "d": 1, "e": 2, "f": 1}
+    ind = {r["id"]: r["inDegree"] for r in friends.inDegrees.collect()}
+    assert ind == {"a": 1, "b": 2, "c": 2, "d": 1, "e": 1, "f": 1}
+    deg = {r["id"]: r["degree"] for r in friends.degrees.collect()}
+    assert deg == {"a": 3, "b": 3, "c": 3, "d": 2, "e": 3, "f": 2}
+    # isolated vertex g absent from all degree outputs
+    assert "g" not in deg
+
+
+def test_triplets(friends):
+    t = friends.triplets
+    assert set(t.columns) == {"src", "edge", "dst"}
+    rows = t.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["edge"]["src"] == r["src"]["id"]
+        assert r["edge"]["dst"] == r["dst"]["id"]
+
+
+def test_type_degrees(friends):
+    td = {r["id"]: r["outDegrees"] for r in friends.typeOutDegree("relationship").collect()}
+    assert td["a"]["friend"] == 2 and td["a"]["follow"] == 0
+    assert td["b"]["follow"] == 1
+    full = {r["id"]: r["degrees"] for r in friends.typeDegree("relationship").collect()}
+    assert full["c"]["follow"] == 3
+    assert full["e"]["friend"] == 2 and full["e"]["follow"] == 1
+
+
+def test_filter_vertices(friends):
+    g2 = friends.filterVertices("age > 30")
+    ids = {r["id"] for r in g2.vertices.collect()}
+    assert ids == {"a", "b", "e", "f", "g"}
+    edges = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert edges == {("a", "b"), ("e", "f"), ("a", "e")}
+
+
+def test_filter_edges(friends):
+    g2 = friends.filterEdges("relationship = 'friend'")
+    assert g2.edges.count() == 4
+    assert g2.vertices.count() == 7
+
+
+def test_drop_isolated_vertices(friends):
+    g2 = friends.dropIsolatedVertices()
+    assert {r["id"] for r in g2.vertices.collect()} == {"a", "b", "c", "d", "e", "f"}
+
+
+def test_as_undirected_and_reversed(friends):
+    und = friends.asUndirected()
+    assert und.edges.count() == 16
+    rev = friends.asReversed()
+    pairs = {(r["src"], r["dst"]) for r in rev.edges.collect()}
+    assert ("b", "a") in pairs and ("a", "b") not in pairs
+
+
+def test_validate(spark, friends):
+    friends.validate()
+    v = spark.createDataFrame([(1,), (1,)], ["id"])
+    e = spark.createDataFrame([(1, 1)], ["src", "dst"])
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e).validate()
+    v2 = spark.createDataFrame([(1,)], ["id"])
+    e2 = spark.createDataFrame([(1, 99)], ["src", "dst"])
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v2, e2).validate()

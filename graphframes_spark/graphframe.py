@@ -29,6 +29,7 @@ from graphframes_spark.util import (
 )
 
 if TYPE_CHECKING:
+    from graphframes_spark.lib.aggregate_neighbors import AggregateNeighbors
     from graphframes_spark.pregel import Pregel
 
 
@@ -430,10 +431,12 @@ class GraphFrame:
 
     maximal_independent_set = maximalIndependentSet
 
-    def aggregateNeighbors(self, **kwargs):
+    def aggregateNeighbors(self) -> "AggregateNeighbors":
+        """Builder for multi-hop neighbor aggregation
+        (lib/AggregateNeighbors.scala:43-418)."""
         from graphframes_spark.lib.aggregate_neighbors import AggregateNeighbors
 
-        return AggregateNeighbors(self, **kwargs)
+        return AggregateNeighbors(self)
 
     aggregate_neighbors = aggregateNeighbors
 

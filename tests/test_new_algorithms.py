@@ -1,0 +1,275 @@
+"""Tests for round-2 algorithms: kCore, cycles, MIS, SCC, PIC, SVD++,
+aggregateNeighbors, graphx-style CC. Modeled on the reference suites
+(core/src/test/scala/org/graphframes/lib/KCoreSuite.scala,
+AggregateNeighborsSuite.scala, python/tests/test_graphframes.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphframes_spark import GraphFrame
+from graphframes_spark.util import GraphFramesError
+from tests.conftest import chain_graph, star_graph, two_blobs
+
+
+# ------------------------------------------------------------------- kCore
+
+
+def test_kcore_triangle_with_pendant(spark):
+    # triangle 1-2-3 (kcore 2), pendant 4 attached to 1 (kcore 1), isolated 5
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], ["id"])
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (1, 4)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    cores = {r["id"]: r["kcore"] for r in g.kCore().collect()}
+    assert cores == {1: 2, 2: 2, 3: 2, 4: 1, 5: 0}
+
+
+def test_kcore_chain(spark):
+    g = chain_graph(spark, 6)
+    cores = {r["id"]: r["kcore"] for r in g.kCore().collect()}
+    assert all(c == 1 for c in cores.values())
+
+
+def test_kcore_two_k4(spark):
+    # two K4 cliques + bridge edge, each undirected edge supplied once
+    # (the kCore contract; supplying both directions double-counts)
+    v = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    edges = [
+        (i + off, j + off) for off in (0, 4) for i in range(4) for j in range(4) if i < j
+    ] + [(0, 4)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    g = GraphFrame(v, e)
+    cores = {r["id"]: r["kcore"] for r in g.kCore().collect()}
+    assert all(c == 3 for c in cores.values()), cores
+
+
+# ------------------------------------------------------------------ cycles
+
+
+def test_detecting_cycles(spark):
+    v = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (6, 7)], ["src", "dst"]
+    )
+    g = GraphFrame(v, e)
+    cycles = sorted(tuple(r["found_cycles"]) for r in g.detectingCycles().collect())
+    assert cycles == [(1, 2, 3, 1), (4, 5, 4)]
+
+
+def test_detecting_cycles_none(spark):
+    g = chain_graph(spark, 5)
+    assert g.detectingCycles().count() == 0
+
+
+def test_detecting_cycles_self_loop_free_two_cycles_shared_vertex(spark):
+    # two cycles sharing vertex 1: 1->2->1 and 1->3->1
+    v = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    e = spark.createDataFrame([(1, 2), (2, 1), (1, 3), (3, 1)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    cycles = sorted(tuple(r["found_cycles"]) for r in g.detectingCycles().collect())
+    assert cycles == [(1, 2, 1), (1, 3, 1)]
+
+
+# --------------------------------------------------------------------- MIS
+
+
+def _assert_is_mis(g, mis_ids):
+    edges = {(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()}
+    sym = edges | {(d, s) for s, d in edges}
+    # independence
+    for s, d in sym:
+        assert not (s in mis_ids and d in mis_ids), f"adjacent pair in MIS: {s},{d}"
+    # maximality: every vertex outside has a neighbor inside
+    all_ids = {r["id"] for r in g.vertices.select("id").collect()}
+    nbrs = {}
+    for s, d in sym:
+        nbrs.setdefault(s, set()).add(d)
+    for vid in all_ids - mis_ids:
+        assert nbrs.get(vid, set()) & mis_ids, f"{vid} could still join the MIS"
+
+
+def test_mis_star(spark):
+    g = star_graph(spark, 6)
+    mis = {r["id"] for r in g.maximalIndependentSet(seed=7).collect()}
+    _assert_is_mis(g, mis)
+
+
+def test_mis_chain(spark):
+    g = chain_graph(spark, 9)
+    mis = {r["id"] for r in g.maximalIndependentSet(seed=3).collect()}
+    _assert_is_mis(g, mis)
+
+
+def test_mis_with_isolated(spark):
+    v = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    e = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    mis = {r["id"] for r in g.maximalIndependentSet(seed=1).collect()}
+    # isolated vertices 2,3,4 must all be in any MIS
+    assert {2, 3, 4} <= mis
+    _assert_is_mis(g, mis)
+
+
+# --------------------------------------------------------------------- SCC
+
+
+def test_scc_basic(spark):
+    v = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)], ["src", "dst"]
+    )
+    g = GraphFrame(v, e)
+    comp = {r["id"]: r["component"] for r in g.stronglyConnectedComponents(10).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == comp[5] == 4
+    assert comp[6] == 6
+
+
+def test_scc_chain_all_singletons(spark):
+    g = chain_graph(spark, 5)
+    comp = {r["id"]: r["component"] for r in g.stronglyConnectedComponents(10).collect()}
+    assert comp == {i: i for i in range(5)}
+
+
+def test_scc_full_cycle(spark):
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    comp = {r["id"]: r["component"] for r in g.stronglyConnectedComponents(10).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_scc_string_ids(friends):
+    comp = {r["id"]: r["component"] for r in friends.stronglyConnectedComponents(10).collect()}
+    # friends SCCs: {a,d,e} (a→e→d→a), {b,c} (b↔c), {f}, {g}
+    assert comp["a"] == comp["d"] == comp["e"]
+    assert comp["b"] == comp["c"]
+    assert len({comp["a"], comp["b"], comp["f"], comp["g"]}) == 4
+
+
+# --------------------------------------------------------------------- PIC
+
+
+def test_power_iteration_clustering(spark):
+    g = two_blobs(spark, 5)
+    res = g.powerIterationClustering(k=2, maxIter=20)
+    assert set(res.columns) == {"id", "cluster"}
+    assert res.count() == 10
+    assert res.select("cluster").distinct().count() == 2
+
+
+def test_pic_string_ids(friends):
+    res = friends.powerIterationClustering(k=2, maxIter=10)
+    assert set(res.columns) == {"id", "cluster"}
+    ids = {r["id"] for r in res.collect()}
+    assert ids <= {"a", "b", "c", "d", "e", "f", "g"}
+
+
+# ------------------------------------------------------------------- SVD++
+
+
+def test_svdpp_bipartite(spark):
+    v = spark.createDataFrame([(i,) for i in [1, 2, 10, 11]], ["id"])
+    e = spark.createDataFrame(
+        [(1, 10, 4.0), (1, 11, 2.0), (2, 10, 5.0), (2, 11, 1.0)],
+        ["src", "dst", "weight"],
+    )
+    g = GraphFrame(v, e)
+    df, loss = g.svdPlusPlus(rank=4, maxIter=3)
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {1, 2, 10, 11}
+    for r in rows.values():
+        assert len(r["column1"]) == 4 and len(r["column2"]) == 4
+        assert r["column3"] is not None and r["column4"] is not None
+    assert loss == loss and loss >= 0  # finite, non-negative
+    # norm column4 = 1/sqrt(deg): users rated 2 items each
+    assert abs(rows[1]["column4"] - 1 / (2 ** 0.5)) < 1e-9
+
+
+def test_svdpp_requires_weight(spark):
+    v = spark.createDataFrame([(1,), (2,)], ["id"])
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e).svdPlusPlus()
+
+
+# ---------------------------------------------------- aggregateNeighbors
+
+
+def test_aggregate_neighbors_hop_counts(friends):
+    from graphframes_spark.lib.aggregate_neighbors import AggregateNeighbors as AN
+
+    res = (
+        friends.aggregateNeighbors()
+        .setStartingVertices(F.col("id") == "a")
+        .setMaxHops(2)
+        .addAccumulator("n_hops", F.lit(0), F.col("n_hops") + F.lit(1))
+        .setStoppingCondition(F.col("n_hops") + F.lit(1) >= F.lit(2))
+        .run()
+    )
+    rows = {(r["id"], r["n_hops"]) for r in res.collect()}
+    # a -> b,e (hop 1, not stopped) -> c, f, d (hop 2, stopped)
+    assert rows == {("c", 2), ("f", 2), ("d", 2)}
+
+
+def test_aggregate_neighbors_target_condition(friends):
+    res = (
+        friends.aggregateNeighbors()
+        .setStartingVertices(F.col("id") == "e")
+        .setMaxHops(3)
+        .addAccumulator("path_len", F.lit(0), F.col("path_len") + F.lit(1))
+        .setTargetCondition(F.col("dst_attributes").getField("name") == "Charlie")
+        .run()
+    )
+    rows = {(r["id"], r["path_len"]) for r in res.collect()}
+    # e->f->c (2 hops); e->d->a->b but b!=Charlie within 3... a->b is hop 3; b->c would be hop 4
+    assert rows == {("c", 2)}
+
+
+def test_aggregate_neighbors_edge_filter(friends):
+    from graphframes_spark.lib.aggregate_neighbors import edge_attr
+
+    res = (
+        friends.aggregateNeighbors()
+        .setStartingVertices(F.col("id") == "a")
+        .setMaxHops(1)
+        .addAccumulator("n", F.lit(0), F.col("n") + F.lit(1))
+        .setStoppingCondition(F.col("n") + F.lit(1) >= F.lit(1))
+        .setEdgeFilter(edge_attr("relationship") == "friend")
+        .run()
+    )
+    assert {r["id"] for r in res.collect()} == {"b", "e"}
+
+
+def test_aggregate_neighbors_requires_accumulator(friends):
+    with pytest.raises(GraphFramesError):
+        friends.aggregateNeighbors().setStoppingCondition(F.lit(True)).run()
+    with pytest.raises(GraphFramesError):
+        friends.aggregateNeighbors().addAccumulator(
+            "x", F.lit(0), F.col("x")
+        ).run()
+
+
+# ------------------------------------------------- CC options (ADVICE #2)
+
+
+def test_cc_rejects_unknown_algorithm(friends):
+    with pytest.raises(GraphFramesError):
+        friends.connectedComponents(algorithm="typo")
+
+
+def test_cc_rejects_broadcast_threshold(friends):
+    with pytest.raises(GraphFramesError):
+        friends.connectedComponents(broadcastThreshold=1000000)
+
+
+def test_cc_graphx_algorithm(spark):
+    v = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    comp = {
+        r["id"]: r["component"]
+        for r in g.connectedComponents(algorithm="graphx").collect()
+    }
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == comp[4] == 3
+    assert comp[5] == 5

@@ -359,6 +359,16 @@ class GraphFrame:
         maxIter: Optional[int] = None,
         tol: Optional[float] = None,
     ) -> "GraphFrame":
+        """PageRank (fixed-iteration via ``maxIter`` or tolerance mode via
+        ``tol``), optionally personalized from ``sourceId``.
+
+        NOTE — normalization deviation from the reference
+        (lib/PageRank.scala:61-66): this implementation returns the
+        *normalized* formulation (init 1/N, reset alpha/N; ranks sum to
+        ~1), while the reference documents GraphX's un-normalized
+        semantics (ranks sum to ~N). Multiply the ``pagerank`` column by
+        the vertex count to match reference/GraphX magnitudes.
+        """
         from graphframes_spark.lib.pagerank import page_rank
 
         return page_rank(self, resetProbability, sourceId, maxIter, tol)

@@ -13,7 +13,6 @@ programs (driver hangs analyzing exponentially-grown plans).
 
 from __future__ import annotations
 
-import uuid
 from contextlib import contextmanager
 from typing import Iterator, Optional
 
@@ -50,7 +49,15 @@ def aqe_disabled(spark: SparkSession) -> Iterator[None]:
 
 def ensure_checkpoint_dir(spark: SparkSession) -> None:
     """Set the reliable checkpoint dir from conf if unset (the reference's
-    Spark-Connect workaround, Pregel.scala:431-439)."""
+    Spark-Connect workaround, Pregel.scala:431-439).
+
+    Raises when neither the SparkContext checkpoint dir nor the
+    ``spark.checkpoint.dir`` conf is set: a driver-invented local path
+    would be unreadable by executors on a multi-node cluster (the
+    reference raises IOException here, MaximalIndependentSet.scala:89-100).
+    """
+    from graphframes_spark.util import GraphFramesError
+
     try:
         sc = spark.sparkContext
     except Exception:
@@ -60,7 +67,11 @@ def ensure_checkpoint_dir(spark: SparkSession) -> None:
         if conf_dir is not None:
             sc.setCheckpointDir(conf_dir)
         else:
-            sc.setCheckpointDir(f"/tmp/graphframes_spark-checkpoints/{uuid.uuid4().hex}")
+            raise GraphFramesError(
+                "Checkpoint directory is not set. Set it with "
+                "sc.setCheckpointDir(...) or the conf 'spark.checkpoint.dir', "
+                "or use local checkpoints (use_local_checkpoints=True)."
+            )
 
 
 class IterationHarness:

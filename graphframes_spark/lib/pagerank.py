@@ -143,11 +143,15 @@ def parallel_personalized_page_rank(
                 Pregel.src("pageranks"), lambda r: r / Pregel.src(_OUT_DEG)
             )
         )
+        # element-wise sum as k parallel scalar sums (k = |sourceIds|):
+        # fully partial-aggregatable, no per-row collect_list of k-vectors
+        # on hub vertices (the reference's GraphX path reduces pairwise too)
         .aggMsgs(
-            F.aggregate(
-                F.collect_list(Pregel.msg()),
-                zeros,
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            F.array(
+                *[
+                    F.sum(F.element_at(Pregel.msg(), i + 1))
+                    for i in range(k)
+                ]
             )
         )
         .requiredSrcColumns("pageranks", _OUT_DEG)

@@ -197,7 +197,13 @@ class Pregel:
             storage_level=self._storage_level,
         )
 
-        needs_dst_state = self._needs_dst_state()
+        # Explicit required-dst-columns hints are the contract; the string
+        # analysis of message expressions is best-effort only. A non-id
+        # dst hint always forces the dst join (documented escape hatch for
+        # missed detections — mirrors Pregel.scala:317-346).
+        needs_dst_state = self._needs_dst_state() or bool(
+            set(self._required_dst_columns) - {ID}
+        )
 
         current = graph.vertices.select(
             *orig_cols, self._initial_active_expr.alias(ACTIVE_FLAG_COL), *init_cols

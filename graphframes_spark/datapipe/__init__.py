@@ -1,0 +1,70 @@
+"""LLM-training-data pipeline operators: text analysis, deduplication
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force, hyperplane-LSH, IVF), and multimodal
+binary columns. See module docstrings for the 100 TB posture of each."""
+
+from graphframes_spark.datapipe.dedup import (
+    cosine_similarity,
+    embedding_cosine_pairs,
+    embedding_dedup,
+    exact_dedup,
+    jaccard,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash48,
+    simhash_pairs,
+)
+from graphframes_spark.datapipe.multimodal import (
+    binary_metadata,
+    extract_features,
+    fake_decoder,
+    with_binary,
+)
+from graphframes_spark.datapipe.similarity import (
+    brute_force_topk,
+    hyperplane_sketch,
+    ivf_topk,
+    lsh_topk,
+)
+from graphframes_spark.datapipe.text import (
+    fingerprint,
+    language_id,
+    minhash_fingerprint,
+    shingles,
+    token_count,
+    token_count_bpe,
+    tokenize,
+    with_quality_scores,
+)
+
+__all__ = [
+    "brute_force_topk",
+    "binary_metadata",
+    "cosine_similarity",
+    "embedding_cosine_pairs",
+    "embedding_dedup",
+    "exact_dedup",
+    "extract_features",
+    "fake_decoder",
+    "fingerprint",
+    "hyperplane_sketch",
+    "ivf_topk",
+    "jaccard",
+    "language_id",
+    "lsh_candidate_pairs",
+    "lsh_topk",
+    "minhash_fingerprint",
+    "minhash_lsh_dedup",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "shingles",
+    "simhash48",
+    "simhash_pairs",
+    "token_count",
+    "token_count_bpe",
+    "tokenize",
+    "with_binary",
+    "with_quality_scores",
+]

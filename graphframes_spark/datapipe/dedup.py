@@ -1,0 +1,369 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine.
+
+The near-dup pipelines all share one shape — candidate generation that
+is *never* all-pairs, then exact verification, then grouping via
+``connectedComponents`` over the verified similarity edges (the CC
+building block is the two-phase AQE variant, already hub-safe):
+
+    docs → signatures → bucket join (LSH bands)   # |candidates| << n^2
+         → exact-measure filter (Jaccard / Hamming / cosine)
+         → similarity edges → connectedComponents → (id, component)
+
+100 TB posture: signatures are narrow per-row transforms (JVM built-ins,
+no UDFs); the only shuffles are the bucket self-join (keyed on band
+hash — bounded buckets; a pathological bucket is AQE-skew-split), the
+verification join, and CC. Nothing is collected to the driver; no
+per-row state exceeds the signature width.
+
+MinHash permutations use ``md5(perm || ':' || shingle)`` rather than
+xxhash64 so the DuckDB oracle can replicate signatures bit-for-bit;
+swap in ``xxhash64`` for production speed (same structure, one line).
+
+Cites: the dedup-as-CC design follows SURVEY.md §7 Phase 5; CC itself
+follows lib/TwoPhase.scala:331-443.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphframes_spark.datapipe.text import shingles, tokenize
+
+ID = "id"
+COMPONENT = "component"
+
+
+# -------------------------------------------------------------- exact dedup
+
+
+def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str = "id") -> DataFrame:
+    """Exact duplicate grouping over ``key_cols``: one hash-aggregation.
+
+    Returns DF[<id_col>, canonical_id, group_size]; ``canonical_id`` is
+    the min id sharing the key. At scale this is a single shuffle on the
+    (hashed) key; with parquet bucketing on the key it is shuffle-free.
+    """
+    groups = df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return df.join(groups, on=list(key_cols), how="inner").select(
+        F.col(id_col), F.col("canonical_id"), F.col("group_size")
+    )
+
+
+# ----------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signature(shingle_col: Column, num_perm: int) -> Column:
+    """Array of ``num_perm`` MinHash values: min over shingles of
+    ``md5(p || ':' || shingle)`` (lexicographic min on hex strings)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col, lambda s: F.md5(F.concat(F.lit(f"{p}:"), s))
+                )
+            )
+            for p in range(num_perm)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    num_bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing at least one LSH
+    band: explode each signature into ``num_bands`` band hashes, self-join
+    on (band index, band hash). The join key space is the band-hash
+    domain — buckets stay small for honest thresholds; AQE splits any
+    pathological bucket."""
+    bands = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at(
+                                        F.col(sig_col), b * rows_per_band + r + 1
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.bhash")
+    left = bands.select(F.col("_id").alias("id_a"), "band", "bhash")
+    right = bands.select(F.col("_id").alias("id_b"), "band", "bhash")
+    return (
+        left.join(right, on=["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    num_perm: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate grouping: MinHash-LSH candidates, exact-Jaccard
+    verification, components over the verified edges.
+
+    Returns DF[id, component] for every input row (non-duplicates form
+    singleton components keyed by their own id).
+    """
+    from graphframes_spark.graphframe import GraphFrame
+
+    assert num_perm % num_bands == 0
+    rows_per_band = num_perm // num_bands
+
+    sh = df.select(
+        F.col(id_col).alias(ID),
+        shingles(tokenize(F.col(text_col)), shingle_len).alias("_sh"),
+    )
+    sigs = sh.select(ID, "_sh", minhash_signature(F.col("_sh"), num_perm).alias("_sig"))
+    sigs = sigs.persist()
+    cands = lsh_candidate_pairs(sigs, ID, "_sig", num_bands, rows_per_band)
+
+    sh_a = sigs.select(F.col(ID).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sh_b = sigs.select(F.col(ID).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    edges = (
+        cands.join(sh_a, on="id_a")
+        .join(sh_b, on="id_b")
+        .filter(jaccard(F.col("_sh_a"), F.col("_sh_b")) >= F.lit(threshold))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+
+    v = df.select(F.col(id_col).alias(ID))
+    out = GraphFrame(v, edges).connectedComponents()
+    sigs.unpersist()
+    return out.select(ID, COMPONENT)
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs via an inverted shingle index (no LSH,
+    no all-pairs): pairs sharing >= 1 shingle are the only ones with
+    Jaccard > 0, so posting-list self-join + count is exhaustive.
+
+    Scale note: common shingles create hot posting lists; a production
+    run drops stop-shingles above a document-frequency cap first (same
+    pruning the candidate count here is already bounded by), and AQE
+    splits the residual skew.
+    """
+    sh = df.select(
+        F.col(id_col).alias(ID),
+        shingles(tokenize(F.col(text_col)), n).alias("_sh"),
+    ).persist()
+    postings = sh.select(ID, F.explode("_sh").alias("_g"))
+    pa = postings.select(F.col(ID).alias("id_a"), "_g")
+    pb = postings.select(F.col(ID).alias("id_b"), "_g")
+    common = (
+        pa.join(pb, on="_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_common"))
+    )
+    sizes = sh.select(ID, F.size("_sh").alias("_n"))
+    out = (
+        common.join(sizes.select(F.col(ID).alias("id_a"), F.col("_n").alias("_na")), on="id_a")
+        .join(sizes.select(F.col(ID).alias("id_b"), F.col("_n").alias("_nb")), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    sh.unpersist()
+    return out
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def simhash48(tokens: Column) -> Column:
+    """48-bit SimHash over distinct tokens, as a long.
+
+    Per token: 48 bits from the first 12 hex chars of md5 (cross-engine
+    replicable; 48 bits keeps the hex->long conversion inside signed-long
+    range on every engine). Bit b of the hash is the sign of the sum of
+    (+1/-1) votes across tokens.
+    """
+    tok_hash = F.transform(
+        F.array_distinct(tokens),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+    )
+    bits = [
+        F.when(
+            F.aggregate(
+                tok_hash,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(48)
+    ]
+    out = F.lit(0).cast("long")
+    for b, bit in enumerate(bits):
+        out = out + F.shiftleft(bit, b)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_hamming: int = 7,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` SimHash bits, via bit-band LSH.
+
+    With 48 bits in ``num_bands`` equal chunks and ``max_hamming <
+    num_bands``, the pigeonhole principle guarantees two qualifying
+    documents agree on at least one full chunk — the banding is lossless,
+    so the result equals the brute-force answer while joining only on
+    6-bit-chunk buckets.
+    """
+    assert max_hamming < num_bands and 48 % num_bands == 0
+    chunk = 48 // num_bands
+    sh = df.select(
+        F.col(id_col).alias(ID), simhash48(tokenize(F.col(text_col))).alias("_sim")
+    ).persist()
+    bands = sh.select(
+        ID,
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("_sim"), b * chunk)
+                        .bitwiseAND(F.lit((1 << chunk) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(ID, "_sim", "_b.band", "_b.chunk")
+    left = bands.select(F.col(ID).alias("id_a"), F.col("_sim").alias("_sa"), "band", "chunk")
+    right = bands.select(F.col(ID).alias("id_b"), F.col("_sim").alias("_sb"), "band", "chunk")
+    out = (
+        left.join(right, on=["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+        .filter(
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= F.lit(max_hamming)
+        )
+        .select("id_a", "id_b")
+    )
+    return out
+
+
+# ------------------------------------------------------- embedding cosine
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two numeric arrays (JVM-side fold, no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_a = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot / (norm_a * norm_b)
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bucket_planes: Optional[int] = None,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold.
+
+    ``bucket_planes=None`` verifies all pairs (exact; quadratic — for
+    oracle-checkable tests and small slices). With ``bucket_planes=p``
+    set, candidates are restricted to pairs agreeing on a random-
+    hyperplane LSH sketch — the 100 TB path (recall < 1 by design; run
+    multiple sketch rotations to taste).
+    """
+    vecs = df.select(
+        F.col(id_col).alias(ID),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    if bucket_planes:
+        from graphframes_spark.datapipe.similarity import hyperplane_sketch
+
+        vecs = vecs.withColumn("_sketch", hyperplane_sketch(F.col("_v"), bucket_planes))
+        a = vecs.select(F.col(ID).alias("id_a"), F.col("_v").alias("_va"), "_sketch")
+        b = vecs.select(F.col(ID).alias("id_b"), F.col("_v").alias("_vb"), "_sketch")
+        cands = a.join(b, on="_sketch").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = vecs.select(F.col(ID).alias("id_a"), F.col("_v").alias("_va"))
+        b = vecs.select(F.col(ID).alias("id_b"), F.col("_v").alias("_vb"))
+        cands = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return cands.filter(
+        cosine_similarity(F.col("_va"), F.col("_vb")) >= F.lit(threshold)
+    ).select("id_a", "id_b")
+
+
+def embedding_dedup(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bucket_planes: Optional[int] = None,
+) -> DataFrame:
+    """Near-dup grouping over embedding-cosine edges → DF[id, component]."""
+    from graphframes_spark.graphframe import GraphFrame
+
+    pairs = embedding_cosine_pairs(df, id_col, vec_col, threshold, bucket_planes)
+    v = df.select(F.col(id_col).alias(ID))
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return GraphFrame(v, e).connectedComponents().select(ID, COMPONENT)

@@ -1,0 +1,108 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The storage contract for image/audio/video in a Spark-native training
+pipeline: payload as a ``binary`` column, typed metadata in a sibling
+struct (byte length, sha256 content hash, declared mime type). Compute
+on the payload goes through ``mapInPandas`` — Arrow-batched, one Python
+worker per partition, the only sane way to run a decoder at 100 TB
+(per-row Python UDFs are 10-100x slower; JVM cannot host the codec).
+
+The decode step itself is STUBBED here: image/audio codecs are not
+available in this environment. ``extract_features`` takes any
+``decoder: bytes -> list[float]``; the default ``fake_decoder`` is a
+deterministic byte-histogram so the Spark-side plumbing — schema,
+Arrow batch shape, partition mapping, column pruning — is real and
+testable. Swap in PIL/ffmpeg by passing a real decoder.
+
+Scale notes: binary payloads dominate row size — keep them in their own
+parquet column (column pruning skips them unless touched), size
+``spark.sql.files.maxPartitionBytes`` down (128 MB of 1 MB images = 128
+rows/task is fine; 128 MB of 10 KB thumbnails = 13k decodes/task), and
+never collect payloads to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 16
+
+
+def binary_metadata(payload: Column, mime: Optional[Column] = None) -> Column:
+    """Typed metadata struct for a binary payload column."""
+    return F.struct(
+        F.length(payload).alias("byte_len"),
+        F.lower(F.sha2(payload, 256)).alias("sha256"),
+        (mime if mime is not None else F.lit("application/octet-stream")).alias(
+            "mime"
+        ),
+    )
+
+
+def with_binary(
+    df: DataFrame,
+    source_col: str,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    mime: str = "text/plain",
+) -> DataFrame:
+    """Attach a binary payload (utf-8 encode of ``source_col`` — stand-in
+    for real media bytes) plus its metadata struct."""
+    payload = F.encode(F.col(source_col), "UTF-8")
+    return df.withColumn(payload_col, payload).withColumn(
+        meta_col, binary_metadata(F.col(payload_col), F.lit(mime))
+    )
+
+
+def fake_decoder(payload: bytes) -> List[float]:
+    """Deterministic stand-in for a media decoder: 16-bin byte histogram,
+    L1-normalized. Replace with a real codec (PIL, torchaudio, ffmpeg)
+    in production — the pipeline shape does not change."""
+    counts = [0] * FEATURE_DIM
+    for b in payload:
+        counts[b % FEATURE_DIM] += 1
+    total = float(len(payload)) or 1.0
+    return [c / total for c in counts]
+
+
+def unavailable_decoder(payload: bytes) -> List[float]:
+    """Explicit stub for codecs absent in this environment."""
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg/torchaudio) are not installed in this "
+        "environment; pass a real decoder to extract_features()"
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    feature_col: str = "features",
+    decoder: Callable[[bytes], List[float]] = fake_decoder,
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Arrow-batched feature extraction over a binary column.
+
+    ``mapInPandas``: each partition streams in as pandas batches; only
+    (id, payload) columns cross the JVM->Python boundary (column pruning
+    keeps everything else JVM-side); output is (id, features:
+    array<double>) to re-join narrow.
+    """
+    import pandas as pd
+
+    schema = f"{id_col} long, {feature_col} array<double>"
+    pruned = df.select(F.col(id_col).cast("long").alias(id_col), F.col(payload_col))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    feature_col: [decoder(bytes(p)) for p in pdf[payload_col]],
+                }
+            )
+
+    return pruned.mapInPandas(run, schema=schema)

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k of every query against the
+  full corpus — the correctness baseline. Quadratic: use for oracle
+  validation and small query batches only.
+- ``lsh_topk``: random-hyperplane-bucketed approximate top-k — the scale
+  path. Candidates are corpus vectors sharing the query's sign-sketch
+  bucket; one shuffle keyed on the sketch, per-bucket work bounded.
+- ``ivf_topk``: IVF-style two-stage search — KMeans coarse quantizer
+  (pyspark.ml), probe the ``nprobe`` nearest centroids, exact rerank
+  within the probed cells. The classic 100 TB layout: partition/bucket
+  the corpus by centroid id so a query touches nprobe/k of the data.
+
+All distance math is JVM-side column algebra (``zip_with`` +
+``aggregate`` folds) — no Python in the hot path. Hyperplanes are
+deterministic (hash-derived), so results are stable under retries.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphframes_spark.datapipe.dedup import cosine_similarity
+
+ID = "id"
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def hyperplane_sketch(vec: Column, num_planes: int, dim_hint: int = 64) -> Column:
+    """Sign sketch of ``vec`` against ``num_planes`` deterministic random
+    hyperplanes, packed into a long. Plane components are derived from
+    xxhash64(plane, dim) — reproducible without a broadcast side-table."""
+    bits = []
+    for p in range(num_planes):
+        plane = F.transform(
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda d: (
+                F.pmod(F.xxhash64(F.lit(p), d), F.lit(2001)) - F.lit(1000)
+            ).cast("double"),
+        )
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        out = out + F.shiftleft(b, i)
+    return out
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: DF[query_id, neighbor_id, rank] (rank 1..k,
+    self-matches excluded, ties broken by neighbor id)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k within the query's hyperplane bucket. Same output
+    schema as ``brute_force_topk``; recall depends on num_planes (fewer
+    planes -> bigger buckets -> higher recall & cost)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_sketch", hyperplane_sketch(F.col("_cv"), num_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_sketch", hyperplane_sketch(F.col("_qv"), num_planes))
+    scored = (
+        q.join(c, on="_sketch")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF two-stage ANN: KMeans coarse cells + exact rerank in the
+    ``nprobe`` closest cells. Output schema matches ``brute_force_topk``.
+
+    Scale path: persist/bucket the assigned corpus by ``_cell`` once and
+    amortize across query batches; centroids (num_cells × dim) broadcast
+    for the probe join.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_feat", array_to_vector(F.col("_cv")))
+    km = KMeans(k=num_cells, seed=seed, featuresCol="_feat", predictionCol="_cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select("neighbor_id", "_cv", "_cell")
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(centroids)], ["_cell", "_centroid"]
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    # pick nprobe closest centroids per query (broadcast: num_cells rows)
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("_cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_csim", cosine_similarity(F.col("_qv"), F.col("_centroid")))
+        .withColumn("_probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("_probe_rank") <= nprobe)
+        .select("query_id", "_qv", "_cell")
+    )
+    scored = (
+        probes.join(assigned, on="_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

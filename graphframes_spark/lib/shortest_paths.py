@@ -93,7 +93,10 @@ def shortest_paths(
         improved = candidates.join(old, on=[ID, LANDMARK], how="left_outer").filter(
             F.col("_old_dist").isNull() | (F.col(DIST) < F.col("_old_dist"))
         ).select(ID, LANDMARK, DIST)
-        improved = harness.persist(improved)
+        # eager checkpoint (not persist): the frontier chains superstep to
+        # superstep, so an unbroken lineage grows one join+agg per hop and
+        # blows up driver plan handling on long chains
+        improved = harness.checkpoint(improved, eager=True)
         if improved.isEmpty():
             break
         state = harness.checkpoint(

@@ -631,6 +631,49 @@ def q_dp_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _supplier_nation_pg(spark: SparkSession, sf_dir: str):
+    from graphframes_spark.propertygraph import (
+        EdgePropertyGroup,
+        PropertyGraphFrame,
+        VertexPropertyGroup,
+    )
+
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    suppliers = VertexPropertyGroup("suppliers", supplier, "s_suppkey")
+    nations = VertexPropertyGroup("nations", nation, "n_nationkey")
+    in_nation = EdgePropertyGroup(
+        "in_nation",
+        supplier.select("s_suppkey", "s_nationkey").withColumn("w", F.lit(1.0)),
+        suppliers,
+        nations,
+        True,
+        "s_suppkey",
+        "s_nationkey",
+        "w",
+    )
+    return PropertyGraphFrame([suppliers, nations], [in_nation])
+
+
+def q_pg_unify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pg = _supplier_nation_pg(spark, sf_dir)
+    g = pg.to_graph_frame(["suppliers", "nations"], ["in_nation"])
+    return g.vertices.select("id", "property_group").unionByName(
+        g.edges.select(
+            F.col("src").alias("id"), F.lit("_edge_src").alias("property_group")
+        )
+    )
+
+
+def q_pg_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pg = _supplier_nation_pg(spark, sf_dir)
+    projected = pg.projection_by("suppliers", "nations", "in_nation")
+    eg = projected.edge_property_groups[-1]
+    return eg.data.select(
+        F.col("src").alias("s1"), F.col("dst").alias("s2"), F.col("weight")
+    )
+
+
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Randomized MIS — rand() is not oracle-replicable; rows-only check
     (pytest asserts the independence/maximality invariants)."""
@@ -674,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_string_labels": q_cc_string_labels,
         "pagerank_clique": q_pagerank_clique,
         "mis": q_mis,
+        "pg_unify": q_pg_unify,
+        "pg_projection": q_pg_projection,
         # round 2: LLM-data-pipeline tier
         "dp_exact_dedup": q_dp_exact_dedup,
         "dp_token_counts": q_dp_token_counts,
@@ -1047,6 +1092,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey AS id,
                    round(1.0 / (SELECT count(*) FROM nation), 10) AS pagerank
             FROM nation
+        """,
+        "pg_unify": """
+            SELECT 'suppliers' || sha256(CAST(s_suppkey AS VARCHAR)) AS id,
+                   'suppliers' AS property_group
+            FROM supplier
+            UNION ALL
+            SELECT 'nations' || sha256(CAST(n_nationkey AS VARCHAR)),
+                   'nations'
+            FROM nation
+            UNION ALL
+            SELECT 'suppliers' || sha256(CAST(s_suppkey AS VARCHAR)),
+                   '_edge_src'
+            FROM supplier
+        """,
+        "pg_projection": """
+            SELECT a.s_suppkey AS s1, b.s_suppkey AS s2, 1.0 AS weight
+            FROM supplier a JOIN supplier b
+              ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
         """,
         # --------------------------------------- round 2: datapipe tier
         "dp_exact_dedup": """

@@ -681,6 +681,46 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.maximalIndependentSet(seed=42).select("id")
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-random walks — values are run-dependent (rand()/shuffle());
+    rows-only check: 2 walks per nation, each of deterministic length 6."""
+    import tempfile
+
+    from graphframes_spark.rw import RandomWalkWithRestart
+
+    g = _nation_graph(spark, sf_dir)
+    rw = (
+        RandomWalkWithRestart()
+        .onGraph(g)
+        .setNumWalksPerNode(2)
+        .setBatchSize(3)
+        .setNumBatches(2)
+        .setGlobalSeed(42)
+        .setTemporaryPrefix(tempfile.mkdtemp(prefix="gfs_rw_"))
+    )
+    walks = rw.run()
+    return walks.select(
+        F.col("random_walk_uuid").alias("walk_id"),
+        F.size("random_walk").alias("walk_len"),
+    )
+
+
+def q_sampling_convolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-min sampling uses Spark-side xxhash64 — not oracle-replicable;
+    rows-only check (pytest covers exact mean/concat semantics)."""
+    from graphframes_spark.embeddings import sampling_convolution
+
+    g = _nation_graph(spark, sf_dir)
+    emb = g.vertices.select(
+        F.col("id"),
+        F.array(F.col("id").cast("double"), (F.col("id") * 2).cast("double")).alias(
+            "vector"
+        ),
+    )
+    out = sampling_convolution(g, emb, k=3, seed=7, concat_self=True)
+    return out.select("id", F.size("vector").alias("dim"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "out_degrees": q_out_degrees,
@@ -719,6 +759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "pg_unify": q_pg_unify,
         "pg_projection": q_pg_projection,
+        "random_walks": q_random_walks,
+        "sampling_convolution": q_sampling_convolution,
         # round 2: LLM-data-pipeline tier
         "dp_exact_dedup": q_dp_exact_dedup,
         "dp_token_counts": q_dp_token_counts,

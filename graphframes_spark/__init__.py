@@ -12,7 +12,21 @@ Spark Connect, and scales with ordinary Spark partitioning semantics.
 
 from graphframes_spark.graphframe import GraphFrame
 from graphframes_spark.pregel import Pregel
+from graphframes_spark.propertygraph import (
+    EdgePropertyGroup,
+    PropertyGraphFrame,
+    VertexPropertyGroup,
+)
+from graphframes_spark.rw import RandomWalkWithRestart
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["GraphFrame", "Pregel", "__version__"]
+__all__ = [
+    "EdgePropertyGroup",
+    "GraphFrame",
+    "Pregel",
+    "PropertyGraphFrame",
+    "RandomWalkWithRestart",
+    "VertexPropertyGroup",
+    "__version__",
+]

@@ -1,0 +1,267 @@
+"""Node embeddings from random-walk sequences.
+
+- ``hash2vec``: feature-hashing embeddings (Argerich et al. 2016),
+  following the reference
+  (/root/reference/core/src/main/scala/org/graphframes/embeddings/Hash2Vec.scala:48-584):
+  for each target token in a walk, context tokens within ``window`` add
+  a signed (hash-derived), distance-decayed contribution at a hashed
+  index of the target's vector; vectors are summed per token across all
+  sequences and L2-normalized. The reference drops to RDD mapPartitions
+  + BLAS; here the per-partition accumulation is an Arrow-batched
+  ``mapInPandas`` with numpy, and the cross-partition combine is a
+  posexplode → groupBy(id, pos) → sum (partial-aggregatable, no
+  driver-side state).
+- ``RandomWalkEmbeddings``: orchestrates walks → Word2Vec
+  (pyspark.ml, JVM-native) or hash2vec, with optional GraphSAGE-ish
+  neighbor mean-aggregation
+  (embeddings/RandomWalkEmbeddings.scala:46-367).
+- ``sampling_convolution``: one convolution layer — mean of <= k
+  sampled neighbor vectors, optionally concatenated with the vertex's
+  own (convolutions/SamplingConvolution.scala:24-177).
+
+Scale notes: hash2vec state per Python worker is a dict bounded by the
+*vocabulary per partition* × dim; walks are typically grouped by start
+vertex so vocabulary locality is decent. Word2Vec is delegated to
+pyspark.ml (distributed, JVM). The convolution is joins + a bounded
+array aggregation (<= k vectors per vertex by construction).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphframes_spark.graphframe import GraphFrame
+from graphframes_spark.rw import NBRS_COL, RW_COL, RandomWalkWithRestart, sampled_neighbors
+from graphframes_spark.util import DST, ID, SRC, GraphFramesError
+
+VECTOR_COL = "vector"
+
+
+def _sum_vectors(df: DataFrame, key: str, vec_col: str) -> DataFrame:
+    exploded = df.select(F.col(key), F.posexplode(F.col(vec_col)).alias("_p", "_v"))
+    per_pos = exploded.groupBy(key, "_p").agg(F.sum("_v").alias("_v"))
+    return per_pos.groupBy(key).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_v"))), lambda s: s["_v"]
+        ).alias(vec_col)
+    )
+
+
+def hash2vec(
+    sequences: DataFrame,
+    seq_col: str = RW_COL,
+    dim: int = 64,
+    window: int = 3,
+    decay: str = "gaussian",
+    sigma: float = 1.0,
+    normalize: bool = True,
+) -> DataFrame:
+    """DF[id, vector: array<double>] from DF[<seq_col>: array<id>].
+
+    ``decay``: 'gaussian' (exp(-d²/2σ²)) or 'constant' (1.0) weighting of
+    a context token at distance d (Hash2Vec.scala decay options).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if decay not in ("gaussian", "constant"):
+        raise GraphFramesError(f"unknown decay: {decay!r}")
+    weights = [
+        1.0 if decay == "constant" else math.exp(-(d * d) / (2.0 * sigma * sigma))
+        for d in range(1, window + 1)
+    ]
+
+    # the reference hashes with murmur3 (JVM-side); murmur3 is unavailable
+    # here, so index/sign hashing uses stable blake2b — same structure,
+    # different (still deterministic) hash family
+    import hashlib
+
+    def _h(token: str, salt: int) -> int:
+        digest = hashlib.blake2b(
+            f"{salt}:{token}".encode(), digest_size=8
+        ).digest()
+        return int.from_bytes(digest, "big")
+
+    def accumulate(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        acc: dict[str, "np.ndarray"] = {}
+        for pdf in batches:
+            for seq in pdf[seq_col]:
+                toks = [str(t) for t in seq]
+                for i, target in enumerate(toks):
+                    vec = acc.get(target)
+                    if vec is None:
+                        vec = acc.setdefault(target, np.zeros(dim))
+                    for d in range(1, window + 1):
+                        w = weights[d - 1]
+                        for j in (i - d, i + d):
+                            if 0 <= j < len(toks):
+                                ctx = toks[j]
+                                idx = _h(ctx, 0) % dim
+                                sign = 1.0 if _h(ctx, 1) & 1 else -1.0
+                                vec[idx] += sign * w
+        # dtype=object keeps empty partitions Arrow-convertible (an empty
+        # float64 ndarray column cannot convert to list<double>)
+        yield pd.DataFrame(
+            {
+                ID: pd.Series(list(acc.keys()), dtype=object),
+                VECTOR_COL: pd.Series(
+                    [v.tolist() for v in acc.values()], dtype=object
+                ),
+            }
+        )
+
+    partials = sequences.select(seq_col).mapInPandas(
+        accumulate, schema=f"{ID} string, {VECTOR_COL} array<double>"
+    )
+    summed = _sum_vectors(partials, ID, VECTOR_COL)
+    if not normalize:
+        return summed
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(VECTOR_COL), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc_, x: acc_ + x,
+        )
+    )
+    return summed.withColumn(
+        VECTOR_COL,
+        F.when(
+            norm > 0, F.transform(F.col(VECTOR_COL), lambda x: x / norm)
+        ).otherwise(F.col(VECTOR_COL)),
+    )
+
+
+class RandomWalkEmbeddings:
+    """Walks → embeddings orchestrator (RandomWalkEmbeddings.scala:46-367)."""
+
+    def __init__(self) -> None:
+        self._graph: Optional[GraphFrame] = None
+        self._walks: Optional[RandomWalkWithRestart] = None
+        self._algorithm = "word2vec"  # or "hash2vec"
+        self._dim = 64
+        self._window = 3
+        self._with_neighbor_aggregation = False
+        self._max_nbrs = 10
+        self._seed = 42
+
+    def onGraph(self, graph: GraphFrame) -> "RandomWalkEmbeddings":
+        self._graph = graph
+        return self
+
+    def setRandomWalk(self, rw: RandomWalkWithRestart) -> "RandomWalkEmbeddings":
+        self._walks = rw
+        return self
+
+    def setAlgorithm(self, value: str) -> "RandomWalkEmbeddings":
+        if value not in ("word2vec", "hash2vec"):
+            raise GraphFramesError(f"unknown embeddings algorithm: {value!r}")
+        self._algorithm = value
+        return self
+
+    def setDimension(self, value: int) -> "RandomWalkEmbeddings":
+        self._dim = value
+        return self
+
+    def setWindowSize(self, value: int) -> "RandomWalkEmbeddings":
+        self._window = value
+        return self
+
+    def setWithNeighborAggregation(self, value: bool) -> "RandomWalkEmbeddings":
+        self._with_neighbor_aggregation = value
+        return self
+
+    def setMaxNbrsPerVertex(self, value: int) -> "RandomWalkEmbeddings":
+        self._max_nbrs = value
+        return self
+
+    def setSeed(self, value: int) -> "RandomWalkEmbeddings":
+        self._seed = value
+        return self
+
+    def run(self) -> DataFrame:
+        """DF[id: string, vector: array<double>] (ids stringified — both
+        Word2Vec and feature hashing operate on token strings)."""
+        if self._graph is None:
+            raise GraphFramesError("Graph is not set")
+        if self._walks is None:
+            raise GraphFramesError("set a RandomWalkWithRestart via setRandomWalk")
+
+        walks = self._walks.onGraph(self._graph).run()
+        seqs = walks.select(
+            F.transform(F.col(RW_COL), lambda x: x.cast("string")).alias(RW_COL)
+        ).filter(F.size(RW_COL) > 0)
+
+        if self._algorithm == "hash2vec":
+            emb = hash2vec(seqs, RW_COL, dim=self._dim, window=self._window)
+        else:
+            from pyspark.ml.feature import Word2Vec
+
+            w2v = Word2Vec(
+                vectorSize=self._dim,
+                windowSize=self._window,
+                minCount=1,
+                seed=self._seed,
+                inputCol=RW_COL,
+                outputCol="_w2v",
+            )
+            model = w2v.fit(seqs)
+            from pyspark.ml.functions import vector_to_array
+
+            emb = model.getVectors().select(
+                F.col("word").alias(ID),
+                vector_to_array(F.col("vector")).alias(VECTOR_COL),
+            )
+
+        if not self._with_neighbor_aggregation:
+            return emb
+        conv = sampling_convolution(
+            self._graph, emb, k=self._max_nbrs, seed=self._seed, concat_self=True,
+            id_as_string=True,
+        )
+        return conv
+
+
+def sampling_convolution(
+    graph: GraphFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    seed: int = 42,
+    concat_self: bool = True,
+    use_edge_direction: bool = False,
+    id_as_string: bool = False,
+) -> DataFrame:
+    """One sampled-neighbor convolution: mean of <= k neighbor vectors,
+    optionally concatenated after the vertex's own vector
+    (SamplingConvolution.scala:24-177). Embeddings: DF[id, vector]."""
+    nbrs = sampled_neighbors(graph.edges, k, seed, use_edge_direction)
+    pairs = nbrs.select(F.col(ID), F.explode(F.col(NBRS_COL)).alias("_nbr"))
+    if id_as_string:
+        pairs = pairs.select(
+            F.col(ID).cast("string").alias(ID), F.col("_nbr").cast("string").alias("_nbr")
+        )
+    nbr_vecs = pairs.join(
+        embeddings.select(F.col(ID).alias("_nbr"), F.col(VECTOR_COL).alias("_nv")),
+        on="_nbr",
+    )
+    summed = _sum_vectors(nbr_vecs.select(ID, F.col("_nv")), ID, "_nv")
+    counts = nbr_vecs.groupBy(ID).agg(F.count("*").alias("_n"))
+    mean = summed.join(counts, on=ID).select(
+        F.col(ID),
+        F.transform(F.col("_nv"), lambda x: x / F.col("_n")).alias("_mean"),
+    )
+    out = embeddings.join(mean, on=ID, how="left").withColumn(
+        "_mean",
+        F.coalesce(
+            F.col("_mean"),
+            F.transform(F.col(VECTOR_COL), lambda x: x * F.lit(0.0)),
+        ),
+    )
+    if concat_self:
+        return out.select(
+            F.col(ID), F.concat(F.col(VECTOR_COL), F.col("_mean")).alias(VECTOR_COL)
+        )
+    return out.select(F.col(ID), F.col("_mean").alias(VECTOR_COL))

@@ -1,0 +1,147 @@
+"""Random-walk + embeddings tests: structural invariants (walks are
+seeded-random — assert lengths, membership, adjacency; not exact values),
+per the reference test strategy for rw/ and embeddings/."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphframes_spark import GraphFrame
+from graphframes_spark.embeddings import (
+    RandomWalkEmbeddings,
+    hash2vec,
+    sampling_convolution,
+)
+from graphframes_spark.rw import RandomWalkWithRestart, sampled_neighbors
+from graphframes_spark.util import GraphFramesError
+from tests.conftest import two_blobs
+
+
+@pytest.fixture(scope="module")
+def blob_graph(spark):
+    return two_blobs(spark, 5)
+
+
+def test_sampled_neighbors_caps_and_is_stable(blob_graph):
+    nbrs = sampled_neighbors(blob_graph.edges, max_nbrs=3, seed=7)
+    rows = {r["id"]: r["random_walk_nbrs"] for r in nbrs.collect()}
+    assert all(len(v) <= 3 for v in rows.values())
+    # stability: same seed -> same sample
+    again = {
+        r["id"]: r["random_walk_nbrs"]
+        for r in sampled_neighbors(blob_graph.edges, max_nbrs=3, seed=7).collect()
+    }
+    assert {k: set(v) for k, v in rows.items()} == {
+        k: set(v) for k, v in again.items()
+    }
+    # sampled neighbors are real neighbors
+    sym = {(r["src"], r["dst"]) for r in blob_graph.edges.collect()}
+    sym |= {(d, s) for s, d in sym}
+    for vid, vs in rows.items():
+        for n in vs:
+            assert (vid, n) in sym
+
+
+def test_random_walk_with_restart(blob_graph, tmp_path):
+    rw = (
+        RandomWalkWithRestart()
+        .onGraph(blob_graph)
+        .setNumWalksPerNode(2)
+        .setBatchSize(3)
+        .setNumBatches(2)
+        .setGlobalSeed(11)
+        .setTemporaryPrefix(str(tmp_path))
+    )
+    walks = rw.run()
+    rows = walks.collect()
+    # 10 vertices x 2 walks, each of length batch_size * num_batches
+    assert len(rows) == 20
+    assert all(len(r["random_walk"]) == 6 for r in rows)
+    # every step is a vertex of the graph
+    vids = {r["id"] for r in blob_graph.vertices.collect()}
+    for r in rows:
+        assert set(r["random_walk"]) <= vids
+
+
+def test_random_walk_requires_prefix(blob_graph):
+    with pytest.raises(GraphFramesError):
+        RandomWalkWithRestart().onGraph(blob_graph).run()
+    with pytest.raises(GraphFramesError):
+        RandomWalkWithRestart().setTemporaryPrefix("/tmp/x").run()
+
+
+def test_hash2vec_shapes(spark):
+    seqs = spark.createDataFrame(
+        [(["a", "b", "c", "a", "b"],), (["b", "c", "d"],)], ["random_walk"]
+    )
+    emb = hash2vec(seqs, dim=16, window=2)
+    rows = {r["id"]: r["vector"] for r in emb.collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    for v in rows.values():
+        assert len(v) == 16
+        norm = sum(x * x for x in v) ** 0.5
+        assert norm == 0 or abs(norm - 1.0) < 1e-9
+
+
+def test_hash2vec_rejects_bad_decay(spark):
+    seqs = spark.createDataFrame([(["a"],)], ["random_walk"])
+    with pytest.raises(GraphFramesError):
+        hash2vec(seqs, decay="exponential")
+
+
+def test_sampling_convolution(spark):
+    v = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    e = spark.createDataFrame([(1, 2), (1, 3)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [0.0, 4.0])], ["id", "vector"]
+    )
+    out = {r["id"]: r["vector"] for r in sampling_convolution(g, emb, k=5, concat_self=True).collect()}
+    # vertex 1: own [1,0] ++ mean of nbrs {2,3} = [0,3]
+    assert out[1] == [1.0, 0.0, 0.0, 3.0]
+    # vertices 2,3: neighbor is 1 (undirected) -> mean [1,0]
+    assert out[2] == [0.0, 2.0, 1.0, 0.0]
+
+
+def test_random_walk_embeddings_word2vec(blob_graph, tmp_path):
+    rw = (
+        RandomWalkWithRestart()
+        .setNumWalksPerNode(2)
+        .setBatchSize(4)
+        .setNumBatches(1)
+        .setGlobalSeed(5)
+        .setTemporaryPrefix(str(tmp_path))
+    )
+    emb = (
+        RandomWalkEmbeddings()
+        .onGraph(blob_graph)
+        .setRandomWalk(rw)
+        .setAlgorithm("word2vec")
+        .setDimension(8)
+        .run()
+    )
+    rows = {r["id"]: r["vector"] for r in emb.collect()}
+    assert all(len(v) == 8 for v in rows.values())
+    assert len(rows) > 0
+
+
+def test_random_walk_embeddings_hash2vec_with_aggregation(blob_graph, tmp_path):
+    rw = (
+        RandomWalkWithRestart()
+        .setNumWalksPerNode(1)
+        .setBatchSize(4)
+        .setNumBatches(1)
+        .setGlobalSeed(5)
+        .setTemporaryPrefix(str(tmp_path))
+    )
+    emb = (
+        RandomWalkEmbeddings()
+        .onGraph(blob_graph)
+        .setRandomWalk(rw)
+        .setAlgorithm("hash2vec")
+        .setDimension(8)
+        .setWithNeighborAggregation(True)
+        .run()
+    )
+    rows = {r["id"]: r["vector"] for r in emb.collect()}
+    # concat self ++ neighbor mean -> 16 dims
+    assert all(len(v) == 16 for v in rows.values())

@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod
 
 HEADLINE = [
+    # round-1 set (kept stable for round-over-round comparison)
     "degrees",
     "motif_two_hop",
     "motif_negation",
@@ -37,6 +38,18 @@ HEADLINE = [
     "pagerank",
     "aggregate_messages",
     "bfs",
+    # round-2 graph tier
+    "kcore",
+    "scc",
+    "cycles",
+    "ppr",
+    "pg_projection",
+    # round-2 LLM-data-pipeline tier
+    "dp_token_counts",
+    "dp_quality",
+    "dp_minhash_dedup",
+    "dp_simhash_pairs",
+    "dp_ann_topk",
 ]
 
 
@@ -74,12 +87,22 @@ def main() -> None:
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from graphframes_spark import pregel as pregel_mod
+
     timings: dict[str, float] = {}
+    supersteps: dict[str, list[float]] = {}
     for name in names:
         for _ in range(warmup):
             run_query(spark, name, sf_dir)
-        reps = [run_query(spark, name, sf_dir) for _ in range(repeats)]
+        reps = []
+        for _ in range(repeats):
+            pregel_mod.LAST_RUN_SUPERSTEP_SECONDS.clear()
+            reps.append(run_query(spark, name, sf_dir))
         timings[name] = round(sum(reps) / len(reps), 3)
+        if pregel_mod.LAST_RUN_SUPERSTEP_SECONDS:
+            supersteps[name] = [
+                round(s, 3) for s in pregel_mod.LAST_RUN_SUPERSTEP_SECONDS
+            ]
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -90,6 +113,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "supersteps": supersteps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -333,9 +333,23 @@ def embedding_cosine_pairs(
     hyperplane LSH sketch — the 100 TB path (recall < 1 by design; run
     multiple sketch rotations to taste).
     """
+    # normalize once per vector (O(n)) so each pair needs only the dot
+    # product (O(n^2) pairs x 1 fold instead of 3)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
     vecs = df.select(
         F.col(id_col).alias(ID),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("_v"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     if bucket_planes:
         from graphframes_spark.datapipe.similarity import hyperplane_sketch
@@ -348,9 +362,7 @@ def embedding_cosine_pairs(
         a = vecs.select(F.col(ID).alias("id_a"), F.col("_v").alias("_va"))
         b = vecs.select(F.col(ID).alias("id_b"), F.col("_v").alias("_vb"))
         cands = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    return cands.filter(
-        cosine_similarity(F.col("_va"), F.col("_vb")) >= F.lit(threshold)
-    ).select("id_a", "id_b")
+    return cands.filter(dot >= F.lit(threshold)).select("id_a", "id_b")
 
 
 def embedding_dedup(

@@ -32,6 +32,24 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _unit(vec: Column) -> Column:
+    """L2-normalized double vector: pairs then need only a dot product."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.transform(vec, lambda x: x.cast("double") / norm)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def hyperplane_sketch(vec: Column, num_planes: int, dim_hint: int = 64) -> Column:
     """Sign sketch of ``vec`` against ``num_planes`` deterministic random
     hyperplanes, packed into a long. Plane components are derived from
@@ -66,15 +84,15 @@ def brute_force_topk(
     """Exact cosine top-k: DF[query_id, neighbor_id, rank] (rank 1..k,
     self-matches excluded, ties broken by neighbor id)."""
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+        F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("_cv")
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("_qv")
     )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("_sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .withColumn("_sim", _dot(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("_sim"), F.asc("neighbor_id")
@@ -98,15 +116,15 @@ def lsh_topk(
     schema as ``brute_force_topk``; recall depends on num_planes (fewer
     planes -> bigger buckets -> higher recall & cost)."""
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+        F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("_cv")
     ).withColumn("_sketch", hyperplane_sketch(F.col("_cv"), num_planes))
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("_qv")
     ).withColumn("_sketch", hyperplane_sketch(F.col("_qv"), num_planes))
     scored = (
         q.join(c, on="_sketch")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("_sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .withColumn("_sim", _dot(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
     return (
@@ -137,7 +155,7 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+        F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("_cv")
     ).withColumn("_feat", array_to_vector(F.col("_cv")))
     km = KMeans(k=num_cells, seed=seed, featuresCol="_feat", predictionCol="_cell")
     model = km.fit(c)
@@ -150,7 +168,7 @@ def ivf_topk(
     )
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("_qv")
     )
     # pick nprobe closest centroids per query (broadcast: num_cells rows)
     probe_w = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("_cell"))
@@ -164,7 +182,7 @@ def ivf_topk(
     scored = (
         probes.join(assigned, on="_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("_sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .withColumn("_sim", _dot(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
     return (

@@ -133,10 +133,11 @@ def connected_components(
     """
     from graphframes_spark.util import GraphFramesError
 
-    if algorithm not in ("graphframes", "graphx"):
+    if algorithm not in ("graphframes", "graphx", "randomized_contraction"):
         raise GraphFramesError(
             f"Unsupported connected components algorithm: {algorithm!r}. "
-            "Supported: 'graphframes' (two-phase), 'graphx' (min-id Pregel)."
+            "Supported: 'graphframes' (two-phase), 'graphx' (min-id Pregel), "
+            "'randomized_contraction' (Bögeholz et al. ICDE'20)."
         )
     if broadcast_threshold != -1:
         raise GraphFramesError(
@@ -145,6 +146,12 @@ def connected_components(
         )
     if algorithm == "graphx":
         return _graphx_cc(graph, checkpoint_interval, use_labels_as_components)
+    if algorithm == "randomized_contraction":
+        from graphframes_spark.lib.randomized_contraction import randomized_contraction
+
+        return randomized_contraction(
+            graph, checkpoint_interval, use_labels_as_components
+        )
     spark = graph.spark
     harness = IterationHarness(spark, checkpoint_interval=checkpoint_interval)
 

@@ -35,6 +35,10 @@ if TYPE_CHECKING:
 ACTIVE_FLAG_COL = "_pregel_is_active"
 MSG_COL_NAME = "_pregel_msg"
 
+#: wall-clock seconds per superstep of the most recent Pregel.run() in this
+#: process — instrumentation for bench.py (read-only; overwritten per run)
+LAST_RUN_SUPERSTEP_SECONDS: list[float] = []
+
 
 class Pregel:
     """Builder-style Pregel API; see class docstring for execution model."""
@@ -234,7 +238,11 @@ class Pregel:
         else:
             dst_cols = [F.col("*")]
 
+        LAST_RUN_SUPERSTEP_SECONDS.clear()
+        import time as _time
+
         for iteration in harness.iterations(self._max_iter):
+            _superstep_start = _time.perf_counter()
             current = harness.persist(current)
 
             if not needs_dst_state and self._skip_messages_from_non_active:
@@ -268,6 +276,7 @@ class Pregel:
             )
 
             if self._early_stopping and msg_df.isEmpty():
+                LAST_RUN_SUPERSTEP_SECONDS.append(_time.perf_counter() - _superstep_start)
                 break
 
             agg_df = msg_df.groupBy(ID).agg(self._agg_msgs_col.alias(MSG_COL_NAME))
@@ -278,6 +287,7 @@ class Pregel:
 
             materialize = not (self._early_stopping or self._stop_if_all_non_active)
             current = harness.commit(current, materialize=materialize)
+            LAST_RUN_SUPERSTEP_SECONDS.append(_time.perf_counter() - _superstep_start)
 
             if self._stop_if_all_non_active:
                 if current.filter(F.col(ACTIVE_FLAG_COL)).isEmpty():

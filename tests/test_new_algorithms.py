@@ -273,3 +273,31 @@ def test_cc_graphx_algorithm(spark):
     assert comp[0] == comp[1] == comp[2] == 0
     assert comp[3] == comp[4] == 3
     assert comp[5] == 5
+
+
+def test_cc_randomized_contraction(spark):
+    v = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 2), (3, 4), (5, 6)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    comp = {
+        r["id"]: r["component"]
+        for r in g.connectedComponents(algorithm="randomized_contraction").collect()
+    }
+    assert comp[0] == comp[1] == comp[2]
+    assert comp[3] == comp[4]
+    assert comp[5] == comp[6]
+    assert len({comp[0], comp[3], comp[5]}) == 3
+
+
+def test_cc_randomized_contraction_matches_two_phase(friends):
+    rc = {
+        r["id"]: r["component"]
+        for r in friends.connectedComponents(
+            algorithm="randomized_contraction", useLabelsAsComponents=True
+        ).collect()
+    }
+    tp = {
+        r["id"]: r["component"]
+        for r in friends.connectedComponents(useLabelsAsComponents=True).collect()
+    }
+    assert rc == tp

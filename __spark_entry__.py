@@ -784,10 +784,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _minhash_oracle_sql() -> str:
     """Replicates the MinHash-LSH pipeline bit-for-bit: same md5-based
-    permutations, same banding, same Jaccard verify, components via
-    recursive closure."""
+    double-hash permutations ((h1 + p*h2) & (2^48-1) over the two md5
+    halves), same banding, same Jaccard verify, components via recursive
+    closure."""
+    mask = (1 << 48) - 1
     sig_items = ",\n           ".join(
-        f"list_min(list_transform(sh, s -> md5('{p}:' || s)))" for p in range(NUM_PERM)
+        "list_min(list_transform(sh, s -> "
+        f"((('0x' || substr(md5(s), 1, 12))::BIGINT "
+        f"+ {p} * ('0x' || substr(md5(s), 13, 12))::BIGINT) & {mask})))"
+        for p in range(NUM_PERM)
     )
     band_items = ",\n           ".join(
         "md5("

@@ -285,8 +285,11 @@ class Pregel:
                 *orig_cols, self._update_active_expr.alias(ACTIVE_FLAG_COL), *update_cols
             )
 
-            materialize = not (self._early_stopping or self._stop_if_all_non_active)
-            current = harness.commit(current, materialize=materialize)
+            # Pure maxIter mode needs no per-superstep action: lazy local
+            # checkpoints still cut lineage when the final action runs, and
+            # executing the whole run as one job avoids N sequential
+            # job-submission round-trips (the dominant cost at small scale).
+            current = harness.commit(current, materialize=False)
             LAST_RUN_SUPERSTEP_SECONDS.append(_time.perf_counter() - _superstep_start)
 
             if self._stop_if_all_non_active:

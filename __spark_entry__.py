@@ -631,6 +631,53 @@ def q_dp_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch triangle count; on K5 cliques (degree 4 << 2^12
+    nominal entries) the sketches are exact, so the exact oracle applies."""
+    g = _nation_graph(spark, sf_dir)
+    return g.triangleCount(algorithm="approx").select(
+        F.col("id"), F.col("count").alias("n_triangles")
+    )
+
+
+def q_aggregate_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _nation_graph(spark, sf_dir)
+    res = g.aggregate_neighbors(
+        starting_vertices=F.col("id") == 0,
+        max_hops=2,
+        accumulator_names=["n_hops"],
+        accumulator_inits=[F.lit(0)],
+        accumulator_updates=[F.col("n_hops") + F.lit(1)],
+        stopping_condition=F.col("n_hops") + F.lit(1) >= F.lit(2),
+    )
+    return res.select("id", "hop", "n_hops")
+
+
+def q_svdpp_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVD++ on the customer-order bipartite rating graph. Latent factors
+    are hash-initialized (not SQL-replicable), but the implicit-feedback
+    norm column4 = |N(v)|^-0.5 is deterministic — oracle checks it."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    v = customer.select(F.col("c_custkey").alias("id")).unionByName(
+        orders.select((F.col("o_orderkey") + ORDER_OFFSET).alias("id"))
+    )
+    e = orders.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst"),
+        (F.col("o_totalprice") / 100000.0).alias("weight"),
+    )
+    df, _loss = GraphFrame(v, e).svdPlusPlus(rank=4, maxIter=1)
+    return df.select(F.col("id"), F.round("column4", 8).alias("norm"))
+
+
+def q_pic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power iteration clustering — ml-internal initialization is not
+    SQL-replicable; rows-only check."""
+    g = _nation_graph(spark, sf_dir)
+    return g.powerIterationClustering(k=5, maxIter=20).select("id", "cluster")
+
+
 def _supplier_nation_pg(spark: SparkSession, sf_dir: str):
     from graphframes_spark.propertygraph import (
         EdgePropertyGroup,
@@ -761,6 +808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pg_projection": q_pg_projection,
         "random_walks": q_random_walks,
         "sampling_convolution": q_sampling_convolution,
+        "triangle_count_approx": q_triangle_count_approx,
+        "aggregate_neighbors": q_aggregate_neighbors,
+        "svdpp_norms": q_svdpp_norms,
+        "pic": q_pic,
         # round 2: LLM-data-pipeline tier
         "dp_exact_dedup": q_dp_exact_dedup,
         "dp_token_counts": q_dp_token_counts,
@@ -1139,6 +1190,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey AS id,
                    round(1.0 / (SELECT count(*) FROM nation), 10) AS pagerank
             FROM nation
+        """,
+        "triangle_count_approx": f"""
+            WITH adj AS ({_NATION_EDGES_SQL}),
+            canon AS (
+                SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+                FROM adj WHERE src <> dst
+            ),
+            tri AS (
+                SELECT e1.s AS a, e1.d AS b, e2.d AS c
+                FROM canon e1
+                JOIN canon e2 ON e2.s = e1.d
+                JOIN canon e3 ON e3.s = e1.s AND e3.d = e2.d
+            ),
+            per_vertex AS (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            )
+            SELECT n.n_nationkey AS id,
+                   CAST(coalesce(t.cnt, 0) AS BIGINT) AS n_triangles
+            FROM nation n
+            LEFT JOIN (SELECT id, count(*) AS cnt FROM per_vertex GROUP BY id) t
+              ON n.n_nationkey = t.id
+        """,
+        "aggregate_neighbors": f"""
+            WITH adj AS ({_NATION_EDGES_SQL})
+            SELECT e2.dst AS id, 2 AS hop, 2 AS n_hops
+            FROM adj e1 JOIN adj e2 ON e1.dst = e2.src
+            WHERE e1.src = 0
+        """,
+        "svdpp_norms": f"""
+            WITH ends AS (
+                SELECT o_custkey AS id FROM orders
+                UNION ALL
+                SELECT o_orderkey + {ORDER_OFFSET} FROM orders
+            ),
+            cnt AS (SELECT id, count(*) AS c FROM ends GROUP BY id)
+            SELECT id, round(1.0 / sqrt(c), 8) AS norm FROM cnt
         """,
         "pg_unify": """
             SELECT 'suppliers' || sha256(CAST(s_suppkey AS VARCHAR)) AS id,

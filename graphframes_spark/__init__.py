@@ -11,6 +11,7 @@ Spark Connect, and scales with ordinary Spark partitioning semantics.
 """
 
 from graphframes_spark.graphframe import GraphFrame
+from graphframes_spark.lib.aggregate_neighbors import dst_attr, edge_attr, src_attr
 from graphframes_spark.pregel import Pregel
 from graphframes_spark.propertygraph import (
     EdgePropertyGroup,
@@ -29,4 +30,7 @@ __all__ = [
     "RandomWalkWithRestart",
     "VertexPropertyGroup",
     "__version__",
+    "dst_attr",
+    "edge_attr",
+    "src_attr",
 ]

@@ -92,9 +92,11 @@ class GraphFrame:
 
     from_edges = fromEdges
 
-    def validate(self) -> None:
-        """Integrity check: unique vertex ids; every edge endpoint exists
-        (GraphFrame.scala:160-215)."""
+    def validate(self, checkVertices: bool = True) -> None:
+        """Integrity check: unique vertex ids; with ``checkVertices``,
+        every edge endpoint exists in the vertex DataFrame — the endpoint
+        check is a full distinct + anti-join, slow on big graphs
+        (GraphFrame.scala:160-215; python client validate())."""
         v, e = self._vertices, self._edges
         counts = v.select(
             F.count(ID).alias("n"), F.countDistinct(ID).alias("nd")
@@ -104,6 +106,8 @@ class GraphFrame:
                 f"Vertex ids are not unique: {counts['n']} rows, "
                 f"{counts['nd']} distinct ids"
             )
+        if not checkVertices:
+            return
         endpoints = (
             e.select(F.col(SRC).alias(ID))
             .unionByName(e.select(F.col(DST).alias(ID)))
@@ -417,10 +421,24 @@ class GraphFrame:
 
         return label_propagation(self, maxIter)
 
-    def triangleCount(self) -> DataFrame:
-        from graphframes_spark.lib.triangle_count import triangle_count
+    def triangleCount(
+        self, algorithm: str = "exact", lgNomEntries: int = 12
+    ) -> DataFrame:
+        """Per-vertex triangle count: ``exact`` (degree-ordered wedge
+        joins) or ``approx`` (theta sketches, Spark >= 4.1;
+        TriangleCount.scala:110-133)."""
+        from graphframes_spark.lib.triangle_count import (
+            approx_triangle_count,
+            triangle_count,
+        )
 
-        return triangle_count(self)
+        if algorithm == "exact":
+            return triangle_count(self)
+        if algorithm == "approx":
+            return approx_triangle_count(self, lgNomEntries)
+        raise GraphFramesError(
+            f"supported triangle count algorithms: exact, approx (got {algorithm!r})"
+        )
 
     def kCore(self, maxIter: int = 100) -> DataFrame:
         from graphframes_spark.lib.kcore import k_core
@@ -441,12 +459,45 @@ class GraphFrame:
 
     maximal_independent_set = maximalIndependentSet
 
-    def aggregateNeighbors(self) -> "AggregateNeighbors":
-        """Builder for multi-hop neighbor aggregation
-        (lib/AggregateNeighbors.scala:43-418)."""
+    def aggregateNeighbors(self, **kwargs) -> Any:
+        """Multi-hop neighbor aggregation (lib/AggregateNeighbors.scala:43-418).
+
+        With no arguments returns the builder (Scala-style). With keyword
+        arguments (reference python-client style: ``starting_vertices``,
+        ``max_hops``, ``accumulator_names/inits/updates``,
+        ``stopping_condition``, ``target_condition``,
+        ``required_vertex_attributes``, ``required_edge_attributes``,
+        ``edge_filter``, ``remove_loops``, ``checkpoint_interval``,
+        ``use_local_checkpoints``) configures and runs, returning the
+        result DataFrame."""
         from graphframes_spark.lib.aggregate_neighbors import AggregateNeighbors
 
-        return AggregateNeighbors(self)
+        builder = AggregateNeighbors(self)
+        if not kwargs:
+            return builder
+        setters = {
+            "starting_vertices": builder.setStartingVertices,
+            "max_hops": builder.setMaxHops,
+            "stopping_condition": builder.setStoppingCondition,
+            "target_condition": builder.setTargetCondition,
+            "required_vertex_attributes": builder.setRequiredVertexAttributes,
+            "required_edge_attributes": builder.setRequiredEdgeAttributes,
+            "edge_filter": builder.setEdgeFilter,
+            "remove_loops": builder.setRemoveLoops,
+            "checkpoint_interval": builder.setCheckpointInterval,
+            "use_local_checkpoints": builder.setUseLocalCheckpoints,
+        }
+        names = kwargs.pop("accumulator_names", None)
+        inits = kwargs.pop("accumulator_inits", None)
+        updates = kwargs.pop("accumulator_updates", None)
+        if names is not None:
+            builder.setAccumulators(names, inits or [], updates or [])
+        for key, value in kwargs.items():
+            if key not in setters:
+                raise GraphFramesError(f"unknown aggregate_neighbors option: {key!r}")
+            if value is not None:
+                setters[key](value)
+        return builder.run()
 
     aggregate_neighbors = aggregateNeighbors
 
@@ -473,3 +524,31 @@ class GraphFrame:
         return svd_plus_plus(
             self, rank, maxIter, minValue, maxValue, gamma1, gamma2, gamma6, gamma7
         )
+
+    # --------------------------------------------- reference python aliases
+    # (python/graphframes/graphframe.py exposes these snake_case names)
+
+    @property
+    def nodes(self) -> DataFrame:
+        """Alias for :attr:`vertices` (reference python client parity)."""
+        return self._vertices
+
+    type_out_degree = typeOutDegree
+    type_in_degree = typeInDegree
+    type_degree = typeDegree
+    as_undirected = asUndirected
+    as_reversed = asReversed
+    drop_isolated_vertices = dropIsolatedVertices
+    filter_vertices = filterVertices
+    filter_edges = filterEdges
+    connected_components = connectedComponents
+    strongly_connected_components = stronglyConnectedComponents
+    label_propagation = labelPropagation
+    triangle_count = triangleCount
+    page_rank = pageRank
+    parallel_personalized_page_rank = parallelPersonalizedPageRank
+    shortest_paths = shortestPaths
+    detecting_cycles = detectingCycles
+    power_iteration_clustering = powerIterationClustering
+    svd_plus_plus = svdPlusPlus
+    aggregate_messages = aggregateMessages

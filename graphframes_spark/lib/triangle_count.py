@@ -32,6 +32,75 @@ if TYPE_CHECKING:
 COUNT_ID = "count"
 
 
+def approx_triangle_count(graph: "GraphFrame", lg_nom_entries: int = 12) -> DataFrame:
+    """Approximate per-vertex triangle count via DataSketches theta
+    sketches (TriangleCount.scala:110-133): each vertex's neighbor set is
+    a theta sketch; per canonical edge the common-neighbor count is
+    ``theta_sketch_estimate(theta_intersection(...))``. Trades exactness
+    for bounded per-row state (sketch size 2^lg_nom_entries), so hub
+    vertices cannot OOM regardless of degree. Requires Spark >= 4.1.
+    """
+    from graphframes_spark.util import GraphFramesError
+
+    spark = graph.spark
+    if spark.version[:3] < "4.1":
+        raise GraphFramesError(
+            f"approx triangle count requires Spark >= 4.1 (got {spark.version})"
+        )
+    if not (4 <= lg_nom_entries <= 24):
+        raise GraphFramesError("lg_nom_entries must be between 4 and 24")
+
+    edges = (
+        graph.edges.select(SRC, DST)
+        .filter(F.col(SRC) != F.col(DST))
+        .select(
+            F.least(F.col(SRC), F.col(DST)).alias(SRC),
+            F.greatest(F.col(SRC), F.col(DST)).alias(DST),
+        )
+        .distinct()
+    )
+    nbr_sketches = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(SRC).alias(ID), F.col(DST).alias("nbr")),
+                    F.struct(F.col(DST).alias(ID), F.col(SRC).alias("nbr")),
+                )
+            ).alias("p")
+        )
+        .select("p.id", "p.nbr")
+        .groupBy(ID)
+        .agg(F.expr(f"theta_sketch_agg(nbr, {lg_nom_entries})").alias("sk"))
+    )
+    edge_counts = (
+        edges.join(nbr_sketches.select(F.col(ID).alias(SRC), F.col("sk").alias("src_sk")), on=SRC)
+        .join(nbr_sketches.select(F.col(ID).alias(DST), F.col("sk").alias("dst_sk")), on=DST)
+        .withColumn(
+            "common",
+            F.expr("theta_sketch_estimate(theta_intersection(src_sk, dst_sk))"),
+        )
+        .filter(F.col("common") > 0)
+    )
+    per_vertex = (
+        edge_counts.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(SRC).alias(ID), F.col("common")),
+                    F.struct(F.col(DST).alias(ID), F.col("common")),
+                )
+            ).alias("p")
+        )
+        .select("p.id", "p.common")
+        .groupBy(ID)
+        .agg(F.floor(F.sum("common") / 2).alias(COUNT_ID))
+    )
+    return (
+        graph.vertices.join(per_vertex, on=ID, how="left_outer")
+        .withColumn(COUNT_ID, F.coalesce(F.col(COUNT_ID), F.lit(0)).cast("long"))
+        .select(COUNT_ID, *graph.vertices.columns)
+    )
+
+
 def triangle_count(graph: "GraphFrame") -> DataFrame:
     # canonical undirected simple edges: src < dst
     edges = (

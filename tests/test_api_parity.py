@@ -1,0 +1,70 @@
+"""Reference-python-client API parity: snake_case aliases, nodes,
+kwargs-style aggregate_neighbors, approx triangle count, validate flag."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphframes_spark import GraphFrame, src_attr, dst_attr, edge_attr
+from graphframes_spark.util import GraphFramesError
+
+
+def test_nodes_alias_and_snake_case(friends):
+    assert friends.nodes is friends.vertices
+    assert friends.as_reversed().edges.count() == 8
+    assert friends.type_out_degree("relationship").count() > 0
+    assert friends.connected_components().count() == 7
+
+
+def test_aggregate_neighbors_kwargs(friends):
+    res = friends.aggregate_neighbors(
+        starting_vertices=F.col("id") == "a",
+        max_hops=2,
+        accumulator_names=["n_hops"],
+        accumulator_inits=[F.lit(0)],
+        accumulator_updates=[F.col("n_hops") + F.lit(1)],
+        stopping_condition=F.col("n_hops") + F.lit(1) >= F.lit(2),
+    )
+    rows = {(r["id"], r["n_hops"]) for r in res.collect()}
+    assert rows == {("c", 2), ("f", 2), ("d", 2)}
+
+
+def test_aggregate_neighbors_unknown_kwarg(friends):
+    with pytest.raises(GraphFramesError):
+        friends.aggregate_neighbors(bogus=1)
+
+
+def test_module_level_attr_helpers(friends):
+    res = friends.aggregate_neighbors(
+        starting_vertices=F.col("id") == "a",
+        max_hops=1,
+        accumulator_names=["nm"],
+        accumulator_inits=[F.lit("")],
+        accumulator_updates=[dst_attr("name")],
+        stopping_condition=F.lit(True),
+        edge_filter=edge_attr("relationship") == "friend",
+    )
+    assert {r["nm"] for r in res.collect()} == {"Bob", "Esther"}
+
+
+def test_approx_triangle_count(spark):
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], ["id"])
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (1, 4)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    approx = {r["id"]: r["count"] for r in g.triangleCount(algorithm="approx").collect()}
+    exact = {r["id"]: r["count"] for r in g.triangleCount().collect()}
+    # tiny graph: sketches are exact far below nominal entries
+    assert approx == exact
+
+
+def test_triangle_count_rejects_bad_algorithm(friends):
+    with pytest.raises(GraphFramesError):
+        friends.triangleCount(algorithm="typo")
+
+
+def test_validate_check_vertices_flag(spark):
+    v = spark.createDataFrame([(1,), (2,)], ["id"])
+    e = spark.createDataFrame([(1, 99)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    with pytest.raises(GraphFramesError):
+        g.validate()
+    g.validate(checkVertices=False)  # uniqueness-only check passes

@@ -87,3 +87,19 @@ def test_validate(spark, friends):
     e2 = spark.createDataFrame([(1, 99)], ["src", "dst"])
     with pytest.raises(GraphFramesError):
         GraphFrame(v2, e2).validate()
+
+
+def test_examples_module(spark):
+    from graphframes_spark import examples
+
+    g = examples.friends(spark)
+    assert g.vertices.count() == 7 and g.edges.count() == 8
+    assert examples.chain(spark, 5).edges.count() == 4
+    assert examples.star(spark, 4).outDegrees.filter("id = 0").first()["outDegree"] == 4
+    tb = examples.two_blobs(spark, 3)
+    assert tb.edges.count() == 2 * 3 * 2 + 1
+    ising = examples.grid_ising_model(spark, 3)
+    assert ising.vertices.count() == 9
+    assert ising.edges.count() == 12
+    assert {"a", "id", "i", "j"} <= set(ising.vertices.columns)
+    assert "b" in ising.edges.columns

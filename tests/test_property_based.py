@@ -1,0 +1,155 @@
+"""Property-based cross-checks: random small graphs, Spark algorithms vs
+pure-Python brute-force oracles (union-find CC, Tarjan-free SCC via
+reachability, triangle enumeration, iterative k-core peeling)."""
+
+import itertools
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graphframes_spark import GraphFrame
+
+MAX_V = 9
+
+edge_sets = st.sets(
+    st.tuples(st.integers(0, MAX_V - 1), st.integers(0, MAX_V - 1)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _graph(spark, edges):
+    v = spark.createDataFrame([(i,) for i in range(MAX_V)], ["id"])
+    e = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    return GraphFrame(v, e)
+
+
+def _cc_oracle(edges):
+    parent = list(range(MAX_V))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        parent[find(s)] = find(d)
+    groups = {}
+    for i in range(MAX_V):
+        groups.setdefault(find(i), set()).add(i)
+    return {frozenset(g) for g in groups.values()}
+
+
+def _scc_oracle(edges):
+    reach = [[False] * MAX_V for _ in range(MAX_V)]
+    for i in range(MAX_V):
+        reach[i][i] = True
+    for s, d in edges:
+        reach[s][d] = True
+    for k in range(MAX_V):
+        for i in range(MAX_V):
+            if reach[i][k]:
+                for j in range(MAX_V):
+                    if reach[k][j]:
+                        reach[i][j] = True
+    groups = {}
+    for i in range(MAX_V):
+        key = frozenset(
+            j for j in range(MAX_V) if reach[i][j] and reach[j][i]
+        )
+        groups[key] = True
+    return set(groups)
+
+
+def _triangles_oracle(edges):
+    und = {frozenset(e) for e in edges}
+    counts = {i: 0 for i in range(MAX_V)}
+    for a, b, c in itertools.combinations(range(MAX_V), 3):
+        if (
+            frozenset((a, b)) in und
+            and frozenset((b, c)) in und
+            and frozenset((a, c)) in und
+        ):
+            for x in (a, b, c):
+                counts[x] += 1
+    return counts
+
+
+def _kcore_oracle(edges):
+    nbrs = {i: set() for i in range(MAX_V)}
+    for s, d in edges:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    # iterative peeling: a vertex peeled while the threshold is k has core k
+    alive = set(range(MAX_V))
+    result = {}
+    k = 0
+    while alive:
+        while True:
+            peel = {v for v in alive if len(nbrs[v] & alive) <= k}
+            if not peel:
+                break
+            for v in peel:
+                result[v] = k
+                alive.discard(v)
+        k += 1
+    return result
+
+
+def _partition(comp_map):
+    groups = {}
+    for vid, c in comp_map.items():
+        groups.setdefault(c, set()).add(vid)
+    return {frozenset(g) for g in groups.values()}
+
+
+@pytest.mark.slow
+@given(edges=edge_sets)
+@settings(**SETTINGS)
+def test_cc_matches_union_find(spark, edges):
+    g = _graph(spark, edges)
+    got = _partition(
+        {r["id"]: r["component"] for r in g.connectedComponents().collect()}
+    )
+    assert got == _cc_oracle(edges)
+
+
+@pytest.mark.slow
+@given(edges=edge_sets)
+@settings(**SETTINGS)
+def test_scc_matches_reachability(spark, edges):
+    g = _graph(spark, edges)
+    got = _partition(
+        {r["id"]: r["component"] for r in g.stronglyConnectedComponents(20).collect()}
+    )
+    assert got == _scc_oracle(edges)
+
+
+@pytest.mark.slow
+@given(edges=edge_sets)
+@settings(**SETTINGS)
+def test_triangle_count_matches_enumeration(spark, edges):
+    g = _graph(spark, edges)
+    got = {r["id"]: r["count"] for r in g.triangleCount().collect()}
+    assert got == _triangles_oracle(edges)
+
+
+@pytest.mark.slow
+@given(edges=edge_sets)
+@settings(**SETTINGS)
+def test_kcore_matches_peeling(spark, edges):
+    # kCore contract: one direction per undirected edge — canonicalize
+    canon = {(min(e), max(e)) for e in edges}
+    g = _graph(spark, canon)
+    got = {r["id"]: r["kcore"] for r in g.kCore().collect()}
+    assert got == _kcore_oracle(canon)

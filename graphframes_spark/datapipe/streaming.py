@@ -37,9 +37,13 @@ def stream_exact_dedup(
     wins (arrival order within the micro-batch).
     """
     with_fp = stream.withColumn("_fp", fingerprint(F.col(text_col)))
+    # dropDuplicatesWithinWatermark (not dropDuplicates): with a non-event-
+    # time key, plain dropDuplicates never evicts state; the
+    # within-watermark variant drops per-key state once the watermark
+    # passes, keeping the state store bounded
     return (
         with_fp.withWatermark(ts_col, watermark_delay)
-        .dropDuplicates(["_fp"])
+        .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )
 
@@ -62,7 +66,7 @@ def stream_near_dup_candidates(
     )
     return (
         with_fp.withWatermark(ts_col, watermark_delay)
-        .dropDuplicates(["_minfp"])
+        .dropDuplicatesWithinWatermark(["_minfp"])
         .drop("_minfp")
     )
 

@@ -234,10 +234,13 @@ def ngram_jaccard_pairs(
     pruning the candidate count here is already bounded by), and AQE
     splits the residual skew.
     """
+    # eager local checkpoint: shingle sets are read twice (postings and
+    # sizes) and the result stays lazy — a persist would either be
+    # unpersisted before any action or leak
     sh = df.select(
         F.col(id_col).alias(ID),
         shingles(tokenize(F.col(text_col)), n).alias("_sh"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     postings = sh.select(ID, F.explode("_sh").alias("_g"))
     pa = postings.select(F.col(ID).alias("id_a"), "_g")
     pb = postings.select(F.col(ID).alias("id_b"), "_g")
@@ -258,7 +261,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b")
     )
-    sh.unpersist()
     return out
 
 
@@ -315,7 +317,7 @@ def simhash_pairs(
     chunk = 48 // num_bands
     sh = df.select(
         F.col(id_col).alias(ID), simhash48(tokenize(F.col(text_col))).alias("_sim")
-    ).persist()
+    ).localCheckpoint(eager=True)
     bands = sh.select(
         ID,
         "_sim",

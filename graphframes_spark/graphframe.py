@@ -310,7 +310,14 @@ class GraphFrame:
         ret = dfs[0]
         for d in dfs[1:]:
             ret = ret.unionByName(d, allowMissingColumns=True)
-        return ret.orderBy("_hop", "_direction")
+        # the reference globally sorts var-length results (GraphFrame.scala:656)
+        # — a full-result sort that is pure overhead at scale; keep it for
+        # parity but allow opting out via conf
+        from graphframes_spark.harness import get_conf
+
+        if get_conf(self.spark, "motif.sortVarLength", "true") == "true":
+            ret = ret.orderBy("_hop", "_direction")
+        return ret
 
     def _find_augmented(self, pattern: str) -> DataFrame:
         pats = P.parse(pattern)

@@ -195,3 +195,37 @@ def test_pregel_pagerank_recipe(friends):
     )
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     assert total == pytest.approx(1.0, abs=0.05)
+
+
+def test_belief_propagation_grid(spark):
+    from graphframes_spark import examples
+    from graphframes_spark.lib.belief_propagation import belief_propagation
+
+    g = examples.grid_ising_model(spark, 3)
+    result = belief_propagation(g, num_iter=3)
+    rows = result.vertices.collect()
+    assert len(rows) == 9
+    assert all(0.0 <= r["belief"] <= 1.0 for r in rows)
+    assert "color" not in result.vertices.columns
+
+
+def test_belief_propagation_zero_couplings(spark):
+    from graphframes_spark import GraphFrame
+    from graphframes_spark.lib.belief_propagation import belief_propagation
+
+    v = spark.createDataFrame(
+        [("0,0", 0.0, 0, 0), ("0,1", 2.0, 0, 1), ("1,0", -2.0, 1, 0), ("1,1", 0.0, 1, 1)],
+        ["id", "a", "i", "j"],
+    )
+    e = spark.createDataFrame(
+        [("0,0", "0,1", 0.0), ("0,0", "1,0", 0.0), ("0,1", "1,1", 0.0), ("1,0", "1,1", 0.0)],
+        ["src", "dst", "b"],
+    )
+    result = belief_propagation(GraphFrame(v, e), num_iter=2)
+    beliefs = {r["id"]: r["belief"] for r in result.vertices.collect()}
+    import math
+
+    # zero couplings: belief = sigmoid(a)
+    assert abs(beliefs["0,0"] - 0.5) < 1e-9
+    assert abs(beliefs["0,1"] - 1 / (1 + math.exp(-2.0))) < 1e-9
+    assert abs(beliefs["1,0"] - 1 / (1 + math.exp(2.0))) < 1e-9

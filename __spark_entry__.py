@@ -290,6 +290,27 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    src = customer.agg(F.min("c_custkey")).collect()[0][0]
+    g = _customer_order_graph(spark, sf_dir)
+    pr = g.pageRank(resetProbability=0.15, sourceId=int(src), maxIter=3)
+    return pr.vertices.select(
+        F.col("id"), F.round(F.col("pagerank"), 10).alias("pagerank")
+    )
+
+
+def q_pagerank_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-mode PageRank on the regular nation cliques: the uniform
+    1/N vector is the fixed point, so convergence is immediate and the
+    closed-form oracle applies."""
+    g = _nation_graph(spark, sf_dir)
+    pr = g.pageRank(resetProbability=0.15, tol=1e-6)
+    return pr.vertices.select(
+        F.col("id"), F.round(F.col("pagerank"), 10).alias("pagerank")
+    )
+
+
 def q_aggregate_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphframes_spark.lib.aggregate_messages import AggregateMessages as AM
 
@@ -785,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": q_shortest_paths,
         "label_propagation": q_label_propagation,
         "pagerank": q_pagerank,
+        "pagerank_personalized": q_pagerank_personalized,
+        "pagerank_tol": q_pagerank_tol,
         "aggregate_messages": q_aggregate_messages,
         "bfs": q_bfs,
         # round 2: graph tier
@@ -1055,6 +1078,24 @@ def oracle_sql() -> dict[str, str]:
                    round(0.15 / n.n + 0.85 * ((0.15 / n.n) / deg.d), 10)
             FROM orders o, n
             JOIN deg ON deg.o_custkey = o.o_custkey
+        """,
+        "pagerank_personalized": f"""
+            WITH s AS (SELECT min(c_custkey) AS k FROM customer),
+            deg AS (SELECT o_custkey, count(*) AS d FROM orders GROUP BY o_custkey)
+            SELECT c_custkey AS id,
+                   round(CASE WHEN c_custkey = (SELECT k FROM s) THEN 0.15 ELSE 0.0 END,
+                         10) AS pagerank
+            FROM customer
+            UNION ALL
+            SELECT o.o_orderkey + {ORDER_OFFSET},
+                   round(CASE WHEN o.o_custkey = (SELECT k FROM s)
+                         THEN 0.85 * (0.15 / deg.d) ELSE 0.0 END, 10)
+            FROM orders o JOIN deg ON deg.o_custkey = o.o_custkey
+        """,
+        "pagerank_tol": """
+            SELECT n_nationkey AS id,
+                   round(1.0 / (SELECT count(*) FROM nation), 10) AS pagerank
+            FROM nation
         """,
         "aggregate_messages": """
             SELECT o_custkey AS id,

@@ -18,8 +18,6 @@ deterministic (hash-derived), so results are stable under retries.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -152,7 +150,7 @@ def ivf_topk(
     for the probe join.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("_cv")

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from graphframes_spark.graphframe import GraphFrame
 from graphframes_spark.rw import NBRS_COL, RW_COL, RandomWalkWithRestart, sampled_neighbors
-from graphframes_spark.util import DST, ID, SRC, GraphFramesError
+from graphframes_spark.util import ID, GraphFramesError
 
 VECTOR_COL = "vector"
 

@@ -27,7 +27,7 @@ upstream when projecting social-scale data.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Callable, Dict, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame

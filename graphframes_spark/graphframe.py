@@ -403,13 +403,33 @@ class GraphFrame:
 
     def connectedComponents(
         self,
-        algorithm: str = "graphframes",
-        checkpointInterval: int = 2,
+        algorithm: Optional[str] = None,
+        checkpointInterval: Optional[int] = None,
         broadcastThreshold: int = -1,
-        useLabelsAsComponents: bool = False,
+        useLabelsAsComponents: Optional[bool] = None,
     ) -> DataFrame:
+        """Connected components. Unset arguments fall back to the
+        session confs the reference defines (GraphFramesConf.scala:8-130):
+        ``spark.graphframes.connectedComponents.algorithm``,
+        ``...connectedComponents.checkpointinterval``,
+        ``spark.graphframes.useLabelsAsComponents`` — then to the
+        defaults (two_phase, 2, False)."""
         from graphframes_spark.lib.connected_components import connected_components
 
+        def conf(key: str, default: str) -> str:
+            try:
+                return self.spark.conf.get(f"spark.graphframes.{key}", default)
+            except Exception:
+                return default
+
+        if algorithm is None:
+            algorithm = conf("connectedComponents.algorithm", "graphframes").lower()
+        if checkpointInterval is None:
+            checkpointInterval = int(conf("connectedComponents.checkpointinterval", "2"))
+        if useLabelsAsComponents is None:
+            useLabelsAsComponents = (
+                conf("useLabelsAsComponents", "false").lower() == "true"
+            )
         return connected_components(
             self,
             algorithm=algorithm,

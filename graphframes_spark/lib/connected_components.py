@@ -133,11 +133,14 @@ def connected_components(
     """
     from graphframes_spark.util import GraphFramesError
 
+    if algorithm == "two_phase":  # "graphframes" is the deprecated alias
+        algorithm = "graphframes"
     if algorithm not in ("graphframes", "graphx", "randomized_contraction"):
         raise GraphFramesError(
             f"Unsupported connected components algorithm: {algorithm!r}. "
-            "Supported: 'graphframes' (two-phase), 'graphx' (min-id Pregel), "
-            "'randomized_contraction' (Bögeholz et al. ICDE'20)."
+            "Supported: 'two_phase'/'graphframes' (alternating-star), "
+            "'graphx' (min-id Pregel), 'randomized_contraction' "
+            "(Bögeholz et al. ICDE'20)."
         )
     if broadcast_threshold != -1:
         raise GraphFramesError(

@@ -68,3 +68,21 @@ def test_validate_check_vertices_flag(spark):
     with pytest.raises(GraphFramesError):
         g.validate()
     g.validate(checkVertices=False)  # uniqueness-only check passes
+
+
+def test_cc_two_phase_alias_and_conf_defaults(spark, friends):
+    comp1 = {r["id"]: r["component"] for r in friends.connectedComponents(algorithm="two_phase").collect()}
+    comp2 = {r["id"]: r["component"] for r in friends.connectedComponents().collect()}
+    assert comp1 == comp2
+    spark.conf.set("spark.graphframes.connectedComponents.algorithm", "graphx")
+    try:
+        comp3 = {r["id"]: r["component"] for r in friends.connectedComponents().collect()}
+        # same partition structure regardless of algorithm
+        groups = {}
+        for vid, c in comp3.items():
+            groups.setdefault(c, set()).add(vid)
+        assert {frozenset(g) for g in groups.values()} == {
+            frozenset("abcdef"), frozenset("g")
+        }
+    finally:
+        spark.conf.unset("spark.graphframes.connectedComponents.algorithm")

@@ -133,18 +133,25 @@ class IterationHarness:
     def commit(self, df: DataFrame, materialize: bool = False) -> DataFrame:
         """End-of-iteration: persist or checkpoint the new state (cutting
         lineage every ``checkpoint_interval`` rounds), then drop the
-        previous round's cached data."""
+        previous round's cached data.
+
+        With ``materialize=True`` the plan is executed exactly once — an
+        eager checkpoint on checkpoint rounds (its internal action runs
+        the observed query, so ``df.observe(...)`` metrics attached by
+        the caller are collected), a ``count()`` on the persisted frame
+        otherwise. A count on a *lazily*-checkpointed plan would run
+        outside the observed query and never fire the metrics."""
         should_ckpt = (
             self.checkpoint_interval > 0
             and self.iteration % self.checkpoint_interval == 0
         )
         if should_ckpt:
-            df = self.checkpoint(df)
+            df = self.checkpoint(df, eager=materialize)
             self._current.append(df)
         else:
             df = self.persist(df)
-        if materialize:
-            df.count()
+            if materialize:
+                df.count()
         self.rotate()
         return df
 

@@ -35,6 +35,20 @@ if TYPE_CHECKING:
 ACTIVE_FLAG_COL = "_pregel_is_active"
 MSG_COL_NAME = "_pregel_msg"
 
+
+def _observed_count(obs, key: str) -> int:
+    """Read an Observation counter, treating missing metrics as zero.
+
+    On a degenerate (vertex-less) graph the whole observed plan can be
+    optimized to an empty relation, dropping the CollectMetrics node; no
+    rows also means no messages / no active vertices, so 0 is the correct
+    reading.
+    """
+    try:
+        return int(obs.get[key])
+    except Exception:
+        return 0
+
 #: wall-clock seconds per superstep of the most recent Pregel.run() in this
 #: process — instrumentation for bench.py (read-only; overwritten per run)
 LAST_RUN_SUPERSTEP_SECONDS: list[float] = []
@@ -241,9 +255,17 @@ class Pregel:
         LAST_RUN_SUPERSTEP_SECONDS.clear()
         import time as _time
 
+        # Early stopping / all-inactive voting need a per-superstep probe.
+        # Instead of separate isEmpty() jobs (which re-execute the message
+        # pipeline: cheap when messages are plentiful, a full extra pass
+        # when they are sparse), piggyback Observation metrics on the one
+        # materializing action of the superstep — the probe is then free.
+        use_obs = self._early_stopping or self._stop_if_all_non_active
+
         for iteration in harness.iterations(self._max_iter):
             _superstep_start = _time.perf_counter()
             current = harness.persist(current)
+            previous = current
 
             if not needs_dst_state and self._skip_messages_from_non_active:
                 src_vertices = current.filter(F.col(ACTIVE_FLAG_COL))
@@ -275,26 +297,63 @@ class Pregel:
                 .filter(F.col(MSG_COL_NAME).isNotNull())
             )
 
-            if self._early_stopping and msg_df.isEmpty():
-                LAST_RUN_SUPERSTEP_SECONDS.append(_time.perf_counter() - _superstep_start)
-                break
-
             agg_df = msg_df.groupBy(ID).agg(self._agg_msgs_col.alias(MSG_COL_NAME))
+
+            obs = None
+            if use_obs:
+                from pyspark.sql import Observation
+
+                # Observe on the (never-empty) joined vertex state, not on
+                # the message stream: AQE's empty-relation propagation
+                # prunes a CollectMetrics node whose subtree turns out
+                # empty at runtime, which would lose the metrics exactly
+                # on the superstep that should stop the loop. A constant
+                # marker on the aggregate side counts matched vertices —
+                # zero ⟺ the raw message stream was empty.
+                obs = Observation()
+                agg_df = agg_df.withColumn("_pregel_has_msg", F.lit(1))
+
             with_msg = current.join(agg_df, on=[ID], how="left_outer")
+            if obs is not None:
+                with_msg = with_msg.observe(
+                    obs, F.count(F.col("_pregel_has_msg")).alias("msg_cnt")
+                )
             current = with_msg.select(
                 *orig_cols, self._update_active_expr.alias(ACTIVE_FLAG_COL), *update_cols
             )
+
+            active_obs = None
+            if self._stop_if_all_non_active:
+                from pyspark.sql import Observation
+
+                active_obs = Observation()
+                current = current.observe(
+                    active_obs,
+                    F.count_if(F.col(ACTIVE_FLAG_COL)).alias("active_cnt"),
+                )
 
             # Pure maxIter mode needs no per-superstep action: lazy local
             # checkpoints still cut lineage when the final action runs, and
             # executing the whole run as one job avoids N sequential
             # job-submission round-trips (the dominant cost at small scale).
-            current = harness.commit(current, materialize=False)
+            # With a stopping condition enabled, commit materializes once
+            # per superstep and the Observation metrics double as the stop
+            # probes — no separate isEmpty jobs re-executing the pipeline.
+            current = harness.commit(current, materialize=use_obs)
             LAST_RUN_SUPERSTEP_SECONDS.append(_time.perf_counter() - _superstep_start)
 
-            if self._stop_if_all_non_active:
-                if current.filter(F.col(ACTIVE_FLAG_COL)).isEmpty():
-                    break
+            if (
+                obs is not None
+                and self._early_stopping
+                and _observed_count(obs, "msg_cnt") == 0
+            ):
+                # Reference semantics (Pregel.scala:494-502): stop *before*
+                # applying an update for a message-less round — discard the
+                # freshly built state and return the previous superstep's.
+                current = previous
+                break
+            if active_obs is not None and _observed_count(active_obs, "active_cnt") == 0:
+                break
 
         result = current.drop(ACTIVE_FLAG_COL)
         return harness.finish(result)

@@ -639,8 +639,10 @@ def q_dp_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dp_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode plumbing (deterministic fake decoder) — Python
-    UDF side is not SQL-expressible; rows-only check."""
+    """mapInPandas decode plumbing. The deterministic fake decoder is a
+    16-bin byte histogram and the documents are pure ASCII, so the whole
+    path — encode, Arrow batch transfer, Python decode, re-round — has an
+    exact DuckDB oracle (char-code histogram)."""
     from graphframes_spark.datapipe import extract_features, with_binary
 
     d = with_binary(_docs(spark, sf_dir), "text")
@@ -789,6 +791,27 @@ def q_sampling_convolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.size("vector").alias("dim"))
 
 
+def q_sampling_convolution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-neighborhood convolution: k >= max degree makes the k-min
+    sample deterministic (= all neighbors), so the mean-of-neighbors +
+    concat-self output has an exact SQL oracle."""
+    from graphframes_spark.embeddings import sampling_convolution
+
+    g = _nation_graph(spark, sf_dir)
+    emb = g.vertices.select(
+        F.col("id"),
+        F.array(F.col("id").cast("double"), (F.col("id") * 2).cast("double")).alias(
+            "vector"
+        ),
+    )
+    out = sampling_convolution(g, emb, k=16, seed=7, concat_self=True)
+    return out.select(
+        "id",
+        F.round(F.element_at("vector", 3), 6).alias("nbr_mean0"),
+        F.round(F.element_at("vector", 4), 6).alias("nbr_mean1"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "out_degrees": q_out_degrees,
@@ -831,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pg_projection": q_pg_projection,
         "random_walks": q_random_walks,
         "sampling_convolution": q_sampling_convolution,
+        "sampling_convolution_full": q_sampling_convolution_full,
         "triangle_count_approx": q_triangle_count_approx,
         "aggregate_neighbors": q_aggregate_neighbors,
         "svdpp_norms": q_svdpp_norms,
@@ -1417,6 +1441,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        "dp_multimodal_features": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_transform(str_split(text, ''), c -> ord(c)) AS codes,
+                       greatest(length(text), 1) AS total
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(len(list_filter(codes, x -> x % 16 = 0))
+                         / (total * 1.0), 6) AS f0,
+                   round(len(list_filter(codes, x -> x % 16 = 1))
+                         / (total * 1.0), 6) AS f1
+            FROM d
+        """,
+        "sampling_convolution_full": """
+            WITH nb AS (
+                SELECT a.n_nationkey AS id,
+                       avg(CAST(b.n_nationkey AS DOUBLE)) AS m
+                FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+                WHERE a.n_nationkey <> b.n_nationkey
+                GROUP BY a.n_nationkey
+            )
+            SELECT id, round(m, 6) AS nbr_mean0, round(m * 2, 6) AS nbr_mean1
+            FROM nb
         """,
     }
 

@@ -638,6 +638,31 @@ def q_dp_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_dp_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """num_planes=0 puts the whole corpus in one bucket, degenerating LSH
+    to exact top-k — hash-verifies the sketch/bucket-join/rerank machinery
+    against the brute-force oracle."""
+    from graphframes_spark.datapipe import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    return lsh_topk(
+        emb, emb.filter("vec_id < 10"), k=5, num_planes=0,
+        id_col="vec_id", vec_col="embedding",
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def q_dp_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe == num_cells probes every cell, degenerating IVF to exact
+    top-k — hash-verifies the quantize/probe/rerank machinery."""
+    from graphframes_spark.datapipe import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb, emb.filter("vec_id < 10"), k=5, num_cells=4, nprobe=4,
+        id_col="vec_id", vec_col="embedding",
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_dp_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing. The deterministic fake decoder is a
     16-bin byte histogram and the documents are pure ASCII, so the whole
@@ -701,6 +726,17 @@ def q_pic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.powerIterationClustering(k=5, maxIter=20).select("id", "cluster")
 
 
+def q_pic_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIC labels are init-dependent; normalizing each cluster to its min
+    member id makes the output deterministic. On 5 disconnected nation
+    cliques PIC recovers the regions for any init (verified across
+    partitionings), so the normalized assignment has an exact oracle."""
+    g = _nation_graph(spark, sf_dir)
+    a = g.powerIterationClustering(k=5, maxIter=20)
+    reps = a.groupBy("cluster").agg(F.min("id").alias("cluster_rep"))
+    return a.join(F.broadcast(reps), "cluster").select("id", "cluster_rep")
+
+
 def _supplier_nation_pg(spark: SparkSession, sf_dir: str):
     from graphframes_spark.propertygraph import (
         EdgePropertyGroup,
@@ -751,6 +787,23 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.maximalIndependentSet(seed=42).select("id")
 
 
+def q_mis_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact oracle for MIS despite the randomized algorithm: on the
+    5-clique nation graph independence allows at most one member per
+    clique and maximality forces at least one, so every region selects
+    exactly one nation for any seed."""
+    g = _nation_canon_graph(spark, sf_dir)
+    mis = g.maximalIndependentSet(seed=42).select("id")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("id"), F.col("n_regionkey").alias("region")
+    )
+    return (
+        mis.join(F.broadcast(nation), "id")
+        .groupBy("region")
+        .agg(F.count("*").alias("n_selected"))
+    )
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded-random walks — values are run-dependent (rand()/shuffle());
     rows-only check: 2 walks per nation, each of deterministic length 6."""
@@ -772,6 +825,61 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.select(
         F.col("random_walk_uuid").alias("walk_id"),
         F.size("random_walk").alias("walk_len"),
+    )
+
+
+def q_random_walk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk values are seeded-random, but walk *shape* is deterministic:
+    every nation starts exactly 2 walks of length 6 (start + batch_size *
+    num_batches - 1 hops), and a walk never leaves the start's
+    region-clique (hops go to neighbors, restarts return to the start) —
+    exact-oracle-able invariants even though visited ids are not."""
+    import tempfile
+
+    from graphframes_spark.rw import RandomWalkWithRestart
+
+    g = _nation_graph(spark, sf_dir)
+    rw = (
+        RandomWalkWithRestart()
+        .onGraph(g)
+        .setNumWalksPerNode(2)
+        .setBatchSize(3)
+        .setNumBatches(2)
+        .setGlobalSeed(42)
+        .setTemporaryPrefix(tempfile.mkdtemp(prefix="gfs_rw_"))
+    )
+    walks = rw.run()
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    w = walks.select(
+        F.element_at("random_walk", 1).alias("start_id"),
+        F.size("random_walk").alias("walk_len"),
+        F.col("random_walk"),
+    )
+    stats = w.groupBy("start_id").agg(
+        F.count("*").alias("n_walks"),
+        F.min("walk_len").alias("min_len"),
+        F.max("walk_len").alias("max_len"),
+    )
+    start_r = nation.select(
+        F.col("n_nationkey").alias("start_id"), F.col("n_regionkey").alias("_sr")
+    )
+    elem_r = nation.select(
+        F.col("n_nationkey").alias("elem"), F.col("n_regionkey").alias("_er")
+    )
+    off = (
+        w.select("start_id", F.explode("random_walk").alias("elem"))
+        .join(F.broadcast(start_r), "start_id")
+        .join(F.broadcast(elem_r), "elem")
+        .filter(F.col("_sr") != F.col("_er"))
+        .groupBy("start_id")
+        .agg(F.count("*").alias("off_clique"))
+    )
+    return stats.join(off, "start_id", "left").select(
+        "start_id",
+        "n_walks",
+        "min_len",
+        "max_len",
+        F.coalesce(F.col("off_clique"), F.lit(0).cast("long")).alias("off_clique"),
     )
 
 
@@ -850,15 +958,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_string_labels": q_cc_string_labels,
         "pagerank_clique": q_pagerank_clique,
         "mis": q_mis,
+        "mis_regions": q_mis_regions,
         "pg_unify": q_pg_unify,
         "pg_projection": q_pg_projection,
         "random_walks": q_random_walks,
+        "random_walk_stats": q_random_walk_stats,
         "sampling_convolution": q_sampling_convolution,
         "sampling_convolution_full": q_sampling_convolution_full,
         "triangle_count_approx": q_triangle_count_approx,
         "aggregate_neighbors": q_aggregate_neighbors,
         "svdpp_norms": q_svdpp_norms,
         "pic": q_pic,
+        "pic_regions": q_pic_regions,
         # round 2: LLM-data-pipeline tier
         "dp_exact_dedup": q_dp_exact_dedup,
         "dp_token_counts": q_dp_token_counts,
@@ -872,12 +983,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ann_topk": q_dp_ann_topk,
         "dp_lsh_topk": q_dp_lsh_topk,
         "dp_ivf_topk": q_dp_ivf_topk,
+        "dp_lsh_exact": q_dp_lsh_exact,
+        "dp_ivf_exact": q_dp_ivf_exact,
         "dp_multimodal_features": q_dp_multimodal_features,
         "dp_multimodal_meta": q_dp_multimodal_meta,
     }
 
 
 # ------------------------------------------------------------------ oracles
+
+#: brute-force cosine top-5 for queries vec_id < 10 — shared by the exact
+#: ANN query and the exact-mode degenerations of the LSH / IVF paths
+_ANN_EXACT_SQL = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.v, c.v) AS sim
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank
+    FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+"""
 
 
 def _minhash_oracle_sql() -> str:
@@ -1417,24 +1552,30 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_T}
         """,
-        "dp_ann_topk": """
-            WITH e AS (
-                SELECT vec_id,
-                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                FROM embeddings
-            ),
-            scored AS (
-                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       list_cosine_similarity(q.v, c.v) AS sim
-                FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
-            )
-            SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank
-            FROM (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY sim DESC, neighbor_id ASC) AS rk
-                FROM scored
-            ) WHERE rk <= 5
+        "dp_ann_topk": _ANN_EXACT_SQL,
+        # exact-mode degenerations of the approximate paths: same result set
+        # as brute force, so they share its oracle
+        "dp_lsh_exact": _ANN_EXACT_SQL,
+        "dp_ivf_exact": _ANN_EXACT_SQL,
+        "mis_regions": """
+            SELECT n_regionkey AS region, CAST(1 AS BIGINT) AS n_selected
+            FROM nation GROUP BY n_regionkey
+        """,
+        "random_walk_stats": """
+            SELECT n_nationkey AS start_id,
+                   CAST(2 AS BIGINT) AS n_walks,
+                   CAST(6 AS INTEGER) AS min_len,
+                   CAST(6 AS INTEGER) AS max_len,
+                   CAST(0 AS BIGINT) AS off_clique
+            FROM nation
+        """,
+        "pic_regions": """
+            SELECT CAST(n.n_nationkey AS BIGINT) AS id,
+                   CAST(r.rep AS BIGINT) AS cluster_rep
+            FROM nation n
+            JOIN (SELECT n_regionkey, min(n_nationkey) AS rep
+                  FROM nation GROUP BY n_regionkey) r
+              ON n.n_regionkey = r.n_regionkey
         """,
         "dp_multimodal_meta": """
             SELECT doc_id,

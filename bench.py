@@ -57,6 +57,11 @@ def build_session(cpus: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("graphframes_spark-bench")
+        # local mode runs all executor threads inside the driver JVM; the
+        # 1g default heap OOMs at sf0.1 (plan-string rendering alone can
+        # exhaust it on deep iterative plans)
+        .config("spark.driver.memory", "32g")
+        .config("spark.sql.maxPlanStringLength", str(4 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

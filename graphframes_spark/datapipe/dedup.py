@@ -208,6 +208,11 @@ def minhash_lsh_dedup(
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
 
+    # eager local checkpoint: the verified-edge plan embeds the whole
+    # shingle/signature/band pipeline; without truncation every CC
+    # round's plan (and its listener-rendered string form) re-embeds it
+    edges = edges.localCheckpoint(eager=True)
+
     v = df.select(F.col(id_col).alias(ID))
     out = GraphFrame(v, edges).connectedComponents()
     sigs.unpersist()
@@ -426,5 +431,7 @@ def embedding_dedup(
 
     pairs = embedding_cosine_pairs(df, id_col, vec_col, threshold, bucket_planes)
     v = df.select(F.col(id_col).alias(ID))
-    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    e = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
     return GraphFrame(v, e).connectedComponents().select(ID, COMPONENT)

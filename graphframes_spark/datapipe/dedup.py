@@ -320,9 +320,41 @@ def simhash_pairs(
     """
     assert max_hamming < num_bands and 48 % num_bands == 0
     chunk = 48 // num_bands
-    sh = df.select(
-        F.col(id_col).alias(ID), simhash48(tokenize(F.col(text_col))).alias("_sim")
-    ).localCheckpoint(eager=True)
+    # same values as simhash48(), computed as explode -> one md5 per
+    # distinct token -> 48 codegen sum-aggregates (map-side partial agg;
+    # far cheaper than 48 per-row HOF folds re-walking the token array)
+    tok = df.select(
+        F.col(id_col).alias(ID),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("_t"),
+    ).select(
+        ID, F.conv(F.substring(F.md5("_t"), 1, 12), 16, 10).cast("long").alias("_h")
+    )
+    votes = tok.groupBy(ID).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(48)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(48):
+        sim = sim + F.shiftleft(
+            F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            b,
+        )
+    # left join: rows with zero tokens have no votes -> all bits 0,
+    # matching the HOF fold over an empty array
+    sh = (
+        df.select(F.col(id_col).alias(ID))
+        .join(votes.select(ID, sim.alias("_sim")), on=ID, how="left")
+        .select(ID, F.coalesce(F.col("_sim"), F.lit(0).cast("long")).alias("_sim"))
+        .localCheckpoint(eager=True)
+    )
     bands = sh.select(
         ID,
         "_sim",
@@ -342,15 +374,17 @@ def simhash_pairs(
     ).select(ID, "_sim", "_b.band", "_b.chunk")
     left = bands.select(F.col(ID).alias("id_a"), F.col("_sim").alias("_sa"), "band", "chunk")
     right = bands.select(F.col(ID).alias("id_b"), F.col("_sim").alias("_sb"), "band", "chunk")
+    # hamming filter BEFORE the distinct: it is per-candidate-cheap, cuts
+    # failing candidates ahead of the dedup shuffle, and lets the distinct
+    # key carry just the two ids (signatures are functionally dependent)
     out = (
         left.join(right, on=["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sa", "_sb")
-        .distinct()
         .filter(
             F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= F.lit(max_hamming)
         )
         .select("id_a", "id_b")
+        .distinct()
     )
     return out
 

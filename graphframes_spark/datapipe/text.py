@@ -51,16 +51,30 @@ def token_count_bpe(text: Column) -> Column:
 
 
 def shingles(tokens: Column, n: int = 3) -> Column:
-    """Distinct n-token shingles (space-joined), in first-occurrence order."""
-    idx = F.sequence(F.lit(0), F.size(tokens) - F.lit(n))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
-            ),
+    """Distinct n-token shingles (space-joined), in first-occurrence order.
+
+    ``tokens`` is bound once per row as a lambda variable (the one-element
+    ``transform`` wrapper); without the binding, a composed expression like
+    ``shingles(tokenize(text))`` would re-evaluate the whole tokenizer for
+    every ``element_at`` — O(shingles x n x tokens) per row instead of
+    O(tokens + shingles x n)."""
+
+    def _shingles_of(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(toks, (i + F.lit(j + 1)).cast("int"))
+                        for j in range(n)
+                    ],
+                ),
+            )
         )
-    )
+
+    return F.element_at(F.transform(F.array(tokens), _shingles_of), 1)
 
 
 def quality_scores(text: Column) -> dict[str, Column]:

@@ -474,10 +474,19 @@ class GraphFrame:
 
     k_core = kCore
 
-    def detectingCycles(self, checkpointInterval: int = 2) -> DataFrame:
+    def detectingCycles(
+        self,
+        checkpoint_interval: int = 2,
+        use_local_checkpoints: Optional[bool] = None,
+        storage_level: Optional["StorageLevel"] = None,
+    ) -> DataFrame:
+        """All unique simple cycles (Rocha–Thatte); signature mirrors the
+        reference python client (python/graphframes/graphframe.py:440-461)."""
         from graphframes_spark.lib.cycles import detecting_cycles
 
-        return detecting_cycles(self, checkpointInterval)
+        return detecting_cycles(
+            self, checkpoint_interval, use_local_checkpoints, storage_level
+        )
 
     def maximalIndependentSet(self, seed: int = 42, maxIter: int = 100) -> DataFrame:
         from graphframes_spark.lib.mis import maximal_independent_set

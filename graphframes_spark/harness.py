@@ -93,11 +93,20 @@ class IterationHarness:
         self,
         spark: SparkSession,
         checkpoint_interval: int = 2,
-        use_local_checkpoints: bool = True,
+        use_local_checkpoints: Optional[bool] = None,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
     ) -> None:
         self.spark = spark
         self.checkpoint_interval = checkpoint_interval
+        if use_local_checkpoints is None:
+            # honor the reference's session conf (GraphFramesConf.scala:9-19);
+            # unset defaults to local checkpoints (no checkpoint dir needed),
+            # documented deviation from the reference's "false"
+            try:
+                conf = spark.conf.get("spark.graphframes.useLocalCheckpoints", None)
+            except Exception:
+                conf = None
+            use_local_checkpoints = True if conf is None else conf.lower() == "true"
         self.use_local_checkpoints = use_local_checkpoints
         self.storage_level = storage_level
         self._current: list[DataFrame] = []

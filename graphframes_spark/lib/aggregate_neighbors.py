@@ -75,7 +75,8 @@ class AggregateNeighbors:
         self._edge_filter: Column = F.lit(True)
         self._remove_loops: bool = False
         self._checkpoint_interval: int = 2
-        self._use_local_checkpoints: bool = True
+        # None -> harness resolves spark.graphframes.useLocalCheckpoints
+        self._use_local_checkpoints: Optional[bool] = None
 
     # ------------------------------------------------------------- builders
 

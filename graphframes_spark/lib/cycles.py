@@ -17,10 +17,11 @@ head<=dst filter prunes the search tree by symmetry.
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import types as T
 
 from graphframes_spark.pregel import Pregel
@@ -34,7 +35,11 @@ FOUND_SEQ = "found_cycles"
 
 
 def detecting_cycles(
-    graph: "GraphFrame", checkpoint_interval: int = 2, max_iter: int = 1_000_000_000
+    graph: "GraphFrame",
+    checkpoint_interval: int = 2,
+    use_local_checkpoints: Optional[bool] = None,
+    storage_level: Optional[StorageLevel] = None,
+    max_iter: int = 1_000_000_000,
 ) -> DataFrame:
     from graphframes_spark.graphframe import GraphFrame
 
@@ -72,6 +77,12 @@ def detecting_cycles(
     raw = (
         prepared.pregel.setMaxIter(max_iter)
         .setCheckpointInterval(checkpoint_interval)
+        .setUseLocalCheckpoints(use_local_checkpoints)
+        .setIntermediateStorageLevel(
+            storage_level
+            if storage_level is not None
+            else StorageLevel.MEMORY_AND_DISK
+        )
         .setEarlyStopping(False)
         .setStopIfAllNonActiveVertices(True)
         .setSkipMessagesFromNonActiveVertices(True)

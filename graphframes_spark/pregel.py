@@ -71,7 +71,8 @@ class Pregel:
         self._update_active_expr: Column = F.lit(True)
         self._required_src_columns: list[str] = []
         self._required_dst_columns: list[str] = []
-        self._use_local_checkpoints = True
+        # None -> harness resolves spark.graphframes.useLocalCheckpoints
+        self._use_local_checkpoints: Optional[bool] = None
         self._storage_level = StorageLevel.MEMORY_AND_DISK
 
     # ------------------------------------------------------------- builders

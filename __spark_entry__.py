@@ -780,6 +780,43 @@ def q_pg_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pg_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket projection at data scale: the lineitem bipartite
+    graph (the largest table) projected onto parts via projectionBy,
+    keeping part pairs co-purchased in >= 2 distinct orders. Scale
+    posture: the projection is a self-equi-join keyed on order id (AQE
+    splits hot orders), the count is a partial-aggregatable groupBy."""
+    from graphframes_spark.propertygraph import (
+        EdgePropertyGroup,
+        PropertyGraphFrame,
+        VertexPropertyGroup,
+    )
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_orderkey")
+        .distinct()
+        .withColumn("w", F.lit(1.0))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    parts_g = VertexPropertyGroup("parts", part, "p_partkey")
+    orders_g = VertexPropertyGroup("orders", orders, "o_orderkey")
+    bought = EdgePropertyGroup(
+        "bought", li, parts_g, orders_g, True, "l_partkey", "l_orderkey", "w"
+    )
+    pg = PropertyGraphFrame([parts_g, orders_g], [bought])
+    projected = pg.projection_by("parts", "orders", "bought")
+    eg = projected.edge_property_groups[-1]
+    return (
+        eg.data.groupBy(
+            F.col("src").alias("part_a"), F.col("dst").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Randomized MIS — rand() is not oracle-replicable; rows-only check
     (pytest asserts the independence/maximality invariants)."""
@@ -961,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_regions": q_mis_regions,
         "pg_unify": q_pg_unify,
         "pg_projection": q_pg_projection,
+        "pg_copurchase": q_pg_copurchase,
         "random_walks": q_random_walks,
         "random_walk_stats": q_random_walk_stats,
         "sampling_convolution": q_sampling_convolution,
@@ -1560,6 +1598,14 @@ def oracle_sql() -> dict[str, str]:
         "mis_regions": """
             SELECT n_regionkey AS region, CAST(1 AS BIGINT) AS n_selected
             FROM nation GROUP BY n_regionkey
+        """,
+        "pg_copurchase": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_orders
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "random_walk_stats": """
             SELECT n_nationkey AS start_id,

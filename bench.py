@@ -44,6 +44,7 @@ HEADLINE = [
     "cycles",
     "ppr",
     "pg_projection",
+    "pg_copurchase",
     # round-2 LLM-data-pipeline tier
     "dp_token_counts",
     "dp_quality",

@@ -430,12 +430,17 @@ class GraphFrame:
             useLabelsAsComponents = (
                 conf("useLabelsAsComponents", "false").lower() == "true"
             )
+        level_name = conf("connectedComponents.intermediatestoragelevel", "")
+        storage_level = (
+            getattr(StorageLevel, level_name.upper()) if level_name else None
+        )
         return connected_components(
             self,
             algorithm=algorithm,
             checkpoint_interval=checkpointInterval,
             broadcast_threshold=broadcastThreshold,
             use_labels_as_components=useLabelsAsComponents,
+            storage_level=storage_level,
         )
 
     def stronglyConnectedComponents(self, maxIter: int = 20) -> DataFrame:

@@ -16,10 +16,11 @@ mapping keeps shuffle keys to 8 bytes regardless of the user ID type.
 from __future__ import annotations
 
 import warnings
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from graphframes_spark.harness import IterationHarness
 from graphframes_spark.indexing import has_integral_id_type, indexed_edges, indexed_vertices
@@ -119,6 +120,7 @@ def connected_components(
     broadcast_threshold: int = -1,
     use_labels_as_components: bool = False,
     max_iter: int = 100,
+    storage_level: Optional[StorageLevel] = None,
 ) -> DataFrame:
     """Component id per vertex (column ``component``: long, or the original
     ID type when ``use_labels_as_components`` on non-integral ids).
@@ -156,7 +158,13 @@ def connected_components(
             graph, checkpoint_interval, use_labels_as_components
         )
     spark = graph.spark
-    harness = IterationHarness(spark, checkpoint_interval=checkpoint_interval)
+    harness = IterationHarness(
+        spark,
+        checkpoint_interval=checkpoint_interval,
+        storage_level=storage_level
+        if storage_level is not None
+        else StorageLevel.MEMORY_AND_DISK,
+    )
 
     idx_v = indexed_vertices(graph.vertices)
     vv = idx_v.select(F.col(LONG_ID).alias(ID), F.col(ATTR))

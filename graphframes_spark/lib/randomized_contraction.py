@@ -189,7 +189,11 @@ def randomized_contraction(
             graph_size = edges.count()
             old_edges.unpersist()
 
-        # reverse replay: compose the per-level hashes algebraically
+        # reverse replay: compose the per-level hashes algebraically.
+        # Merged tables are written under a new suffix and the per-level
+        # path map updated — no renames, so any Hadoop-visible storage
+        # (HDFS, S3, file:) works, not just the driver's local disk.
+        paths = {lvl: table_name(lvl) for lvl in range(1, it + 1)}
         acc_a, acc_b = 1, 0
         level = it
         while level > 1:
@@ -200,8 +204,8 @@ def randomized_contraction(
             acc_b = axpb_scalar(old_acc_a, popped_b, acc_b)
             h = _axpb_udf(acc_a, acc_b)
 
-            r1 = spark.read.parquet(table_name(level)).alias("r1")
-            r2 = spark.read.parquet(table_name(level + 1)).alias("r2")
+            r1 = spark.read.parquet(paths[level]).alias("r1")
+            r2 = spark.read.parquet(paths[level + 1]).alias("r2")
             merged = r1.join(
                 r2, F.col("r1.rep") == F.col("r2.v"), "left_outer"
             ).select(
@@ -209,8 +213,7 @@ def randomized_contraction(
                 F.coalesce(F.col("r2.rep"), h(F.col("r1.rep"))).alias("rep"),
             )
             merged.write.parquet(table_name(level) + "-m")
-            # subsequent reads use the merged table
-            shutil_safe_replace(spark, table_name(level), table_name(level) + "-m")
+            paths[level] = table_name(level) + "-m"
 
         if it == 0:
             # no edges at all: every vertex is its own component
@@ -220,7 +223,7 @@ def randomized_contraction(
                 graph.vertices) else F.col(ID))
             return out
 
-        final_reps = spark.read.parquet(table_name(1)).select(
+        final_reps = spark.read.parquet(paths[1]).select(
             F.col("v").alias(LONG_ID), F.col("rep").alias(COMPONENT)
         )
         labeled = idx_v.join(final_reps, on=LONG_ID, how="left")
@@ -249,15 +252,13 @@ def randomized_contraction(
         return out
     finally:
         edges.unpersist()
-        try:
-            shutil.rmtree(storage_parent, ignore_errors=True)
-        except Exception:
-            pass
-
-
-def shutil_safe_replace(spark, target: str, source: str) -> None:
-    """Replace a (local) parquet dir with a newly-written one. Local-path
-    implementation; on object stores, point subsequent reads at `source`
-    instead — here the tables are always within one scratch dir."""
-    shutil.rmtree(target, ignore_errors=True)
-    shutil.move(source, target)
+        # best-effort local cleanup; file: URIs are normalized, non-local
+        # schemes (hdfs://, s3://) are left for storage lifecycle policies
+        local = storage_parent
+        if local.startswith("file:"):
+            local = local[len("file:") :]
+        if "://" not in local:
+            try:
+                shutil.rmtree(local, ignore_errors=True)
+            except Exception:
+                pass

@@ -1,0 +1,200 @@
+"""Direct tests of the Pregel engine's option surface, mirroring the
+reference's PregelSuite behaviors (core/src/test/.../lib/PregelSuite.scala):
+required-column pruning, automatic dst-join elision and its forced
+override, early stopping semantics, active-vertex voting, skip-inactive
+message filtering, and builder validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphframes_spark import GraphFrame
+from graphframes_spark.pregel import Pregel
+from graphframes_spark.util import GraphFramesError
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    # 0 -> 1 -> 2 -> 3
+    v = spark.createDataFrame([(i, i * 10) for i in range(4)], ["id", "value"])
+    e = spark.createDataFrame([(i, i + 1) for i in range(3)], ["src", "dst"])
+    return GraphFrame(v, e)
+
+
+def _indegree_run(pregel):
+    return (
+        pregel.withVertexColumn(
+            "msg_count",
+            F.lit(0).cast("long"),
+            F.coalesce(Pregel.msg(), F.lit(0).cast("long")),
+        )
+        .sendMsgToDst(F.lit(1).cast("long"))
+        .aggMsgs(F.sum(Pregel.msg()))
+        .setMaxIter(1)
+        .run()
+    )
+
+
+def test_required_src_columns_prune_without_changing_result(chain):
+    full = {
+        (r["id"], r["msg_count"]) for r in _indegree_run(chain.pregel).collect()
+    }
+    pruned = {
+        (r["id"], r["msg_count"])
+        for r in _indegree_run(chain.pregel.requiredSrcColumns("id")).collect()
+    }
+    assert full == pruned == {(0, 0), (1, 1), (2, 1), (3, 1)}
+
+
+def test_dst_join_elided_for_src_only_messages(chain):
+    p = chain.pregel.sendMsgToDst(Pregel.src("value"))
+    assert p._needs_dst_state() is False
+
+
+def test_dst_join_elided_for_dst_id_only(chain):
+    p = chain.pregel.sendMsgToDst(Pregel.dst("id") * F.lit(2))
+    assert p._needs_dst_state() is False
+
+
+def test_dst_join_required_for_dst_column(chain):
+    p = chain.pregel.sendMsgToDst(Pregel.dst("value"))
+    assert p._needs_dst_state() is True
+
+
+def test_dst_join_required_for_dst_in_conditional(chain):
+    p = chain.pregel.sendMsgToDst(
+        F.when(Pregel.dst("value") > 10, Pregel.src("value"))
+    )
+    assert p._needs_dst_state() is True
+
+
+def test_required_dst_hint_forces_dst_join(chain):
+    # messages never mention dst, but the explicit hint must force the join
+    # (documented escape hatch for missed detection)
+    result = (
+        chain.pregel.withVertexColumn(
+            "got", F.lit(0).cast("long"), F.coalesce(Pregel.msg(), F.lit(0).cast("long"))
+        )
+        .sendMsgToDst(Pregel.src("value").cast("long"))
+        .aggMsgs(F.sum(Pregel.msg()))
+        .requiredDstColumns("value")
+        .setMaxIter(1)
+        .run()
+    )
+    got = {(r["id"], r["got"]) for r in result.collect()}
+    assert got == {(0, 0), (1, 0), (2, 10), (3, 20)}
+
+
+def test_early_stopping_returns_state_before_empty_round(spark):
+    # update drifts state by +1000 on message-less vertices, so if the
+    # engine applied an update for the empty superstep 2 (instead of
+    # returning the superstep-1 state, Pregel.scala:494-502 semantics)
+    # the values would come out 1000 higher
+    v = spark.createDataFrame([(0, 0), (1, 999)], ["id", "dist"])
+    e = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    result = (
+        g.pregel.withVertexColumn(
+            "d",
+            F.col("dist"),
+            F.coalesce(Pregel.msg(), F.col("d") + 1000),
+        )
+        .sendMsgToDst(
+            F.when(Pregel.src("d") + 1 < Pregel.dst("d"), Pregel.src("d") + 1)
+        )
+        .aggMsgs(F.min(Pregel.msg()))
+        .setEarlyStopping(True)
+        .setMaxIter(10)
+        .run()
+    )
+    # superstep 1: v1 <- 1, v0 drifts to 1000; superstep 2: no messages ->
+    # rollback. Without rollback: {(0, 2000), (1, 1001)}.
+    assert {(r["id"], r["d"]) for r in result.collect()} == {(0, 1000), (1, 1)}
+
+
+def test_vote_to_halt_stops_loop(spark):
+    v = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    result = (
+        g.pregel.withVertexColumn(
+            "dist",
+            F.when(F.col("id") == 0, F.lit(0)).otherwise(F.lit(999)),
+            F.least(F.col("dist"), F.coalesce(Pregel.msg(), F.lit(999))),
+        )
+        .sendMsgToDst(
+            F.when(Pregel.src("_pregel_is_active"), Pregel.src("dist") + 1)
+        )
+        .aggMsgs(F.min(Pregel.msg()))
+        .setInitialActiveVertexExpression(F.col("id") == 0)
+        .setUpdateActiveVertexExpression(
+            Pregel.msg().isNotNull() & (Pregel.msg() < F.col("dist"))
+        )
+        .setStopIfAllNonActiveVertices(True)
+        .setMaxIter(50)
+        .run()
+    )
+    assert {(r["id"], r["dist"]) for r in result.collect()} == {
+        (0, 0),
+        (1, 1),
+        (2, 2),
+    }
+
+
+def test_skip_messages_from_non_active(spark):
+    # both 0 and 2 point at 1, but only 0 starts active; with
+    # skip-inactive only 0's message arrives in superstep 1
+    v = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
+    e = spark.createDataFrame([(0, 1), (2, 1)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    result = (
+        g.pregel.withVertexColumn(
+            "received",
+            F.lit(0).cast("long"),
+            F.col("received") + F.coalesce(Pregel.msg(), F.lit(0).cast("long")),
+        )
+        .sendMsgToDst(F.lit(1).cast("long"))
+        .aggMsgs(F.sum(Pregel.msg()))
+        .setInitialActiveVertexExpression(F.col("id") == 0)
+        .setUpdateActiveVertexExpression(F.lit(False))
+        .setSkipMessagesFromNonActiveVertices(True)
+        .setStopIfAllNonActiveVertices(True)
+        .setMaxIter(3)
+        .run()
+    )
+    got = {(r["id"], r["received"]) for r in result.collect()}
+    assert got == {(0, 0), (1, 1), (2, 0)}
+
+
+def test_update_on_nullable_msg_column(chain):
+    # vertices with no in-edges receive null msg; update must handle it
+    result = (
+        chain.pregel.withVertexColumn(
+            "total",
+            F.col("value").cast("long"),
+            F.col("total") + F.coalesce(Pregel.msg(), F.lit(0).cast("long")),
+        )
+        .sendMsgToDst(Pregel.src("value").cast("long"))
+        .aggMsgs(F.sum(Pregel.msg()))
+        .setMaxIter(1)
+        .run()
+    )
+    got = {(r["id"], r["total"]) for r in result.collect()}
+    assert got == {(0, 0), (1, 10), (2, 30), (3, 50)}
+
+
+def test_builder_validation(chain):
+    with pytest.raises(GraphFramesError):
+        chain.pregel.aggMsgs(F.sum(Pregel.msg())).withVertexColumn(
+            "x", F.lit(0), F.lit(0)
+        ).run()  # no messages
+    with pytest.raises(GraphFramesError):
+        chain.pregel.sendMsgToDst(F.lit(1)).withVertexColumn(
+            "x", F.lit(0), F.lit(0)
+        ).run()  # no agg
+    with pytest.raises(GraphFramesError):
+        chain.pregel.sendMsgToDst(F.lit(1)).aggMsgs(F.sum(Pregel.msg())).run()
+        # no vertex column
+    with pytest.raises(GraphFramesError):
+        chain.pregel.sendMsgToDst(F.lit(1)).aggMsgs(F.sum(Pregel.msg())).withVertexColumn(
+            "x", F.lit(0), F.lit(0)
+        ).setMaxIter(0).run()

@@ -46,18 +46,25 @@ def _forward_colors(work_v: DataFrame, work_e: DataFrame) -> DataFrame:
     from graphframes_spark.graphframe import GraphFrame
 
     g = GraphFrame(work_v.select(ID), work_e)
+    # frontier-based min propagation: only vertices whose color changed
+    # last superstep send (sound for the monotone min lattice; everyone
+    # announces once because the initial active set is all vertices).
+    # Messages are unconditional src.color — no dst state referenced, so
+    # the dst join is elided and the per-superstep triplet join shrinks
+    # with the frontier instead of rescanning every edge.
     return (
         g.pregel.setMaxIter(2_000_000_000)
         .withVertexColumn(
             "color", F.col(ID), F.least(F.col("color"), Pregel.msg())
         )
-        .sendMsgToDst(
-            F.when(Pregel.src("color") < Pregel.dst("color"), Pregel.src("color"))
-        )
+        .sendMsgToDst(Pregel.src("color"))
         .aggMsgs(F.min(Pregel.msg()))
         .setEarlyStopping(True)
+        .setUpdateActiveVertexExpression(
+            Pregel.msg().isNotNull() & (Pregel.msg() < F.col("color"))
+        )
+        .setSkipMessagesFromNonActiveVertices(True)
         .requiredSrcColumns("color")
-        .requiredDstColumns("color")
         .run()
     )
 
@@ -68,6 +75,10 @@ def _backward_final(colors: DataFrame, work_e: DataFrame) -> DataFrame:
     from graphframes_spark.graphframe import GraphFrame
 
     g = GraphFrame(colors, work_e)
+    # frontier voting: a vertex is active only in the round after it
+    # became final (initially: the color roots), and each final vertex
+    # relays backward exactly once — triplets with both endpoints settled
+    # or unreachable are skipped instead of rescanned every superstep
     res = (
         g.pregel.setMaxIter(2_000_000_000)
         .withVertexColumn(
@@ -85,6 +96,11 @@ def _backward_final(colors: DataFrame, work_e: DataFrame) -> DataFrame:
         )
         .aggMsgs(F.max(Pregel.msg()))
         .setEarlyStopping(True)
+        .setInitialActiveVertexExpression(F.col(ID) == F.col("color"))
+        .setUpdateActiveVertexExpression(
+            F.coalesce(Pregel.msg(), F.lit(False)) & ~F.col("is_final")
+        )
+        .setSkipMessagesFromNonActiveVertices(True)
         .requiredSrcColumns("color", "is_final")
         .requiredDstColumns("color", "is_final")
         .run()

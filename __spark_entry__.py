@@ -277,6 +277,17 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shortest_paths_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isDirected=False path: the canonically-oriented clique graph (each
+    edge stored once, src < dst) still yields distance 1 to every
+    same-region vertex because the undirected expansion symmetrizes."""
+    g = _nation_canon_graph(spark, sf_dir)
+    sp = g.shortestPaths(landmarks=[0], isDirected=False)
+    return sp.select(
+        F.col("id"), F.explode(F.col("distances")).alias("landmark", "distance")
+    )
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _events_chain_graph(spark, sf_dir)
     return g.labelPropagation(maxIter=3).select("id", "label")
@@ -972,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "connected_components": q_connected_components,
         "shortest_paths": q_shortest_paths,
+        "shortest_paths_undirected": q_shortest_paths_undirected,
         "label_propagation": q_label_propagation,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
@@ -1598,6 +1610,14 @@ def oracle_sql() -> dict[str, str]:
         "mis_regions": """
             SELECT n_regionkey AS region, CAST(1 AS BIGINT) AS n_selected
             FROM nation GROUP BY n_regionkey
+        """,
+        "shortest_paths_undirected": """
+            SELECT n.n_nationkey AS id, 0 AS landmark,
+                   CAST(CASE WHEN n.n_nationkey = 0 THEN 0 ELSE 1 END AS INTEGER)
+                       AS distance
+            FROM nation n
+            WHERE n.n_regionkey =
+                  (SELECT n_regionkey FROM nation WHERE n_nationkey = 0)
         """,
         "pg_copurchase": """
             WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

@@ -32,6 +32,15 @@ def power_iteration_clustering(
     """Cluster assignment per vertex: DF[id, cluster: int]."""
     from pyspark.ml.clustering import PowerIterationClustering
 
+    if graph.edges.isEmpty():
+        # assignClusters only labels vertices present in the affinity
+        # matrix; ml's KMeans throws outright on an empty one
+        return (
+            graph.vertices.select(F.col(ID).cast("long").alias(ID))
+            if has_integral_id_type(graph.vertices)
+            else graph.vertices.select(ID)
+        ).withColumn("cluster", F.lit(0).cast("int")).limit(0)
+
     if has_integral_id_type(graph.vertices):
         edges = graph.edges
         idx_v = None

@@ -26,6 +26,7 @@ from graphframes_spark.util import (
     GraphFramesError,
     InvalidPatternError,
     nest_as_col,
+    storage_level_from_string,
 )
 
 if TYPE_CHECKING:
@@ -431,9 +432,7 @@ class GraphFrame:
                 conf("useLabelsAsComponents", "false").lower() == "true"
             )
         level_name = conf("connectedComponents.intermediatestoragelevel", "")
-        storage_level = (
-            getattr(StorageLevel, level_name.upper()) if level_name else None
-        )
+        storage_level = storage_level_from_string(level_name) if level_name else None
         return connected_components(
             self,
             algorithm=algorithm,

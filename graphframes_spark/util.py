@@ -47,5 +47,53 @@ class GraphFramesError(Exception):
     """Base error for graphframes_spark."""
 
 
+# Names accepted by the JVM-side StorageLevel.fromString that the reference
+# uses to parse spark.graphframes.*.intermediatestoragelevel conf values.
+# Python-side storage is always serialized, so the *_SER spellings map onto
+# the plain PySpark levels; *_DESER is the reference python client's default
+# spelling for deserialized memory.
+_STORAGE_LEVEL_ALIASES = {
+    "MEMORY_ONLY_SER": "MEMORY_ONLY",
+    "MEMORY_ONLY_SER_2": "MEMORY_ONLY_2",
+    "MEMORY_AND_DISK_SER": "MEMORY_AND_DISK",
+    "MEMORY_AND_DISK_SER_2": "MEMORY_AND_DISK_2",
+    "MEMORY_ONLY_DESER": "MEMORY_ONLY",
+    "MEMORY_AND_DISK_DESER": "MEMORY_AND_DISK",
+}
+
+_STORAGE_LEVEL_NAMES = (
+    "NONE",
+    "DISK_ONLY",
+    "DISK_ONLY_2",
+    "DISK_ONLY_3",
+    "MEMORY_ONLY",
+    "MEMORY_ONLY_2",
+    "MEMORY_AND_DISK",
+    "MEMORY_AND_DISK_2",
+    "OFF_HEAP",
+)
+
+
+def storage_level_from_string(name: str):
+    """Parse a storage-level conf value the way the reference's Scala
+    ``StorageLevel.fromString`` does (used for
+    ``spark.graphframes.connectedComponents.intermediatestoragelevel``),
+    accepting the ``*_SER`` / ``*_DESER`` spellings PySpark's
+    ``StorageLevel`` class does not define. Raises ``GraphFramesError``
+    listing the supported names on unknown input."""
+    from pyspark.storagelevel import StorageLevel
+
+    key = name.strip().upper()
+    key = _STORAGE_LEVEL_ALIASES.get(key, key)
+    if key == "NONE":
+        return StorageLevel(False, False, False, False)
+    if key in _STORAGE_LEVEL_NAMES and hasattr(StorageLevel, key):
+        return getattr(StorageLevel, key)
+    supported = sorted(set(_STORAGE_LEVEL_NAMES) | set(_STORAGE_LEVEL_ALIASES))
+    raise GraphFramesError(
+        f"unknown storage level {name!r}; supported: {', '.join(supported)}"
+    )
+
+
 class InvalidPatternError(GraphFramesError):
     """Raised for an invalid motif pattern string."""

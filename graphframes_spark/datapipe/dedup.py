@@ -317,6 +317,12 @@ def simhash_pairs(
     documents agree on at least one full chunk — the banding is lossless,
     so the result equals the brute-force answer while joining only on
     6-bit-chunk buckets.
+
+    ``id_col`` must be unique: signatures are computed per id (one
+    vote-aggregate over all rows sharing the id), so duplicate ids get a
+    single merged signature rather than one per row. Dedupe on ``id_col``
+    first if your input can repeat ids (same contract as
+    ``minhash_lsh_dedup``).
     """
     assert max_hamming < num_bands and 48 % num_bands == 0
     chunk = 48 // num_bands

@@ -485,7 +485,16 @@ class GraphFrame:
         storage_level: Optional["StorageLevel"] = None,
     ) -> DataFrame:
         """All unique simple cycles (Rocha–Thatte); signature mirrors the
-        reference python client (python/graphframes/graphframe.py:440-461)."""
+        reference python client (python/graphframes/graphframe.py:440-461).
+
+        Documented deviations from the reference client's defaults:
+        ``use_local_checkpoints`` unset resolves via the
+        ``spark.graphframes.useLocalCheckpoints`` conf and otherwise to
+        True (reference: False) so the algorithm runs without a configured
+        checkpoint dir; ``storage_level`` unset resolves to
+        ``MEMORY_AND_DISK`` (reference spelling: ``MEMORY_AND_DISK_DESER``
+        — PySpark storage is always deserialized Python-side, so the two
+        are the same physical level here)."""
         from graphframes_spark.lib.cycles import detecting_cycles
 
         return detecting_cycles(

@@ -5,6 +5,7 @@ binary columns. See module docstrings for the 100 TB posture of each."""
 
 from graphframes_spark.datapipe.dedup import (
     cosine_similarity,
+    banded_hyperplane_sketches,
     embedding_cosine_pairs,
     embedding_dedup,
     exact_dedup,
@@ -43,6 +44,7 @@ __all__ = [
     "brute_force_topk",
     "binary_metadata",
     "cosine_similarity",
+    "banded_hyperplane_sketches",
     "embedding_cosine_pairs",
     "embedding_dedup",
     "exact_dedup",

@@ -412,20 +412,93 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot / (norm_a * norm_b)
 
 
+#: fixed-point quantization step for cross-engine sign sketches: 2^12, so
+#: ``x * QUANT`` is an exact double scaling and ``floor`` of it is engine-
+#: independent
+_SKETCH_QUANT = 4096
+
+
+def _plane_component(p, d: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1000, 1000].
+
+    Three rounds of a Lehmer-style LCG mod 65521 (prime), seeded from the
+    (plane, dimension) pair. Every intermediate stays below 65520 * 17364
+    ≈ 1.14e9 < 2^31, so the formula is exact in *int32 or wider* on any
+    engine — expressible identically in Spark and ANSI SQL / DuckDB,
+    which lets banded-LSH candidate sets be hash-verified by an external
+    oracle. ``p`` is a Python int (plane index), ``d`` the dim column.
+    """
+    h = (F.lit(p * 131) + d + F.lit(1)) % F.lit(65521)
+    for _ in range(3):
+        h = (h * F.lit(17364) + F.lit(575)) % F.lit(65521)
+    return (h % F.lit(2001) - F.lit(1000)).cast("long")
+
+
+def banded_hyperplane_sketches(
+    vec: Column, planes_per_band: int, bands: int
+) -> Column:
+    """array<struct<band:int, sketch:long>> — one sign-LSH sketch per band.
+
+    Bit ``j`` of band ``b``'s sketch is the sign of the dot product of the
+    *quantized* vector (``floor(x * 4096)`` as int64) with deterministic
+    plane ``b * planes_per_band + j``. Integer dot products are exact and
+    summation-order-independent, so the sketch is bit-identical across
+    engines and across partitionings — the property the correctness
+    oracle (and deterministic retries at 100 TB) rely on. Quantization
+    only perturbs vectors by < 2^-12 per component, immaterial for an
+    LSH *candidate* filter (the exact cosine check runs afterwards).
+    """
+    q = F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(_SKETCH_QUANT)).cast("long")
+    )
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    # NB: binding the plane index via a lambda default (``lambda d, p=p``)
+    # would make the lambda binary, which F.transform interprets as an
+    # (element, index) lambda — silently feeding the array index in as p.
+    def _plane_fn(p):
+        return lambda d: _plane_component(p, d)
+
+    entries = []
+    for b in range(bands):
+        sketch = F.lit(0).cast("long")
+        for j in range(planes_per_band):
+            p = b * planes_per_band + j
+            plane = F.transform(dims, _plane_fn(p))
+            dot = F.aggregate(
+                F.zip_with(q, plane, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            sketch = sketch + F.shiftleft(bit, j)
+        entries.append(
+            F.struct(F.lit(b).cast("int").alias("band"), sketch.alias("sketch"))
+        )
+    return F.array(*entries)
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str = "id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    bucket_planes: Optional[int] = None,
+    bucket_planes: Optional[int] = 4,
+    bands: int = 8,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold.
 
-    ``bucket_planes=None`` verifies all pairs (exact; quadratic — for
-    oracle-checkable tests and small slices). With ``bucket_planes=p``
-    set, candidates are restricted to pairs agreeing on a random-
-    hyperplane LSH sketch — the 100 TB path (recall < 1 by design; run
-    multiple sketch rotations to taste).
+    Default path (the 100 TB path): banded random-hyperplane LSH — a
+    vector emits one sketch per band (OR-of-ANDs, same structure as the
+    MinHash bands), candidates are pairs agreeing on *any* band's sketch,
+    and every candidate is verified with the exact cosine before being
+    returned. No all-pairs comparison anywhere: the only shuffle is the
+    (band, sketch) self-join, whose hot buckets AQE skew-splits. Recall
+    is < 1 by LSH design — raise ``bands`` (more rotations) to taste.
+
+    ``bucket_planes=0`` (or ``None``) is the explicit opt-in to the exact
+    quadratic baseline: verify all pairs via ``crossJoin``. Use only for
+    oracle validation and small slices.
     """
     # normalize once per vector (O(n)) so each pair needs only the dot
     # product (O(n^2) pairs x 1 fold instead of 3)
@@ -436,26 +509,43 @@ def embedding_cosine_pairs(
             lambda acc, x: acc + x,
         )
     )
-    vecs = df.select(
-        F.col(id_col).alias(ID),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("_v"),
-    )
     dot = F.aggregate(
         F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     if bucket_planes:
-        from graphframes_spark.datapipe.similarity import hyperplane_sketch
-
-        vecs = vecs.withColumn("_sketch", hyperplane_sketch(F.col("_v"), bucket_planes))
-        a = vecs.select(F.col(ID).alias("id_a"), F.col("_v").alias("_va"), "_sketch")
-        b = vecs.select(F.col(ID).alias("id_b"), F.col("_v").alias("_vb"), "_sketch")
-        cands = a.join(b, on="_sketch").filter(F.col("id_a") < F.col("id_b"))
-    else:
-        a = vecs.select(F.col(ID).alias("id_a"), F.col("_v").alias("_va"))
-        b = vecs.select(F.col(ID).alias("id_b"), F.col("_v").alias("_vb"))
-        cands = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        sketches = banded_hyperplane_sketches(
+            F.col(vec_col), bucket_planes, bands
+        )
+        tagged = df.select(
+            F.col(id_col).alias(ID),
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("_v"),
+            F.explode(sketches).alias("_bs"),
+        ).select(ID, "_v", "_bs.band", "_bs.sketch")
+        a = tagged.select(
+            F.col(ID).alias("id_a"), F.col("_v").alias("_va"), "band", "sketch"
+        )
+        b = tagged.select(
+            F.col(ID).alias("id_b"), F.col("_v").alias("_vb"), "band", "sketch"
+        )
+        # cosine check BEFORE the distinct (mirrors the simhash path): it
+        # is per-candidate-cheap, cuts failing candidates ahead of the
+        # dedup shuffle, and the distinct key carries just the two ids
+        return (
+            a.join(b, on=["band", "sketch"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(dot >= F.lit(threshold))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    vecs = df.select(
+        F.col(id_col).alias(ID),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("_v"),
+    )
+    a = vecs.select(F.col(ID).alias("id_a"), F.col("_v").alias("_va"))
+    b = vecs.select(F.col(ID).alias("id_b"), F.col("_v").alias("_vb"))
+    cands = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return cands.filter(dot >= F.lit(threshold)).select("id_a", "id_b")
 
 
@@ -464,12 +554,18 @@ def embedding_dedup(
     id_col: str = "id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    bucket_planes: Optional[int] = None,
+    bucket_planes: Optional[int] = 4,
+    bands: int = 8,
 ) -> DataFrame:
-    """Near-dup grouping over embedding-cosine edges → DF[id, component]."""
+    """Near-dup grouping over embedding-cosine edges → DF[id, component].
+
+    Candidate generation defaults to banded hyperplane LSH (see
+    ``embedding_cosine_pairs``); pass ``bucket_planes=0`` for the exact
+    quadratic baseline.
+    """
     from graphframes_spark.graphframe import GraphFrame
 
-    pairs = embedding_cosine_pairs(df, id_col, vec_col, threshold, bucket_planes)
+    pairs = embedding_cosine_pairs(df, id_col, vec_col, threshold, bucket_planes, bands)
     v = df.select(F.col(id_col).alias(ID))
     e = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

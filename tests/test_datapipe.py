@@ -118,6 +118,25 @@ def test_embedding_cosine_pairs_and_dedup(spark):
     assert comp[1] == comp[2] and len({comp[1], comp[3], comp[4]}) == 3
 
 
+def test_embedding_pairs_default_plan_has_no_cartesian(spark):
+    """The default (banded LSH) candidate path must never degrade to an
+    all-pairs join — the scale contract for 100 TB corpora."""
+    rows = [(i, [float(i % 7) - 3.0, float(i % 5), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "embedding"])
+    out = dp.embedding_cosine_pairs(df, threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # explicit opt-in still reaches the exact quadratic baseline
+    exact = dp.embedding_cosine_pairs(df, threshold=0.9, bucket_planes=0)
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
+    # banded candidates are a subset of the exact pairs (no false accepts)
+    banded_pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert banded_pairs <= exact_pairs
+
+
 # ------------------------------------------------------------- similarity
 
 

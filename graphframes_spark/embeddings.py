@@ -147,6 +147,7 @@ class RandomWalkEmbeddings:
         self._with_neighbor_aggregation = False
         self._max_nbrs = 10
         self._seed = 42
+        self._vector_output = False
 
     def onGraph(self, graph: GraphFrame) -> "RandomWalkEmbeddings":
         self._graph = graph
@@ -182,9 +183,16 @@ class RandomWalkEmbeddings:
         self._seed = value
         return self
 
+    def setVectorOutput(self, value: bool) -> "RandomWalkEmbeddings":
+        """Return ``vector`` as a pyspark.ml dense vector (the reference's
+        native type — Hash2Vec.scala:40-47) instead of array<double>."""
+        self._vector_output = value
+        return self
+
     def run(self) -> DataFrame:
         """DF[id: string, vector: array<double>] (ids stringified — both
-        Word2Vec and feature hashing operate on token strings)."""
+        Word2Vec and feature hashing operate on token strings); ml
+        ``VectorUDT`` instead when ``setVectorOutput(True)``."""
         if self._graph is None:
             raise GraphFramesError("Graph is not set")
         if self._walks is None:
@@ -216,13 +224,16 @@ class RandomWalkEmbeddings:
                 vector_to_array(F.col("vector")).alias(VECTOR_COL),
             )
 
-        if not self._with_neighbor_aggregation:
-            return emb
-        conv = sampling_convolution(
-            self._graph, emb, k=self._max_nbrs, seed=self._seed, concat_self=True,
-            id_as_string=True,
-        )
-        return conv
+        if self._with_neighbor_aggregation:
+            emb = sampling_convolution(
+                self._graph, emb, k=self._max_nbrs, seed=self._seed,
+                concat_self=True, id_as_string=True,
+            )
+        if self._vector_output:
+            from pyspark.ml.functions import array_to_vector
+
+            emb = emb.withColumn(VECTOR_COL, array_to_vector(F.col(VECTOR_COL)))
+        return emb
 
 
 def sampling_convolution(

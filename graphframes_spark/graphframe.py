@@ -390,10 +390,22 @@ class GraphFrame:
         resetProbability: float = 0.15,
         sourceIds: Optional[Sequence[Any]] = None,
         maxIter: Optional[int] = None,
+        vectorOutput: bool = False,
     ) -> "GraphFrame":
+        """PPR from all ``sourceIds`` simultaneously.
+
+        ``vectorOutput=True`` returns ``pageranks`` as a ``pyspark.ml``
+        dense vector — the reference's native type
+        (lib/ParallelPersonalizedPageRank.scala:50-55) — ready for
+        pyspark.ml consumers. The default stays ``array<double>``
+        (documented deviation: arrays are SQL-comparable and avoid the
+        VectorUDT serde in pure-SQL pipelines; convert any time with
+        ``pyspark.ml.functions.array_to_vector``)."""
         from graphframes_spark.lib.pagerank import parallel_personalized_page_rank
 
-        return parallel_personalized_page_rank(self, resetProbability, sourceIds, maxIter)
+        return parallel_personalized_page_rank(
+            self, resetProbability, sourceIds, maxIter, vector_output=vectorOutput
+        )
 
     def shortestPaths(
         self, landmarks: Sequence[Any], isDirected: bool = True
@@ -491,10 +503,11 @@ class GraphFrame:
         ``use_local_checkpoints`` unset resolves via the
         ``spark.graphframes.useLocalCheckpoints`` conf and otherwise to
         True (reference: False) so the algorithm runs without a configured
-        checkpoint dir; ``storage_level`` unset resolves to
-        ``MEMORY_AND_DISK`` (reference spelling: ``MEMORY_AND_DISK_DESER``
-        — PySpark storage is always deserialized Python-side, so the two
-        are the same physical level here)."""
+        checkpoint dir; ``storage_level`` unset resolves to PySpark's
+        ``MEMORY_AND_DISK_DESER`` — the same physical level as the
+        reference's ``MEMORY_AND_DISK_DESER`` default (JVM deserialized
+        memory+disk; note PySpark's plain ``MEMORY_AND_DISK`` constant is
+        the *serialized* variant)."""
         from graphframes_spark.lib.cycles import detecting_cycles
 
         return detecting_cycles(

@@ -94,7 +94,7 @@ class IterationHarness:
         spark: SparkSession,
         checkpoint_interval: int = 2,
         use_local_checkpoints: Optional[bool] = None,
-        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK_DESER,
     ) -> None:
         self.spark = spark
         self.checkpoint_interval = checkpoint_interval

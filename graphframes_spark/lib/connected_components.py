@@ -163,7 +163,7 @@ def connected_components(
         checkpoint_interval=checkpoint_interval,
         storage_level=storage_level
         if storage_level is not None
-        else StorageLevel.MEMORY_AND_DISK,
+        else StorageLevel.MEMORY_AND_DISK_DESER,
     )
 
     idx_v = indexed_vertices(graph.vertices)

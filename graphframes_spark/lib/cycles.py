@@ -81,7 +81,7 @@ def detecting_cycles(
         .setIntermediateStorageLevel(
             storage_level
             if storage_level is not None
-            else StorageLevel.MEMORY_AND_DISK
+            else StorageLevel.MEMORY_AND_DISK_DESER
         )
         .setEarlyStopping(False)
         .setStopIfAllNonActiveVertices(True)

@@ -110,10 +110,12 @@ def parallel_personalized_page_rank(
     reset_probability: float = 0.15,
     source_ids: Optional[Sequence[Any]] = None,
     max_iter: Optional[int] = None,
+    vector_output: bool = False,
 ) -> "GraphFrame":
     """PPR from k sources simultaneously; vertex column ``pageranks`` is an
-    array<double> aligned with ``source_ids`` (reference returns an ML
-    vector — lib/ParallelPersonalizedPageRank.scala:50-55)."""
+    array<double> aligned with ``source_ids``, or an ML dense vector when
+    ``vector_output`` is set (the reference's native type —
+    lib/ParallelPersonalizedPageRank.scala:50-55)."""
     from graphframes_spark.graphframe import GraphFrame
 
     if not source_ids:
@@ -159,6 +161,11 @@ def parallel_personalized_page_rank(
         .run()
         .select(ID, "pageranks")
     )
+
+    if vector_output:
+        from pyspark.ml.functions import array_to_vector
+
+        ranks = ranks.withColumn("pageranks", array_to_vector(F.col("pageranks")))
 
     out_v = graph.vertices.join(ranks, on=ID, how="left_outer")
     deg = prepared.vertices

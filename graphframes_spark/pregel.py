@@ -73,7 +73,7 @@ class Pregel:
         self._required_dst_columns: list[str] = []
         # None -> harness resolves spark.graphframes.useLocalCheckpoints
         self._use_local_checkpoints: Optional[bool] = None
-        self._storage_level = StorageLevel.MEMORY_AND_DISK
+        self._storage_level = StorageLevel.MEMORY_AND_DISK_DESER
 
     # ------------------------------------------------------------- builders
 

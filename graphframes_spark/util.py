@@ -48,30 +48,29 @@ class GraphFramesError(Exception):
 
 
 # Names accepted by the JVM-side StorageLevel.fromString that the reference
-# uses to parse spark.graphframes.*.intermediatestoragelevel conf values.
-# Python-side storage is always serialized, so the *_SER spellings map onto
-# the plain PySpark levels; *_DESER is the reference python client's default
-# spelling for deserialized memory.
-_STORAGE_LEVEL_ALIASES = {
-    "MEMORY_ONLY_SER": "MEMORY_ONLY",
-    "MEMORY_ONLY_SER_2": "MEMORY_ONLY_2",
-    "MEMORY_AND_DISK_SER": "MEMORY_AND_DISK",
-    "MEMORY_AND_DISK_SER_2": "MEMORY_AND_DISK_2",
-    "MEMORY_ONLY_DESER": "MEMORY_ONLY",
-    "MEMORY_AND_DISK_DESER": "MEMORY_AND_DISK",
+# uses to parse spark.graphframes.*.intermediatestoragelevel conf values,
+# resolved to (useDisk, useMemory, useOffHeap, deserialized, replication).
+# NB the JVM's plain MEMORY_ONLY / MEMORY_AND_DISK are DEserialized while
+# PySpark's same-named constants are serialized — conf strings follow the
+# JVM (reference) semantics here, with the PySpark *_DESER spellings kept
+# as aliases, so the deserialized flag survives the round trip.
+_STORAGE_LEVELS = {
+    "NONE": (False, False, False, False, 1),
+    "DISK_ONLY": (True, False, False, False, 1),
+    "DISK_ONLY_2": (True, False, False, False, 2),
+    "DISK_ONLY_3": (True, False, False, False, 3),
+    "MEMORY_ONLY": (False, True, False, True, 1),
+    "MEMORY_ONLY_2": (False, True, False, True, 2),
+    "MEMORY_ONLY_SER": (False, True, False, False, 1),
+    "MEMORY_ONLY_SER_2": (False, True, False, False, 2),
+    "MEMORY_ONLY_DESER": (False, True, False, True, 1),
+    "MEMORY_AND_DISK": (True, True, False, True, 1),
+    "MEMORY_AND_DISK_2": (True, True, False, True, 2),
+    "MEMORY_AND_DISK_SER": (True, True, False, False, 1),
+    "MEMORY_AND_DISK_SER_2": (True, True, False, False, 2),
+    "MEMORY_AND_DISK_DESER": (True, True, False, True, 1),
+    "OFF_HEAP": (True, True, True, False, 1),
 }
-
-_STORAGE_LEVEL_NAMES = (
-    "NONE",
-    "DISK_ONLY",
-    "DISK_ONLY_2",
-    "DISK_ONLY_3",
-    "MEMORY_ONLY",
-    "MEMORY_ONLY_2",
-    "MEMORY_AND_DISK",
-    "MEMORY_AND_DISK_2",
-    "OFF_HEAP",
-)
 
 
 def storage_level_from_string(name: str):
@@ -84,14 +83,12 @@ def storage_level_from_string(name: str):
     from pyspark.storagelevel import StorageLevel
 
     key = name.strip().upper()
-    key = _STORAGE_LEVEL_ALIASES.get(key, key)
-    if key == "NONE":
-        return StorageLevel(False, False, False, False)
-    if key in _STORAGE_LEVEL_NAMES and hasattr(StorageLevel, key):
-        return getattr(StorageLevel, key)
-    supported = sorted(set(_STORAGE_LEVEL_NAMES) | set(_STORAGE_LEVEL_ALIASES))
+    if key in _STORAGE_LEVELS:
+        use_disk, use_memory, off_heap, deserialized, replication = _STORAGE_LEVELS[key]
+        return StorageLevel(use_disk, use_memory, off_heap, deserialized, replication)
     raise GraphFramesError(
-        f"unknown storage level {name!r}; supported: {', '.join(supported)}"
+        f"unknown storage level {name!r}; supported: "
+        f"{', '.join(sorted(_STORAGE_LEVELS))}"
     )
 
 

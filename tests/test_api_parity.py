@@ -86,3 +86,34 @@ def test_cc_two_phase_alias_and_conf_defaults(spark, friends):
         }
     finally:
         spark.conf.unset("spark.graphframes.connectedComponents.algorithm")
+
+
+def test_ppr_vector_output_schema(friends):
+    """vectorOutput=True matches the reference's ml VectorType result
+    (ParallelPersonalizedPageRank.scala:50-55); default stays array."""
+    from pyspark.ml.linalg import VectorUDT
+    from pyspark.sql import types as T
+
+    arr = friends.parallelPersonalizedPageRank(
+        sourceIds=["a", "b"], maxIter=3
+    ).vertices.schema["pageranks"].dataType
+    assert isinstance(arr, T.ArrayType) and isinstance(arr.elementType, T.DoubleType)
+
+    vec = friends.parallelPersonalizedPageRank(
+        sourceIds=["a", "b"], maxIter=3, vectorOutput=True
+    ).vertices.schema["pageranks"].dataType
+    assert isinstance(vec, VectorUDT)
+
+
+def test_storage_level_fromstring_jvm_semantics():
+    """Conf strings parse with JVM StorageLevel.fromString semantics:
+    plain MEMORY_* names are deserialized, *_SER spellings serialized."""
+    from graphframes_spark.util import storage_level_from_string as sl
+
+    assert sl("MEMORY_AND_DISK").deserialized is True
+    assert sl("MEMORY_AND_DISK_SER").deserialized is False
+    assert sl("MEMORY_AND_DISK_DESER").deserialized is True
+    assert sl("memory_only_2").replication == 2
+    assert sl("NONE").useMemory is False and sl("NONE").useDisk is False
+    with pytest.raises(GraphFramesError):
+        sl("MEMORY_AND_DISK_3")

@@ -1,16 +1,21 @@
 """Benchmark harness: times the headline queries at a given scale factor.
 
 Protocol mirrors the reference's JMH shape
-(/root/reference/benchmarks/.../LDBCBenchmarkSuite.scala:29-58): warmup
-pass + N measured repeats averaged, noop sink, AQE on, local checkpoints,
-shuffle partitions sized to cores.
+(/root/reference/benchmarks/.../LDBCBenchmarkSuite.scala:29-58): one
+warmup pass over every query, then N measured repeats, noop sink, AQE on,
+local checkpoints, shuffle partitions sized to cores. Repeats are
+INTERLEAVED (round-robin over the whole query list, not back-to-back per
+query) and the reported time is the per-query MEDIAN with min/max spread —
+back-to-back means + a noisy sandbox cannot distinguish a real regression
+from a transient load spike (this bit round 3: a 39% phantom regression).
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_WARMUP (default 1),
 SPARK_GRAFT_REPEATS (default 3).
 
 Prints ONE JSON line:
-{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "spread": {name: [min, max]}, "supersteps": {...}, "sf": ...}
 """
 
 from __future__ import annotations
@@ -95,21 +100,35 @@ def main() -> None:
 
     from graphframes_spark import pregel as pregel_mod
 
-    timings: dict[str, float] = {}
-    supersteps: dict[str, list[float]] = {}
-    for name in names:
-        for _ in range(warmup):
+    for _ in range(warmup):
+        for name in names:
             run_query(spark, name, sf_dir)
-        reps = []
-        for _ in range(repeats):
+
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    supersteps: dict[str, list[float]] = {}
+    for rep in range(repeats):
+        for name in names:
             pregel_mod.LAST_RUN_SUPERSTEP_SECONDS.clear()
-            reps.append(run_query(spark, name, sf_dir))
-        timings[name] = round(sum(reps) / len(reps), 3)
-        if pregel_mod.LAST_RUN_SUPERSTEP_SECONDS:
-            supersteps[name] = [
-                round(s, 3) for s in pregel_mod.LAST_RUN_SUPERSTEP_SECONDS
-            ]
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+            samples[name].append(run_query(spark, name, sf_dir))
+            if pregel_mod.LAST_RUN_SUPERSTEP_SECONDS:
+                supersteps[name] = [
+                    round(s, 3) for s in pregel_mod.LAST_RUN_SUPERSTEP_SECONDS
+                ]
+        print(f"# rep {rep + 1}/{repeats} done", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name in names:
+        reps = sorted(samples[name])
+        mid = len(reps) // 2
+        median = reps[mid] if len(reps) % 2 else (reps[mid - 1] + reps[mid]) / 2
+        timings[name] = round(median, 3)
+        spread[name] = [round(reps[0], 3), round(reps[-1], 3)]
+        print(
+            f"# {name}: median {timings[name]}s "
+            f"(min {spread[name][0]} max {spread[name][1]})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -119,6 +138,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "supersteps": supersteps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1,0 +1,202 @@
+"""Ablation benchmark: measures THIS repo's design choices as ratios that
+can be put beside the reference's published relative claims.
+
+The reference publishes no absolute sf0.1 numbers — only relative ones
+(benchmarks/README + blog): AQE-mode connected components 5-8x over the
+manual broadcast-join mode, the mode()-style CDLP aggregation far over
+count-map folds (~70x vs stock GraphX CDLP), and 2-3x wins from persist
+tuning of iterative state. Real LDBC Graphalytics data
+(examples/LDBCUtils.scala:7-27) needs a network download this environment
+does not have, so each claim is re-measured on the largest local graph —
+the lineitem part->order bipartite (~600k edges at sf0.1) — with the
+JMH protocol shape of LDBCBenchmarkSuite.scala:29-58 (1 warmup, 3
+measured repeats, median, local[*], 2x-cores shuffle partitions, Kryo).
+
+Pairs measured (A = this repo's default, B = the ablated baseline):
+- cc_aqe_on / cc_aqe_off          — two-phase CC with AQE disabled (the
+  closest local stand-in for the reference's non-adaptive manual mode;
+  the manual broadcast path itself is intentionally not implemented).
+- lpa_mode / lpa_count_window     — Pregel mode() aggregation vs the
+  naive groupBy(id,label).count() + window-argmax design (materializes
+  per-label counts through two extra shuffles, no map-side partial
+  aggregation on hubs — the shape the reference's count-map fold has).
+- pagerank_persist / pagerank_nopersist — iteration-harness persist
+  policy on vs persists no-op'd (re-computes lineage each superstep).
+
+Prints ONE JSON line to stdout; the driver records it as BENCH_ablation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graphframes_spark import GraphFrame  # noqa: E402
+from graphframes_spark import harness as harness_mod  # noqa: E402
+
+ORDER_OFFSET = 10_000_000
+SRC, DST, ID = "src", "dst", "id"
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("graphframes_spark-ablation")
+        .config("spark.driver.memory", "32g")
+        .config("spark.sql.maxPlanStringLength", str(4 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .getOrCreate()
+    )
+
+
+def lineitem_graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_partkey").alias(SRC),
+        (F.col("l_orderkey") + F.lit(ORDER_OFFSET)).alias(DST),
+    )
+    v = (
+        li.select(F.col(SRC).alias(ID))
+        .union(li.select(F.col(DST).alias(ID)))
+        .distinct()
+    )
+    e = li.distinct()
+    return GraphFrame(v.localCheckpoint(eager=True), e.localCheckpoint(eager=True))
+
+
+def lpa_count_window(g: GraphFrame, max_iter: int) -> "F.DataFrame":
+    """Naive CDLP: per superstep, materialize per-(vertex, label) counts
+    with a full groupBy shuffle, then window-argmax (second shuffle+sort).
+    Same semantics/tie-break as label_propagation; deliberately no
+    partial-aggregatable combine — the ablation baseline."""
+    labels = g.vertices.select(ID, F.col(ID).alias("label")).localCheckpoint(
+        eager=True
+    )
+    edges = g.edges.localCheckpoint(eager=True)
+    for it in range(1, max_iter + 1):
+        msgs = edges.join(
+            labels.select(F.col(ID).alias(SRC), F.col("label").alias("_sl")), on=SRC
+        )
+        counts = msgs.groupBy(F.col(DST).alias(ID), F.col("_sl").alias("label")).agg(
+            F.count("*").alias("_cnt")
+        )
+        w = Window.partitionBy(ID).orderBy(F.desc("_cnt"), F.asc("label"))
+        winners = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(ID, F.col("label").alias("_new"))
+        )
+        labels = labels.join(winners, on=ID, how="left").select(
+            ID, F.coalesce(F.col("_new"), F.col("label")).alias("label")
+        )
+        if it % 2 == 0 or it == max_iter:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def timed(fn, warmup: int, repeats: int) -> float:
+    for _ in range(warmup):
+        fn()
+    reps = []
+    for _ in range(repeats):
+        start = time.perf_counter()
+        fn()
+        reps.append(time.perf_counter() - start)
+    reps.sort()
+    mid = len(reps) // 2
+    median = reps[mid] if len(reps) % 2 else (reps[mid - 1] + reps[mid]) / 2
+    return round(median, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    g = lineitem_graph(spark, sf_dir)
+    n_edges = g.edges.count()
+
+    def sink(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    results: dict[str, float] = {}
+
+    # --- connected components: AQE on (default) vs off
+    def cc_run():
+        sink(g.connectedComponents())
+
+    results["cc_aqe_on"] = timed(cc_run, warmup, repeats)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    results["cc_aqe_off"] = timed(cc_run, warmup, repeats)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    # --- CDLP: mode() Pregel (default) vs count+window naive design
+    def lpa_mode_run():
+        sink(g.labelPropagation(maxIter=3))
+
+    def lpa_naive_run():
+        sink(lpa_count_window(g, max_iter=3))
+
+    results["lpa_mode"] = timed(lpa_mode_run, warmup, repeats)
+    results["lpa_count_window"] = timed(lpa_naive_run, warmup, repeats)
+
+    # --- persist policy: harness persists on (default) vs no-op'd
+    def pr_run():
+        sink(g.pageRank(maxIter=5).vertices)
+
+    results["pagerank_persist"] = timed(pr_run, warmup, repeats)
+    orig_persist = harness_mod.IterationHarness.persist
+    orig_pin = harness_mod.IterationHarness.pin
+    harness_mod.IterationHarness.persist = lambda self, df: df  # type: ignore
+    harness_mod.IterationHarness.pin = lambda self, df: df  # type: ignore
+    try:
+        results["pagerank_nopersist"] = timed(pr_run, warmup, repeats)
+    finally:
+        harness_mod.IterationHarness.persist = orig_persist
+        harness_mod.IterationHarness.pin = orig_pin
+
+    ratios = {
+        "cc_aqe_off_over_on": round(results["cc_aqe_off"] / results["cc_aqe_on"], 2),
+        "lpa_naive_over_mode": round(
+            results["lpa_count_window"] / results["lpa_mode"], 2
+        ),
+        "pagerank_nopersist_over_persist": round(
+            results["pagerank_nopersist"] / results["pagerank_persist"], 2
+        ),
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "ablation_ratios",
+                "value": ratios["lpa_naive_over_mode"],
+                "unit": "x",
+                "graph_edges": n_edges,
+                "queries": results,
+                "ratios": ratios,
+                "reference_claims": {
+                    "cc_aqe_over_manual": "5-8x (blog; baseline differs: manual broadcast mode not implemented here, AQE-off is the local stand-in)",
+                    "cdlp_vs_stock_graphx": "~70x (GraphX CDLP count-map; local baseline is the count+window design)",
+                    "persist_tuning": "2-3x",
+                },
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

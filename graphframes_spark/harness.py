@@ -144,18 +144,26 @@ class IterationHarness:
         lineage every ``checkpoint_interval`` rounds), then drop the
         previous round's cached data.
 
-        With ``materialize=True`` the plan is executed exactly once — an
-        eager checkpoint on checkpoint rounds (its internal action runs
-        the observed query, so ``df.observe(...)`` metrics attached by
-        the caller are collected), a ``count()`` on the persisted frame
-        otherwise. A count on a *lazily*-checkpointed plan would run
-        outside the observed query and never fire the metrics."""
+        Checkpoints are always EAGER (Spark's and the reference's own
+        default). A lazy local checkpoint is a driver-side trap measured
+        1.4-3x slower end-to-end at sf0.1: ``Dataset.checkpoint`` runs
+        full Catalyst planning (``toRdd``) immediately whether or not it
+        materializes, and without the materialization the plans later
+        supersteps build on are never truncated, so per-superstep
+        planning cost grows without bound (13s/superstep by iteration 10
+        of plain PageRank when checkpoints were deferred entirely).
+
+        With ``materialize=True`` the plan additionally executes once on
+        non-checkpoint rounds via ``count()`` so ``df.observe(...)``
+        metrics attached by the caller are collected (the eager
+        checkpoint's internal action already collects them on checkpoint
+        rounds)."""
         should_ckpt = (
             self.checkpoint_interval > 0
             and self.iteration % self.checkpoint_interval == 0
         )
         if should_ckpt:
-            df = self.checkpoint(df, eager=materialize)
+            df = self.checkpoint(df, eager=True)
             self._current.append(df)
         else:
             df = self.persist(df)

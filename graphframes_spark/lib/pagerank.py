@@ -80,6 +80,12 @@ def page_rank(
         .sendMsgToDst(Pregel.src("pagerank") / Pregel.src(_OUT_DEG))
         .aggMsgs(F.sum(Pregel.msg()))
         .requiredSrcColumns("pagerank", _OUT_DEG)
+        # wider checkpoint cadence than the Pregel default (2): the
+        # per-checkpoint Catalyst planning round-trip is the dominant
+        # fixed cost of this recipe (~2s each at sf0.1 — interval 5
+        # measured 1.5x faster end-to-end), and a 5-superstep lineage of
+        # narrow (id, rank) state is still a trivial recovery unit
+        .setCheckpointInterval(5)
     )
 
     if tol is not None:
@@ -157,6 +163,7 @@ def parallel_personalized_page_rank(
             )
         )
         .requiredSrcColumns("pageranks", _OUT_DEG)
+        .setCheckpointInterval(5)  # see pageRank: planning is the fixed cost
         .setMaxIter(max_iter)
         .run()
         .select(ID, "pageranks")

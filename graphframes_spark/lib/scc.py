@@ -54,6 +54,10 @@ def _forward_colors(work_v: DataFrame, work_e: DataFrame) -> DataFrame:
     # with the frontier instead of rescanning every edge.
     return (
         g.pregel.setMaxIter(2_000_000_000)
+        # planning, not execution, is the per-superstep fixed cost at
+        # small frontiers; a wider checkpoint cadence amortizes it (the
+        # same measurement that set pagerank's interval — see pagerank.py)
+        .setCheckpointInterval(4)
         .withVertexColumn(
             "color", F.col(ID), F.least(F.col("color"), Pregel.msg())
         )
@@ -81,6 +85,7 @@ def _backward_final(colors: DataFrame, work_e: DataFrame) -> DataFrame:
     # or unreachable are skipped instead of rescanned every superstep
     res = (
         g.pregel.setMaxIter(2_000_000_000)
+        .setCheckpointInterval(4)
         .withVertexColumn(
             "is_final",
             F.col(ID) == F.col("color"),
@@ -146,30 +151,43 @@ def strongly_connected_components(graph: "GraphFrame", max_iter: int = 20) -> Da
     assigned = spark.createDataFrame([], f"{ID} long, {COMPONENT} long")
 
     for _ in harness.iterations(max_iter):
-        # ---- trim to fixpoint: no out-edges or no in-edges → own SCC
+        # ---- trim to fixpoint: no out-edges or no in-edges → own SCC.
+        # Every trimmed vertex gets component = its own id, so the
+        # assignment is derived ONCE from (pre-trim minus post-trim)
+        # after the fixpoint instead of checkpointing `assigned` per
+        # iteration; the fixpoint probe is a count() on freshly
+        # checkpointed state (cached scan), not a separate anti-join job.
+        pre_trim_v = work_v
+        n_before = n_pre_trim = work_v.count()
         while True:
             srcs = work_e.select(F.col(SRC).alias(ID)).distinct()
             dsts = work_e.select(F.col(DST).alias(ID)).distinct()
-            non_trivial = work_v.join(srcs, on=ID, how="left_semi").join(
-                dsts, on=ID, how="left_semi"
-            )
-            trivial = work_v.join(non_trivial, on=ID, how="left_anti")
-            if trivial.isEmpty():
-                break
-            assigned = harness.checkpoint(
-                assigned.unionByName(
-                    trivial.select(F.col(ID), F.col(ID).alias(COMPONENT))
+            non_trivial = harness.checkpoint(
+                work_v.join(srcs, on=ID, how="left_semi").join(
+                    dsts, on=ID, how="left_semi"
                 ),
                 eager=True,
             )
-            work_v = harness.checkpoint(non_trivial, eager=True)
+            n_after = non_trivial.count()
+            if n_after == n_before:
+                break
+            work_v = non_trivial
             work_e = harness.checkpoint(
                 work_e.join(work_v.withColumnRenamed(ID, SRC), on=SRC, how="left_semi")
                 .join(work_v.withColumnRenamed(ID, DST), on=DST, how="left_semi"),
                 eager=True,
             )
+            n_before = n_after
+        if n_before < n_pre_trim:
+            trimmed = pre_trim_v.join(work_v, on=ID, how="left_anti")
+            assigned = harness.checkpoint(
+                assigned.unionByName(
+                    trimmed.select(F.col(ID), F.col(ID).alias(COMPONENT))
+                ),
+                eager=True,
+            )
 
-        if work_v.isEmpty():
+        if n_before == 0:
             break
 
         # ---- forward min-id coloring, then backward color-restricted sweep

@@ -36,7 +36,7 @@ FOUND_SEQ = "found_cycles"
 
 def detecting_cycles(
     graph: "GraphFrame",
-    checkpoint_interval: int = 2,
+    checkpoint_interval: int = 1,
     use_local_checkpoints: Optional[bool] = None,
     storage_level: Optional[StorageLevel] = None,
     max_iter: int = 1_000_000_000,

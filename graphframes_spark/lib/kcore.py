@@ -66,6 +66,7 @@ def k_core(graph: "GraphFrame", max_iter: int = 1_000_000_000) -> DataFrame:
     merged = _kcore_merge(Pregel.msg(), F.col(KCORE_ID))
     result = (
         prepared.pregel.setMaxIter(max_iter)
+        .setCheckpointInterval(1)  # voting mode: see scc.py measurement
         .withVertexColumn(
             KCORE_ID,
             F.col("degree"),

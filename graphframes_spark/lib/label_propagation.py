@@ -46,6 +46,9 @@ def label_propagation(
     pregel = (
         prepared.pregel.withVertexColumn(LABEL_ID, F.col(ID), new_label)
         .setMaxIter(max_iter)
+        # voting materializes every superstep; per-superstep checkpoints
+        # keep planning depth constant (see scc.py measurement)
+        .setCheckpointInterval(1)
         .setStopIfAllNonActiveVertices(True)
         .setUpdateActiveVertexExpression(F.col(LABEL_ID) != new_label)
         .requiredSrcColumns(LABEL_ID)

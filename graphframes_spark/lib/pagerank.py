@@ -95,6 +95,9 @@ def page_rank(
                 F.abs(new_rank - F.col("pagerank")) >= F.lit(tol)
             )
             .setStopIfAllNonActiveVertices(True)
+            # tolerance mode materializes every superstep (convergence
+            # probe); per-superstep checkpoints keep planning depth 1
+            .setCheckpointInterval(1)
         )
     else:
         pregel = pregel.setMaxIter(max_iter)

@@ -139,7 +139,9 @@ class IterationHarness:
             return df.localCheckpoint(eager=eager)
         return df.checkpoint(eager=eager)
 
-    def commit(self, df: DataFrame, materialize: bool = False) -> DataFrame:
+    def commit(
+        self, df: DataFrame, materialize: bool = False, cache: bool = True
+    ) -> DataFrame:
         """End-of-iteration: persist or checkpoint the new state (cutting
         lineage every ``checkpoint_interval`` rounds), then drop the
         previous round's cached data.
@@ -166,7 +168,11 @@ class IterationHarness:
             df = self.checkpoint(df, eager=True)
             self._current.append(df)
         else:
-            df = self.persist(df)
+            # ``cache=False`` (fused iteration, no per-round actions):
+            # the round's output feeds exactly one consumer inside one
+            # job, so persisting it would only break pipelined execution
+            if cache:
+                df = self.persist(df)
             if materialize:
                 df.count()
         self.rotate()

@@ -228,15 +228,32 @@ class Pregel:
             *orig_cols, self._initial_active_expr.alias(ACTIVE_FLAG_COL), *init_cols
         )
 
+        # Early stopping / all-inactive voting need a per-superstep probe.
+        # Instead of separate isEmpty() jobs (which re-execute the message
+        # pipeline: cheap when messages are plentiful, a full extra pass
+        # when they are sparse), piggyback Observation metrics on the one
+        # materializing action of the superstep — the probe is then free.
+        use_obs = self._early_stopping or self._stop_if_all_non_active
+
+        # Pure maxIter mode runs as a handful of FUSED jobs (one per
+        # checkpoint window): within a job Catalyst's ReusedExchange
+        # dedups the edge shuffle across supersteps and every superstep's
+        # state feeds exactly one consumer, so caching state or edges is
+        # pure overhead that breaks the pipelined execution — measured
+        # 2.2x slower with persists on a 600k-edge PageRank at sf0.1.
+        # Voting mode re-executes state across per-superstep probe
+        # actions, where the caches are load-bearing — keep them there.
+        fused = not use_obs
+
         # Pre-shape + co-partition edges once; every superstep's src join
         # then shuffles only the (smaller) vertex-state side.
-        edges = harness.pin(
-            graph.edges.select(
-                F.col(SRC).alias("edge_src"),
-                F.col(DST).alias("edge_dst"),
-                F.struct("*").alias(EDGE),
-            ).repartition(F.col("edge_src"))
-        )
+        edges = graph.edges.select(
+            F.col(SRC).alias("edge_src"),
+            F.col(DST).alias("edge_dst"),
+            F.struct("*").alias(EDGE),
+        ).repartition(F.col("edge_src"))
+        if not fused:
+            edges = harness.pin(edges)
 
         if self._required_src_columns:
             src_cols = [
@@ -256,16 +273,10 @@ class Pregel:
         LAST_RUN_SUPERSTEP_SECONDS.clear()
         import time as _time
 
-        # Early stopping / all-inactive voting need a per-superstep probe.
-        # Instead of separate isEmpty() jobs (which re-execute the message
-        # pipeline: cheap when messages are plentiful, a full extra pass
-        # when they are sparse), piggyback Observation metrics on the one
-        # materializing action of the superstep — the probe is then free.
-        use_obs = self._early_stopping or self._stop_if_all_non_active
-
         for iteration in harness.iterations(self._max_iter):
             _superstep_start = _time.perf_counter()
-            current = harness.persist(current)
+            if not fused:
+                current = harness.persist(current)
             previous = current
 
             if not needs_dst_state and self._skip_messages_from_non_active:
@@ -340,7 +351,7 @@ class Pregel:
             # materializes every superstep and the Observation metrics
             # double as the stop probes — no separate isEmpty jobs
             # re-executing the pipeline.
-            current = harness.commit(current, materialize=use_obs)
+            current = harness.commit(current, materialize=use_obs, cache=not fused)
             LAST_RUN_SUPERSTEP_SECONDS.append(_time.perf_counter() - _superstep_start)
 
             if (

@@ -145,3 +145,27 @@ def test_random_walk_embeddings_hash2vec_with_aggregation(blob_graph, tmp_path):
     rows = {r["id"]: r["vector"] for r in emb.collect()}
     # concat self ++ neighbor mean -> 16 dims
     assert all(len(v) == 16 for v in rows.values())
+
+
+def test_random_walk_embeddings_vector_output(blob_graph, tmp_path):
+    from pyspark.ml.linalg import VectorUDT
+
+    rw = (
+        RandomWalkWithRestart()
+        .setNumWalksPerNode(1)
+        .setBatchSize(4)
+        .setNumBatches(1)
+        .setTemporaryPrefix(str(tmp_path))
+    )
+    emb = (
+        RandomWalkEmbeddings()
+        .onGraph(blob_graph)
+        .setRandomWalk(rw)
+        .setAlgorithm("hash2vec")
+        .setDimension(8)
+        .setVectorOutput(True)
+        .run()
+    )
+    assert isinstance(emb.schema["vector"].dataType, VectorUDT)
+    row = emb.limit(1).collect()[0]
+    assert len(row["vector"]) == 8

@@ -10,8 +10,11 @@ to cut lineage; optional early stop on no messages or all-inactive voting.
 
 Scale notes:
 - the edge relation is pre-shaped once (src/dst extracted, attrs nested)
-  and hash-repartitioned on ``edge_src`` + persisted, so the per-superstep
-  src join reuses one shuffle for the whole run;
+  and hash-repartitioned on ``edge_src``; in voting mode it is persisted
+  so every per-superstep probe action reuses one shuffle, while pure
+  maxIter runs stay cache-free — supersteps fuse into one job per
+  checkpoint window and Catalyst's ReusedExchange dedups the edge
+  shuffle inside it (caching there measurably breaks pipelining);
 - the dst-side join is skipped entirely when no message expression
   references dst state (auto-detected from the message expressions'
   string form, with explicit required-columns hints as the escape hatch).

@@ -625,6 +625,33 @@ def q_dp_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-2-gram fraction (Gopher-style repetition
+    filter signal); pure per-row column algebra, zero shuffles."""
+    from graphframes_spark.datapipe import repetition_stats
+
+    out = repetition_stats(_docs(spark, sf_dir), id_col="doc_id", n=2)
+    return out.select(
+        "doc_id",
+        "n_ngrams",
+        "n_distinct_ngrams",
+        F.round(F.col("dup_ngram_frac"), 6).alias("dup_frac"),
+    )
+
+
+def q_dp_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark n-gram decontamination: documents sharing >= 2
+    distinct 3-grams with the doc_id % 10 == 0 slice (the stand-in
+    benchmark set); inverted-index join, never all-pairs."""
+    from graphframes_spark.datapipe import ngram_overlap
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return ngram_overlap(
+        docs, bench, n=3, min_shared=2
+    ).select(F.col("doc_id"), F.col("ref_doc_id"), F.col("n_shared"))
+
+
 def q_dp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN — no SQL oracle (bucket recall is by design < 1);
     driver records a rows-only check."""
@@ -1099,6 +1126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_convolution": q_sampling_convolution,
         "dp_lsh_topk": q_dp_lsh_topk,
         "dp_ivf_topk": q_dp_ivf_topk,
+        # round 4: repetition + decontamination (oracled; selfcheck-
+        # verified — past the driver window until the next rotation)
+        "dp_repetition": q_dp_repetition,
+        "dp_contamination": q_dp_contamination,
     }
 
 
@@ -1701,6 +1732,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.sh, b.sh)) * 1.0
                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                   >= {JACCARD_T}
+        """,
+        "dp_repetition": """
+            SELECT doc_id,
+                   CAST(len(g) AS INTEGER) AS n_ngrams,
+                   CAST(len(list_distinct(g)) AS INTEGER) AS n_distinct_ngrams,
+                   round(CASE WHEN len(g) > 0
+                              THEN 1.0 - len(list_distinct(g)) * 1.0 / len(g)
+                              ELSE 0.0 END, 6) AS dup_frac
+            FROM (
+                SELECT doc_id,
+                       [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS g
+                FROM (
+                    SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\\s+'),
+                                       x -> len(x) > 0) AS t
+                    FROM documents
+                )
+            )
+        """,
+        "dp_contamination": f"""
+            WITH sh AS ({_DOC_SHINGLES_SQL})
+            SELECT a.doc_id AS doc_id, b.doc_id AS ref_doc_id,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b
+              ON b.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) >= 2
         """,
         "dp_simhash_pairs": _simhash_oracle_sql(),
         "dp_embedding_pairs": _embedding_banded_oracle_sql(),

@@ -30,6 +30,9 @@ from graphframes_spark.datapipe.similarity import (
     lsh_topk,
 )
 from graphframes_spark.datapipe.text import (
+    ngram_overlap,
+    ngrams,
+    repetition_stats,
     fingerprint,
     language_id,
     minhash_fingerprint,
@@ -58,6 +61,9 @@ __all__ = [
     "lsh_candidate_pairs",
     "lsh_topk",
     "minhash_fingerprint",
+    "ngram_overlap",
+    "ngrams",
+    "repetition_stats",
     "minhash_lsh_dedup",
     "minhash_signature",
     "ngram_jaccard_pairs",

@@ -50,31 +50,106 @@ def token_count_bpe(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
-def shingles(tokens: Column, n: int = 3) -> Column:
-    """Distinct n-token shingles (space-joined), in first-occurrence order.
+def ngrams(tokens: Column, n: int = 3) -> Column:
+    """All n-token grams (space-joined), order kept, duplicates kept.
 
     ``tokens`` is bound once per row as a lambda variable (the one-element
     ``transform`` wrapper); without the binding, a composed expression like
-    ``shingles(tokenize(text))`` would re-evaluate the whole tokenizer for
-    every ``element_at`` — O(shingles x n x tokens) per row instead of
-    O(tokens + shingles x n)."""
+    ``ngrams(tokenize(text))`` would re-evaluate the whole tokenizer for
+    every ``element_at`` — O(grams x n x tokens) per row instead of
+    O(tokens + grams x n)."""
 
-    def _shingles_of(toks: Column) -> Column:
+    def _grams_of(toks: Column) -> Column:
         idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
-        return F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(toks, (i + F.lit(j + 1)).cast("int"))
-                        for j in range(n)
-                    ],
-                ),
-            )
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(toks, (i + F.lit(j + 1)).cast("int"))
+                    for j in range(n)
+                ],
+            ),
+        )
+        # guard: for < n tokens, sequence(0, negative) would REVERSE
+        # (Spark emits a descending sequence), feeding element_at
+        # non-positive indices — return no grams instead
+        return F.when(F.size(toks) >= F.lit(n), grams).otherwise(
+            F.array().cast("array<string>")
         )
 
-    return F.element_at(F.transform(F.array(tokens), _shingles_of), 1)
+    return F.element_at(F.transform(F.array(tokens), _grams_of), 1)
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (space-joined), in first-occurrence order."""
+    return F.array_distinct(ngrams(tokens, n))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Within-document repetition: duplicate n-gram fraction per document
+    (the Gopher-style repetition filter signal) —
+    DF[<id>, n_ngrams, n_distinct_ngrams, dup_ngram_frac].
+
+    Pure per-row column algebra: no shuffle at all, runs at scan speed
+    over 100 TB. Documents shorter than ``n`` tokens report zero grams
+    and fraction 0.0."""
+    grams = ngrams(tokenize(F.col(text_col)), n)
+    stats = df.select(
+        F.col(id_col),
+        F.size(grams).alias("_n"),
+        F.size(F.array_distinct(grams)).alias("_nd"),
+    )
+    return stats.select(
+        F.col(id_col),
+        F.greatest(F.col("_n"), F.lit(0)).alias("n_ngrams"),
+        F.greatest(F.col("_nd"), F.lit(0)).alias("n_distinct_ngrams"),
+        F.when(F.col("_n") > 0, 1.0 - F.col("_nd") / F.col("_n"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_frac"),
+    )
+
+
+def ngram_overlap(
+    df: DataFrame,
+    ref: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Cross-corpus n-gram contamination: document pairs sharing >=
+    ``min_shared`` distinct n-grams with a reference corpus (train/benchmark
+    decontamination) — DF[<id>, <ref_id>, n_shared].
+
+    Scale path: both sides explode to an inverted (shingle -> id) index
+    and meet in ONE equi-join keyed on the shingle — never an all-pairs
+    comparison; hot shingles are AQE-skew-split and can be pre-filtered
+    by document frequency upstream. Self-joins (same table both sides)
+    exclude identical ids."""
+    left = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(tokenize(F.col(text_col)), n)).alias("_sh"),
+    )
+    right = ref.select(
+        F.col(ref_id_col).alias("_ref_id"),
+        F.explode(shingles(tokenize(F.col(ref_text_col)), n)).alias("_sh"),
+    )
+    out_id = id_col if id_col != ref_id_col else f"{id_col}"
+    out_ref = ref_id_col if ref_id_col != id_col else f"ref_{ref_id_col}"
+    return (
+        left.join(right, on="_sh")
+        .filter(F.col("_id") != F.col("_ref_id"))
+        .groupBy(
+            F.col("_id").alias(out_id), F.col("_ref_id").alias(out_ref)
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(min_shared))
+    )
 
 
 def quality_scores(text: Column) -> dict[str, Column]:

@@ -207,3 +207,41 @@ def test_unavailable_decoder_raises(spark):
 
     with pytest.raises(Exception):
         dp.extract_features(df, decoder=unavailable_decoder).collect()
+
+
+def test_repetition_stats(spark):
+    rows = [(1, "a b a b a"), (2, "x y z w"), (3, "q"), (4, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dp.repetition_stats(df, n=2).collect()}
+    # doc 1 bigrams: [a b, b a, a b, b a] -> 4 total, 2 distinct, frac 0.5
+    assert out[1]["n_ngrams"] == 4 and out[1]["n_distinct_ngrams"] == 2
+    assert abs(out[1]["dup_ngram_frac"] - 0.5) < 1e-9
+    assert out[2]["dup_ngram_frac"] == 0.0
+    # shorter than n tokens: zero grams, fraction 0 (no descending-sequence crash)
+    assert out[3]["n_ngrams"] == 0 and out[4]["n_ngrams"] == 0
+
+
+def test_ngram_overlap_decontamination(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "lazy dogs sleep all day long"),
+            (3, "the quick brown fox naps here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "see the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    out = {
+        (r["doc_id"], r["ref_doc_id"]): r["n_shared"]
+        for r in dp.ngram_overlap(docs, bench, n=3).collect()
+    }
+    # doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps"
+    assert out[(1, 100)] == 3
+    # doc 3 shares the first two only; doc 2 shares nothing
+    assert out[(3, 100)] == 2
+    assert (2, 100) not in out
+    # min_shared filter
+    strict = dp.ngram_overlap(docs, bench, n=3, min_shared=3)
+    assert {r["doc_id"] for r in strict.collect()} == {1}

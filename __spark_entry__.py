@@ -652,6 +652,18 @@ def q_dp_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id"), F.col("ref_doc_id"), F.col("n_shared"))
 
 
+def q_dp_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the events stream (1-hour activity gap) —
+    the deterministic twin of the applyInPandasWithState streaming
+    operator (datapipe/streaming.py stream_sessionize)."""
+    from graphframes_spark.datapipe import sessionize_batch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(events, gap_seconds=3600).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 def q_dp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN — no SQL oracle (bucket recall is by design < 1);
     driver records a rows-only check."""
@@ -1130,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified — past the driver window until the next rotation)
         "dp_repetition": q_dp_repetition,
         "dp_contamination": q_dp_contamination,
+        "dp_sessionize": q_dp_sessionize,
     }
 
 
@@ -1758,6 +1771,23 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b
               ON b.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
             WHERE len(list_intersect(a.sh, b.sh)) >= 2
+        """,
+        "dp_sessionize": """
+            WITH b AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts) > 3600
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+                FROM b
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sess
         """,
         "dp_simhash_pairs": _simhash_oracle_sql(),
         "dp_embedding_pairs": _embedding_banded_oracle_sql(),

@@ -95,3 +95,130 @@ def stream_token_stats(
             F.avg("_n_tokens").alias("avg_tokens_per_doc"),
         )
     )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch sessionization: split each user's event sequence wherever
+    consecutive events are more than ``gap_seconds`` apart —
+    DF[<user>, session_start, session_end, n_events].
+
+    Window-function formulation (lag + running sum of gap-breaks): one
+    shuffle on the user key, no per-row Python. This is the exact batch
+    twin of ``stream_sessionize`` — identical output on the same events —
+    and the oracle used to verify it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # TIMESTAMP_NTZ cannot cast to long directly — go through TIMESTAMP
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    with_break = df.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.when(
+            epoch - F.lag(epoch).over(w) > F.lit(gap_seconds),
+            1,
+        )
+        .otherwise(0)
+        .alias("_brk"),
+    )
+    with_sess = with_break.withColumn(
+        "_sess", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return with_sess.groupBy(user_col, "_sess").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    ).drop("_sess")
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` — the Structured Streaming escape hatch
+    for semantics the built-in windowed aggregations cannot express
+    (session windows keyed by activity gaps, arbitrary per-key state).
+
+    Per user, state holds the open session (start, last-seen, count).
+    Sessions CLOSED inside a micro-batch (a new event arrives more than
+    ``gap_seconds`` after the previous) are emitted immediately; the
+    still-open session is emitted when the event-time watermark passes
+    ``last + gap`` (EventTimeTimeout), so every session is emitted
+    exactly once. State is one row per active user — the state store
+    shards it by key and checkpoints it for recovery.
+
+    Output schema matches ``sessionize_batch``.
+    """
+    import pandas as pd  # noqa: F401 (arrow batches arrive as pandas)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} long, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
+    state_schema = "start double, last double, n long"
+
+    def _emit(pd, key, sessions):
+        return pd.DataFrame(
+            {
+                user_col: [key[0]] * len(sessions),
+                "session_start": pd.to_datetime([s[0] for s in sessions], unit="s"),
+                "session_end": pd.to_datetime([s[1] for s in sessions], unit="s"),
+                "n_events": [s[2] for s in sessions],
+            }
+        )
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        gap = float(gap_seconds)
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield _emit(pd, key, [(start, last, n)])
+            return
+
+        ts_values = []
+        for pdf in pdf_iter:
+            ts_values.extend(pdf[ts_col].astype("int64").to_numpy() / 1e9)
+        ts_values.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed = []
+        for t in ts_values:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((float(start), float(last), int(n)))
+        # close the open session once the event-time watermark passes it
+        state.setTimeoutTimestamp(int((last + gap) * 1000) + 1)
+        if closed:
+            yield _emit(pd, key, closed)
+
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -80,3 +80,63 @@ def test_stream_token_stats(spark, doc_stream):
     assert by_window[0]["n_docs"] == 3
     assert by_window[1]["n_docs"] == 1
     assert by_window[0]["n_tokens"] == 12
+
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long"
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    from graphframes_spark.datapipe.streaming import sessionize_batch, stream_sessionize
+
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        # user 1: two sessions separated by > 30 min
+        (1, "2026-01-01T00:00:00", 1),
+        (2, "2026-01-01T00:05:00", 1),
+        (3, "2026-01-01T01:00:00", 1),
+        # user 2: one session only (stays open -> not emitted in batch 1)
+        (4, "2026-01-01T00:00:30", 2),
+        (5, "2026-01-01T00:10:00", 2),
+    ]
+    with open(src / "events.json", "w") as f:
+        for eid, ts, uid in rows:
+            f.write(json.dumps({"event_id": eid, "ts": ts, "user_id": uid}) + "\n")
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+    out = stream_sessionize(stream, gap_seconds=1800)
+    _run_to_memory(out, "sess_sink")
+    got = {
+        (r["user_id"], r["n_events"]): (r["session_start"], r["session_end"])
+        for r in spark.sql("SELECT * FROM sess_sink").collect()
+    }
+    # user 1's first session closes in-batch (events 1+2); user 2's closes
+    # via EventTimeTimeout once the watermark (max ts - 10 min = 00:50)
+    # passes its last+gap (00:40). User 1's second session stays open
+    # (timeout 01:30 is beyond the watermark) and is not emitted.
+    assert (1, 2) in got and (2, 2) in got and len(got) == 2
+
+    # batch twin agrees on the closed session
+    batch = sessionize_batch(
+        spark.createDataFrame(
+            [(eid, ts.replace("T", " "), uid) for eid, ts, uid in rows],
+            "event_id long, ts string, user_id long",
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"),
+        gap_seconds=1800,
+    )
+    brow = [r for r in batch.collect() if r["user_id"] == 1 and r["n_events"] == 2][0]
+    assert (brow["session_start"], brow["session_end"]) == got[(1, 2)]
+
+
+def test_sessionize_batch_on_events_table(spark):
+    from graphframes_spark.datapipe.streaming import sessionize_batch
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = sessionize_batch(events, gap_seconds=3600)
+    agg = out.groupBy("user_id").agg(
+        F.sum("n_events").alias("total"), F.count("*").alias("n_sessions")
+    )
+    per_user = events.groupBy("user_id").count()
+    joined = agg.join(per_user, "user_id")
+    # session event counts partition each user's events exactly
+    assert joined.filter(F.col("total") != F.col("count")).count() == 0
+    assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0

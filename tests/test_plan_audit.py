@@ -1,0 +1,34 @@
+"""Plan-shape audit over the full query registry: the 100 TB scale
+contract, asserted mechanically.
+
+Every registry query's physical plan must be free of accidental
+cartesian products / nested-loop joins. The only allowed exceptions are
+the intentionally-quadratic exact-ANN baselines and the broadcast of a
+bounded centroid table:
+
+- dp_ann_topk            brute-force cosine top-k — THE exact baseline
+- dp_lsh_exact           LSH with 0 planes = one bucket (degenerates to
+                         exact; join keys equal on every row)
+- dp_ivf_exact/dp_ivf_topk  the query x centroid probe is a crossJoin
+                         against a BROADCAST num_cells-row table —
+                         bounded, the classic IVF probe shape
+"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ALLOWED_QUADRATIC = {"dp_ann_topk", "dp_lsh_exact", "dp_ivf_exact", "dp_ivf_topk"}
+
+
+@pytest.mark.parametrize("name", list(entry_mod.queries()))
+def test_no_accidental_cartesian(spark, name):
+    fn = entry_mod.queries()[name]
+    df = fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    has_quadratic = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    if name in ALLOWED_QUADRATIC:
+        return  # intentional exact baselines / broadcast probes
+    assert not has_quadratic, f"{name} plan contains a cartesian/nested-loop join"

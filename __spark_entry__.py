@@ -1111,8 +1111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_simhash_pairs": q_dp_simhash_pairs,
         "dp_embedding_pairs": q_dp_embedding_pairs,
         "dp_ann_topk": q_dp_ann_topk,
-        "dp_lsh_exact": q_dp_lsh_exact,
-        "dp_ivf_exact": q_dp_ivf_exact,
+        "dp_repetition": q_dp_repetition,
+        "dp_contamination": q_dp_contamination,
         "dp_multimodal_features": q_dp_multimodal_features,
         "dp_multimodal_meta": q_dp_multimodal_meta,
         # ---------------- past the driver's 50-entry correctness window:
@@ -1138,10 +1138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_convolution": q_sampling_convolution,
         "dp_lsh_topk": q_dp_lsh_topk,
         "dp_ivf_topk": q_dp_ivf_topk,
-        # round 4: repetition + decontamination (oracled; selfcheck-
-        # verified — past the driver window until the next rotation)
-        "dp_repetition": q_dp_repetition,
-        "dp_contamination": q_dp_contamination,
+        # oracled but past the window: the exact-mode ANN degenerations
+        # share dp_ann_topk's oracle (in-window), so the window slots go
+        # to distinct operators; all three still selfcheck + plan-audit
+        "dp_lsh_exact": q_dp_lsh_exact,
+        "dp_ivf_exact": q_dp_ivf_exact,
         "dp_sessionize": q_dp_sessionize,
     }
 

@@ -84,6 +84,12 @@ def bfs(
                 check = check & (joined[f"v{i}"][ID] != joined[next_vertex][ID])
             paths = joined.filter(check)
 
+        # each hop runs a take(1) probe (an action), so the frontier is
+        # re-executed per hop: an eager checkpoint makes hop h cost one
+        # extension join instead of replaying hops 1..h, and keeps the
+        # per-hop Catalyst planning depth constant
+        paths = paths.localCheckpoint(eager=True)
+
         candidate = paths.join(
             to_ids, paths[next_vertex][ID] == F.col("_to_id"), "left_semi"
         )

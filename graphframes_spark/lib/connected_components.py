@@ -116,7 +116,7 @@ def _graphx_cc(
 def connected_components(
     graph: "GraphFrame",
     algorithm: str = "graphframes",
-    checkpoint_interval: int = 2,
+    checkpoint_interval: int = 1,
     broadcast_threshold: int = -1,
     use_labels_as_components: bool = False,
     max_iter: int = 100,

@@ -664,6 +664,36 @@ def q_dp_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-balanced sample: 20 docs per lang via the
+    two-level md5-rank tournament (datapipe/sampling.py balanced_sample);
+    the salt changes the plan, never the rows, so the salted Spark run
+    must hash-match the single-window DuckDB oracle."""
+    from graphframes_spark.datapipe import balanced_sample
+
+    return balanced_sample(
+        _docs(spark, sf_dir), "lang", 20, "doc_id", seed="r4", salt=8
+    ).select("doc_id", "lang", "source")
+
+
+def q_dp_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus health rollup: volume, mean token count,
+    quality keep-rate, exact-duplicate rate (datapipe/sampling.py
+    source_rollup)."""
+    from graphframes_spark.datapipe import source_rollup
+
+    r = source_rollup(_docs(spark, sf_dir))
+    return r.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.round("avg_tokens", 6).alias("avg_tokens"),
+        F.round("keep_rate", 6).alias("keep_rate"),
+        "n_unique",
+        F.round("dup_rate", 6).alias("dup_rate"),
+    )
+
+
 def q_dp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN — no SQL oracle (bucket recall is by design < 1);
     driver records a rows-only check."""
@@ -1144,6 +1174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_lsh_exact": q_dp_lsh_exact,
         "dp_ivf_exact": q_dp_ivf_exact,
         "dp_sessionize": q_dp_sessionize,
+        "dp_balanced_sample": q_dp_balanced_sample,
+        "dp_source_rollup": q_dp_source_rollup,
     }
 
 
@@ -1789,6 +1821,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        # the Spark side runs the salted two-level tournament; the oracle is
+        # the single-window definition — identical rows by construction
+        "dp_balanced_sample": """
+            SELECT doc_id, lang, source
+            FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(concat_ws(chr(31), 'r4',
+                                                  CAST(doc_id AS VARCHAR))),
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            WHERE rn <= 20
+        """,
+        "dp_source_rollup": """
+            WITH t AS (
+                SELECT source, lang, text,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> len(x) > 0) AS t
+                FROM documents
+            ), m AS (
+                SELECT source, lang,
+                       len(t) AS n_tokens,
+                       list_sum(list_transform(t, x -> len(x))) AS tok_chars,
+                       len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           AS punct_chars,
+                       len(text) AS n_chars,
+                       md5(array_to_string(t, ' ')) AS fp
+                FROM t
+            )
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   round(avg(n_tokens), 6) AS avg_tokens,
+                   round(avg(CASE WHEN n_tokens >= 5
+                                  AND tok_chars / CAST(n_tokens AS DOUBLE) >= 2.0
+                                  AND tok_chars / CAST(n_tokens AS DOUBLE) <= 15.0
+                                  AND punct_chars / CAST(n_chars AS DOUBLE) <= 0.3
+                             THEN 1.0 ELSE 0.0 END), 6) AS keep_rate,
+                   count(DISTINCT fp) AS n_unique,
+                   round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6) AS dup_rate
+            FROM m
+            GROUP BY source, lang
         """,
         "dp_simhash_pairs": _simhash_oracle_sql(),
         "dp_embedding_pairs": _embedding_banded_oracle_sql(),

@@ -29,6 +29,11 @@ from graphframes_spark.datapipe.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from graphframes_spark.datapipe.sampling import (
+    balanced_sample,
+    sample_rank,
+    source_rollup,
+)
 from graphframes_spark.datapipe.streaming import (
     sessionize_batch,
     stream_exact_dedup,
@@ -51,6 +56,7 @@ from graphframes_spark.datapipe.text import (
 )
 
 __all__ = [
+    "balanced_sample",
     "brute_force_topk",
     "binary_metadata",
     "cosine_similarity",
@@ -71,7 +77,9 @@ __all__ = [
     "ngram_overlap",
     "ngrams",
     "repetition_stats",
+    "sample_rank",
     "sessionize_batch",
+    "source_rollup",
     "stream_exact_dedup",
     "stream_near_dup_candidates",
     "stream_sessionize",

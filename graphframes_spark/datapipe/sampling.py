@@ -1,0 +1,130 @@
+"""Deterministic sampling and corpus rollups for training-data mixes.
+
+Beyond-reference operators (the reference has no data-pipeline tier):
+building a training mix from a 100 TB corpus needs (a) a *deterministic*,
+re-runnable sampler that balances over a stratification key (language,
+source, quality bucket) and (b) per-source health rollups (volume,
+quality, duplication) to decide the mix weights in the first place.
+
+Scale posture:
+
+- ``balanced_sample`` is a two-level tournament top-n-per-group: a local
+  round over ``(group, salt)`` cells bounds every window partition at
+  ``|group| / salt`` rows, then a final round ranks only the ~``salt*n``
+  per-group survivors. The result is EXACTLY the n smallest
+  ``(rank, key)`` rows per group for any ``salt >= 1`` (each salt cell's
+  local top-n is a superset of that cell's contribution to the global
+  top-n), so a hot group — English at 60% of a web corpus — never lands
+  in a single window partition. Ranks are ``md5(seed || key)``: uniform,
+  engine-portable (DuckDB oracle reproduces them bit-for-bit), and stable
+  across reruns — resuming a failed ingestion re-selects the same rows.
+- ``source_rollup`` is one hash-aggregate shuffle with map-side partial
+  aggregation; the only non-partial piece is the exact distinct-
+  fingerprint count (Spark plans it as a two-phase expand). Pass
+  ``exact_distinct=False`` to swap in ``approx_count_distinct`` (HLL,
+  fully partial-aggregatable) when the rollup feeds dashboards rather
+  than oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphframes_spark.datapipe.text import fingerprint, quality_scores
+
+#: unit separator — joins seed and key without ambiguity ("a"+"bc" vs "ab"+"c")
+_SEP = "\x1f"
+
+
+def sample_rank(key: Column, seed: str = "") -> Column:
+    """Deterministic uniform rank in hex: ``md5(seed <US> key)``.
+
+    md5 rather than ``xxhash64`` so an external system (or the DuckDB
+    oracle: ``md5(concat_ws(chr(31), seed, CAST(key AS VARCHAR)))``) can
+    reproduce the selection bit-for-bit; changing ``seed`` draws an
+    independent sample."""
+    return F.md5(F.concat_ws(_SEP, F.lit(seed), key.cast("string")))
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key_col: str,
+    seed: str = "",
+    salt: Optional[int] = 16,
+) -> DataFrame:
+    """Exactly ``n_per_group`` rows per ``group_col`` value (fewer when the
+    group is smaller), chosen as the ``n`` smallest ``(sample_rank, key)``
+    per group — a deterministic uniform draw without replacement.
+
+    ``salt`` (default 16; ``None``/``<=1`` disables) is the tournament
+    width: the local round partitions each group into ``salt`` cells by
+    ``xxhash64(key)``, keeps the local top-n per cell, and only the
+    survivors reach the per-group final window. The salt changes the
+    execution plan, never the selected rows. Size it near the cluster's
+    parallelism for skewed group keys (a handful of giant languages);
+    ``salt=None`` saves the extra shuffle when groups are known-small.
+    """
+    if n_per_group < 1:
+        raise ValueError("n_per_group must be >= 1")
+    key = F.col(key_col)
+    work = df.withColumn("_bs_rank", sample_rank(key, seed))
+    if salt is not None and salt > 1:
+        local = Window.partitionBy(group_col, "_bs_salt").orderBy("_bs_rank", key_col)
+        work = (
+            work.withColumn("_bs_salt", F.pmod(F.xxhash64(key), F.lit(salt)))
+            .withColumn("_bs_rn", F.row_number().over(local))
+            .filter(F.col("_bs_rn") <= n_per_group)
+            .drop("_bs_salt", "_bs_rn")
+        )
+    final = Window.partitionBy(group_col).orderBy("_bs_rank", key_col)
+    return (
+        work.withColumn("_bs_rn", F.row_number().over(final))
+        .filter(F.col("_bs_rn") <= n_per_group)
+        .drop("_bs_rank", "_bs_rn")
+    )
+
+
+def source_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("source", "lang"),
+    text_col: str = "text",
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-group corpus health: ``n_docs``, ``avg_tokens``, ``keep_rate``
+    (fraction passing the Gopher-style quality heuristic), ``n_unique``
+    exact-content fingerprints, and ``dup_rate`` = 1 - unique/docs.
+
+    One shuffle on the (low-cardinality) group key; per-row quality
+    signals stay inside whole-stage codegen. ``exact_distinct=False``
+    trades the exact two-phase distinct count for a single-pass HLL
+    sketch — the right call at 100 TB when +-2% on dup_rate is fine."""
+    q = quality_scores(F.col(text_col))
+    rows = df.select(
+        *group_cols,
+        q["n_tokens"].alias("_sr_tokens"),
+        q["keep"].cast("double").alias("_sr_keep"),
+        fingerprint(F.col(text_col)).alias("_sr_fp"),
+    )
+    n_unique = (
+        F.count_distinct(F.col("_sr_fp"))
+        if exact_distinct
+        else F.approx_count_distinct(F.col("_sr_fp"))
+    )
+    return (
+        rows.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("_sr_tokens").alias("avg_tokens"),
+            F.avg("_sr_keep").alias("keep_rate"),
+            n_unique.alias("n_unique"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.lit(1.0) - F.col("n_unique") / F.col("n_docs").cast("double"),
+        )
+    )

@@ -245,3 +245,56 @@ def test_ngram_overlap_decontamination(spark):
     # min_shared filter
     strict = dp.ngram_overlap(docs, bench, n=3, min_shared=3)
     assert {r["doc_id"] for r in strict.collect()} == {1}
+
+
+# -------------------------------------------------------------- sampling
+
+
+def test_balanced_sample_exact_and_salt_invariant(spark):
+    rows = [(i, "g%d" % (i % 3)) for i in range(90)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    unsalted = dp.balanced_sample(df, "grp", 5, "id", seed="s", salt=None)
+    salted = dp.balanced_sample(df, "grp", 5, "id", seed="s", salt=7)
+    a = sorted(map(tuple, unsalted.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    # the tournament width changes the plan, never the selected rows
+    assert a == b
+    per_group = {r["grp"]: r["n"] for r in
+                 salted.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert per_group == {"g0": 5, "g1": 5, "g2": 5, "tiny": 1}
+    # deterministic: rerun matches; a different seed draws a different sample
+    assert sorted(map(tuple, dp.balanced_sample(
+        df, "grp", 5, "id", seed="s", salt=7).collect())) == b
+    other = sorted(map(tuple, dp.balanced_sample(
+        df, "grp", 5, "id", seed="t", salt=7).collect()))
+    assert other != b
+
+
+def test_balanced_sample_matches_md5_order(spark):
+    df = spark.createDataFrame([(i, "g") for i in range(20)], ["id", "grp"])
+    got = {r["id"] for r in dp.balanced_sample(df, "grp", 3, "id", seed="x").collect()}
+    want = set(sorted(
+        range(20),
+        key=lambda i: (hashlib.md5(f"x\x1f{i}".encode()).hexdigest(), i),
+    )[:3])
+    assert got == want
+
+
+def test_source_rollup(spark):
+    rows = [
+        (1, "s1", "the quick brown fox jumps over the lazy dog"),
+        (2, "s1", "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (3, "s1", "spark dataframes shuffle partitions at scale today"),
+        (4, "s2", "x"),  # fails the quality keep heuristic (n_tokens < 5)
+    ]
+    df = spark.createDataFrame(rows, ["id", "source", "text"])
+    out = {r["source"]: r for r in
+           dp.source_rollup(df, group_cols=("source",)).collect()}
+    assert out["s1"]["n_docs"] == 3 and out["s1"]["n_unique"] == 2
+    assert abs(out["s1"]["dup_rate"] - (1 - 2 / 3)) < 1e-9
+    assert out["s1"]["keep_rate"] == 1.0
+    assert out["s2"]["keep_rate"] == 0.0 and out["s2"]["dup_rate"] == 0.0
+    # HLL variant keeps the same schema and exact counts agree at this size
+    approx = {r["source"]: r for r in dp.source_rollup(
+        df, group_cols=("source",), exact_distinct=False).collect()}
+    assert approx["s1"]["n_docs"] == 3

@@ -15,13 +15,21 @@ materializes a 10^7-element array of maps in one row. Here state is the
 
     frontier ⋈ edges → (id, landmark, dist+1)
     → groupBy(id, landmark).min(dist)        (partial-aggregatable)
-    → anti-improvement filter vs. state      (left join)
+    → first-touch filter vs. state           (left-anti join)
 
 so per-row width is constant and every aggregate has a map-side combine.
-Only improved pairs propagate (the frontier discipline = the reference's
-landmark-only initial actives + skip-inactive + early stop). The final
-``map_from_entries(collect_list(...))`` groups at most |landmarks|
-entries per vertex — bounded, not degree-sized.
+Only newly-reached pairs propagate (the frontier discipline = the
+reference's landmark-only initial actives + skip-inactive + early stop).
+
+Distances are unit-weight hop counts, so a ``(id, landmark)`` pair first
+reached at hop h is FINAL — no later hop can improve it. That makes the
+per-hop state update a plain lineage-free ``unionByName`` of
+already-checkpointed first-touch batches (keys unique by construction):
+no full-state re-aggregation shuffle and no state checkpoint per hop,
+one O(|state|) shuffle per hop total (the anti-join, which reuses the
+candidate aggregation's (id, landmark) exchange on the probe side). The
+final ``map_from_entries(collect_list(...))`` groups at most
+|landmarks| entries per vertex — bounded, not degree-sized.
 """
 
 from __future__ import annotations
@@ -87,24 +95,31 @@ def shortest_paths(
             .groupBy(ID, LANDMARK)
             .agg(F.min(DIST).alias(DIST))
         )
-        old = state.select(
-            F.col(ID), F.col(LANDMARK), F.col(DIST).alias("_old_dist")
+        # `state` contains the very checkpointed batch the candidate
+        # lineage was derived from (frontier), so this anti-join is a
+        # self-join on shared attribute ids; renaming the build side
+        # mints fresh exprIds (an Alias always does), so the analyzer
+        # never has to deduplicate anything
+        seen = state.select(
+            F.col(ID).alias("_seen_id"), F.col(LANDMARK).alias("_seen_lm")
         )
-        improved = candidates.join(old, on=[ID, LANDMARK], how="left_outer").filter(
-            F.col("_old_dist").isNull() | (F.col(DIST) < F.col("_old_dist"))
-        ).select(ID, LANDMARK, DIST)
+        improved = candidates.join(
+            seen,
+            (candidates[ID] == seen["_seen_id"])
+            & (candidates[LANDMARK] == seen["_seen_lm"]),
+            how="left_anti",
+        )
         # eager checkpoint (not persist): the frontier chains superstep to
         # superstep, so an unbroken lineage grows one join+agg per hop and
         # blows up driver plan handling on long chains
         improved = harness.checkpoint(improved, eager=True)
         if improved.isEmpty():
             break
-        state = harness.checkpoint(
-            state.unionByName(improved)
-            .groupBy(ID, LANDMARK)
-            .agg(F.min(DIST).alias(DIST)),
-            eager=True,
-        )
+        # first-touch finality: keys in `improved` are disjoint from
+        # `state`, so the union stays (id, landmark)-unique with no
+        # re-min and, because every batch is already checkpointed, the
+        # union tree's plan depth grows by one cheap node per hop
+        state = state.unionByName(improved)
         frontier = improved
         harness.rotate()
 
@@ -113,8 +128,20 @@ def shortest_paths(
             F.array_sort(F.collect_list(F.struct(F.col(LANDMARK), F.col(DIST))))
         ).alias(DISTANCE_ID)
     )
-    out = graph.vertices.join(result, on=ID, how="left_outer").withColumn(
-        DISTANCE_ID,
-        F.coalesce(F.col(DISTANCE_ID), F.create_map().cast(map_type)),
+    # the seed batch is graph.vertices filtered then checkpointed, and
+    # localCheckpoint keeps attribute ids — rename the result's id so
+    # this join never pairs two leaves sharing the vertices' exprIds
+    res = result.select(
+        F.col(ID).alias("_sp_res_id"), F.col(DISTANCE_ID)
+    )
+    out = (
+        graph.vertices.join(
+            res, graph.vertices[ID] == res["_sp_res_id"], how="left_outer"
+        )
+        .drop("_sp_res_id")
+        .withColumn(
+            DISTANCE_ID,
+            F.coalesce(F.col(DISTANCE_ID), F.create_map().cast(map_type)),
+        )
     )
     return harness.finish(out)

@@ -288,6 +288,32 @@ def q_shortest_paths_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (lib/sssp.py) on the per-user event chains with the
+    source event's value as the edge weight; chains have a unique path
+    per pair, so the DuckDB oracle is an exact prefix-sum difference."""
+    events = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = events.select(
+        F.col("event_id").alias("src"),
+        F.lead("event_id").over(w).alias("dst"),
+        F.col("value").alias("weight"),
+    ).filter(F.col("dst").isNotNull())
+    g = GraphFrame(events.select(F.col("event_id").alias("id")), edges)
+    seq = events.select("event_id", "user_id", F.row_number().over(w).alias("rn"))
+    min_user = events.agg(F.min("user_id")).collect()[0][0]
+    user_seq = seq.filter(F.col("user_id") == min_user)
+    max_rn = user_seq.agg(F.max("rn")).collect()[0][0]
+    lrn = min(21, max_rn)
+    landmark = user_seq.filter(F.col("rn") == lrn).collect()[0]["event_id"]
+    sp = g.shortestPathsWeighted([landmark], weightCol="weight")
+    return sp.select(
+        F.col("id"), F.explode(F.col("distances")).alias("landmark", "distance")
+    ).select(
+        "id", "landmark", F.round("distance", 6).alias("distance")
+    )
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _events_chain_graph(spark, sf_dir)
     return g.labelPropagation(maxIter=3).select("id", "label")
@@ -1176,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_sessionize": q_dp_sessionize,
         "dp_balanced_sample": q_dp_balanced_sample,
         "dp_source_rollup": q_dp_source_rollup,
+        "sssp": q_sssp,
     }
 
 
@@ -1821,6 +1848,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        # unique path per pair on a chain, so weighted SSSP distance is an
+        # exact prefix-sum difference along the min-user event chain
+        "sssp": """
+            WITH seq AS (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            chain AS (
+                SELECT event_id, rn, value,
+                       sum(value) OVER (ORDER BY rn
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+                FROM seq
+                WHERE user_id = (SELECT min(user_id) FROM events)
+            ),
+            lm AS (
+                SELECT event_id AS lm_id, rn AS lrn,
+                       cum - value AS lbase
+                FROM chain
+                WHERE rn = (SELECT least(21, max(rn)) FROM chain)
+            )
+            SELECT c.event_id AS id, lm.lm_id AS landmark,
+                   round(lm.lbase - (c.cum - c.value), 6) AS distance
+            FROM chain c, lm
+            WHERE c.rn <= lm.lrn
         """,
         # the Spark side runs the salted two-level tournament; the oracle is
         # the single-window definition — identical rows by construction

@@ -414,6 +414,21 @@ class GraphFrame:
 
         return shortest_paths(self, landmarks, isDirected)
 
+    def shortestPathsWeighted(
+        self,
+        landmarks: Sequence[Any],
+        weightCol: Optional[str] = "weight",
+        isDirected: bool = True,
+        maxIter: int = 100,
+    ) -> DataFrame:
+        """Weighted landmark shortest paths (Bellman-Ford relaxation);
+        ``distances: map<idType, double>``. Beyond-reference: the
+        reference documents SSSP only as a Pregel recipe (user-guide
+        10-pregel.md:46) and validates it via LDBC SSSP outputs."""
+        from graphframes_spark.lib.sssp import shortest_paths_weighted
+
+        return shortest_paths_weighted(self, landmarks, weightCol, isDirected, maxIter)
+
     def connectedComponents(
         self,
         algorithm: Optional[str] = None,
@@ -617,6 +632,7 @@ class GraphFrame:
     page_rank = pageRank
     parallel_personalized_page_rank = parallelPersonalizedPageRank
     shortest_paths = shortestPaths
+    shortest_paths_weighted = shortestPathsWeighted
     detecting_cycles = detectingCycles
     power_iteration_clustering = powerIterationClustering
     svd_plus_plus = svdPlusPlus

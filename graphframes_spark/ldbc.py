@@ -203,6 +203,39 @@ def bfs_mismatches(
     )
 
 
+def sssp_mismatches(
+    graph: GraphFrame,
+    expected: DataFrame,
+    source_vertex: int,
+    is_directed: bool = True,
+) -> DataFrame:
+    """Rows where weighted shortest paths disagree (beyond 1e-6) with the
+    expected SSSP distances; empty ⟺ validated. Graphalytics encodes
+    unreachable vertices as +infinity, which ``read_expected`` parses to
+    ``inf`` — compare with the same sentinel.
+
+    Graphalytics distances run source → vertex; ``shortestPathsWeighted``
+    measures vertex → landmark along edge direction, so validate on the
+    reversed graph (identical for undirected cases)."""
+    if is_directed:
+        graph = graph.asReversed()
+    got = graph.shortestPathsWeighted(
+        [source_vertex], weightCol="weight", isDirected=is_directed
+    ).select(
+        F.col("id"),
+        F.coalesce(
+            F.element_at(F.col("distances"), F.lit(source_vertex)),
+            F.lit(float("inf")),
+        ).alias("got_distance"),
+    )
+    return got.join(expected, on="id", how="left").filter(
+        ~(
+            (F.col("got_distance") == F.col("distance"))
+            | (F.abs(F.col("got_distance") - F.col("distance")) < 1e-6)
+        )
+    )
+
+
 def cdlp_mismatches(
     graph: GraphFrame, expected: DataFrame, max_iterations: int
 ) -> DataFrame:

@@ -78,3 +78,34 @@ def test_unknown_case_and_missing_zstd(tmp_path, monkeypatch):
     assert ldbc.download_if_not_exists(str(tmp_path), ldbc.WIKI_TALKS).endswith(
         ldbc.WIKI_TALKS
     )
+
+
+@pytest.fixture()
+def weighted_case(tmp_path):
+    """Directed weighted diamond 1->2->4, 1->3->4 with a cheap long way
+    round, plus expected SSSP-from-1 (unreachable 5 = infinity)."""
+    name = "wmini"
+    root = tmp_path / name
+    root.mkdir()
+    (root / f"{name}.v").write_text("".join(f"{i}\n" for i in range(1, 6)))
+    edges = [(1, 2, 10.0), (1, 3, 1.0), (3, 4, 1.0), (2, 4, 0.5), (3, 2, 2.0)]
+    (root / f"{name}.e").write_text("".join(f"{a} {b} {w}\n" for a, b, w in edges))
+    # 1->3 = 1, 1->2 = min(10, 1+2) = 3, 1->4 = min(1+1, 3+0.5) = 2
+    (root / f"{name}-SSSP").write_text("1 0.0\n2 3.0\n3 1.0\n4 2.0\n5 infinity\n")
+    (root / f"{name}.properties").write_text(
+        f"graph.{name}.sssp.source-vertex = 1\n"
+    )
+    return str(root), name
+
+
+def test_sssp_validation(spark, weighted_case):
+    root, name = weighted_case
+    g = ldbc.read_graph(spark, root, name, directed=True, weighted=True)
+    expected = ldbc.read_expected(spark, root, name, "SSSP")
+    src = int(ldbc.read_properties(root, name)[f"graph.{name}.sssp.source-vertex"])
+    assert ldbc.sssp_mismatches(g, expected, src).count() == 0
+    # a wrong expected row is caught
+    bad = expected.limit(0).union(
+        spark.createDataFrame([(4, 99.0)], "id long, distance double")
+    )
+    assert ldbc.sssp_mismatches(g, bad, src).count() == 1

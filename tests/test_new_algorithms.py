@@ -301,3 +301,57 @@ def test_cc_randomized_contraction_matches_two_phase(friends):
         for r in friends.connectedComponents(useLabelsAsComponents=True).collect()
     }
     assert rc == tp
+
+
+# ------------------------------------------------------- weighted SSSP
+
+
+def test_sssp_weighted_shortcut(spark):
+    from graphframes_spark import GraphFrame
+
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    e = spark.createDataFrame(
+        [(1, 2, 10.0), (1, 3, 1.0), (3, 2, 2.0), (9, 9, 0.0)][:3]
+        + [(2, 4, 1.0)],
+        ["src", "dst", "weight"],
+    )
+    g = GraphFrame(v, e)
+    # distance TO landmark 2 along edge direction: a longer-hop path
+    # (1->3->2 = 3) must beat the direct edge (1->2 = 10)
+    res = g.shortestPathsWeighted([2])
+    d = {r["id"]: dict(r["distances"]) for r in res.collect()}
+    assert d[1] == {2: 3.0}
+    assert d[3] == {2: 2.0}
+    assert d[2] == {2: 0.0}
+    assert d[4] == {}  # cannot reach 2 (directed)
+    # undirected mode: 4 reaches 2 through the reversed edge
+    und = g.shortestPathsWeighted([2], isDirected=False)
+    du = {r["id"]: dict(r["distances"]) for r in und.collect()}
+    assert du[4] == {2: 1.0}
+
+
+def test_sssp_multi_landmark_and_unit_fallback(spark):
+    from graphframes_spark import GraphFrame
+
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    e = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 3, 5.0), (3, 4, 5.0)], ["src", "dst", "w"]
+    )
+    g = GraphFrame(v, e)
+    # weight col "w" exists; default weightCol="weight" is absent ->
+    # unit-weight fallback equals hop counts (as doubles)
+    hops = g.shortestPathsWeighted([4, 2])
+    d = {r["id"]: dict(r["distances"]) for r in hops.collect()}
+    assert d[1] == {2: 1.0, 4: 3.0} and d[3] == {4: 1.0}
+    # explicit weight column
+    wd = g.shortestPathsWeighted([4], weightCol="w")
+    dw = {r["id"]: dict(r["distances"]) for r in wd.collect()}
+    assert dw[1] == {4: 15.0}
+    # parallel edges: the lighter one wins
+    e2 = spark.createDataFrame(
+        [(1, 2, 5.0), (1, 2, 1.0)], ["src", "dst", "w"]
+    )
+    g2 = GraphFrame(v.filter("id <= 2"), e2)
+    d2 = {r["id"]: dict(r["distances"])
+          for r in g2.shortestPathsWeighted([2], weightCol="w").collect()}
+    assert d2[1] == {2: 1.0}

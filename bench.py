@@ -56,6 +56,10 @@ HEADLINE = [
     "dp_minhash_dedup",
     "dp_simhash_pairs",
     "dp_ann_topk",
+    # round-4 additions
+    "sssp",
+    "dp_balanced_sample",
+    "dp_source_rollup",
 ]
 
 

@@ -59,11 +59,15 @@ def hash2vec(
     decay: str = "gaussian",
     sigma: float = 1.0,
     normalize: bool = True,
+    index_seed: int = 0,
+    sign_seed: int = 1,
 ) -> DataFrame:
     """DF[id, vector: array<double>] from DF[<seq_col>: array<id>].
 
     ``decay``: 'gaussian' (exp(-d²/2σ²)) or 'constant' (1.0) weighting of
     a context token at distance d (Hash2Vec.scala decay options).
+    ``index_seed`` / ``sign_seed`` salt the feature-index and sign hashes
+    (Hash2Vec.scala hashingSeed / signSeed).
     """
     import numpy as np
     import pandas as pd
@@ -100,8 +104,8 @@ def hash2vec(
                         for j in (i - d, i + d):
                             if 0 <= j < len(toks):
                                 ctx = toks[j]
-                                idx = _h(ctx, 0) % dim
-                                sign = 1.0 if _h(ctx, 1) & 1 else -1.0
+                                idx = _h(ctx, index_seed) % dim
+                                sign = 1.0 if _h(ctx, sign_seed) & 1 else -1.0
                                 vec[idx] += sign * w
         # dtype=object keeps empty partitions Arrow-convertible (an empty
         # float64 ndarray column cannot convert to list<double>)
@@ -276,3 +280,180 @@ def sampling_convolution(
             F.col(ID), F.concat(F.col(VECTOR_COL), F.col("_mean")).alias(VECTOR_COL)
         )
     return out.select(F.col(ID), F.col("_mean").alias(VECTOR_COL))
+
+
+class RwEmbeddings:
+    """Snake-case random-walk-embeddings builder matching the reference
+    python client surface (python/graphframes/graphframe.py:1160-1253):
+    ``g.rw_embeddings`` → ``set_rw_model(...)`` or
+    ``use_cached_random_walks(path)`` → ``set_hash2vec(...)`` /
+    ``set_word2vec(...)`` [→ ``set_neighbors_aggregation(...)``] →
+    ``run()``.
+
+    Deviations: ``save_norm`` maps to the zero-norm guard this engine's
+    L2 normalization always applies, and hash seeds salt a blake2b
+    hasher rather than JVM murmur3 (same structure, different family —
+    see ``hash2vec``)."""
+
+    _HASH2VEC_DECAY_FUNCTIONS = ("gaussian", "constant")
+
+    def __init__(self, graph: GraphFrame) -> None:
+        self._graph = graph
+        self._cached_walks: Optional[str] = None
+        self._rw: Optional[RandomWalkWithRestart] = None
+        self._sequence_model: Optional[str] = None
+        self._h2v: dict = {}
+        self._w2v: dict = {}
+        self._aggregate_neighbors = False
+        self._agg_max_nbrs = 50
+        self._agg_seed = 42
+        self._clean_up = False
+
+    def use_cached_random_walks(self, cached_walks_path: str) -> None:
+        if cached_walks_path == "":
+            raise ValueError("cached walks path cannot be empty")
+        self._cached_walks = cached_walks_path
+
+    def set_rw_model(
+        self,
+        temporary_prefix: str,
+        use_edge_direction: bool = False,
+        max_neighbors_per_vertex: int = 50,
+        num_walks_per_node: int = 5,
+        num_batches: int = 5,
+        walks_per_batch: int = 10,
+        restart_probability: float = 0.1,
+        seed: int = 42,
+    ) -> None:
+        self._rw = (
+            RandomWalkWithRestart()
+            .setTemporaryPrefix(temporary_prefix)
+            .setUseEdgeDirection(use_edge_direction)
+            .setMaxNbrsPerVertex(max_neighbors_per_vertex)
+            .setNumWalksPerNode(num_walks_per_node)
+            .setNumBatches(num_batches)
+            .setBatchSize(walks_per_batch)
+            .setRestartProbability(restart_probability)
+            .setGlobalSeed(seed)
+        )
+
+    def set_hash2vec(
+        self,
+        context_size: int = 5,
+        num_partitions: int = 5,
+        embeddings_dim: int = 512,
+        decay_function: str = "gaussian",
+        gaussian_sigma: float = 1.0,
+        hashing_seed: int = 42,
+        sign_seed: int = 18,
+        l2_norm: bool = True,
+        save_norm: bool = True,
+    ) -> None:
+        if decay_function not in self._HASH2VEC_DECAY_FUNCTIONS:
+            raise ValueError(
+                f"supported decay functions are {self._HASH2VEC_DECAY_FUNCTIONS}"
+            )
+        self._sequence_model = "hash2vec"
+        self._h2v = dict(
+            window=context_size,
+            num_partitions=num_partitions,
+            dim=embeddings_dim,
+            decay=decay_function,
+            sigma=gaussian_sigma,
+            index_seed=hashing_seed,
+            sign_seed=sign_seed,
+            normalize=l2_norm,
+        )
+
+    def set_word2vec(
+        self,
+        max_iter: int = 1,
+        embeddings_dim: int = 100,
+        window_size: int = 5,
+        num_partitions: int = 1,
+        min_count: int = 5,
+        max_sentence_length: int = 1000,
+        seed: int = 42,
+        step_size: float = 0.025,
+    ) -> None:
+        self._sequence_model = "word2vec"
+        self._w2v = dict(
+            maxIter=max_iter,
+            vectorSize=embeddings_dim,
+            windowSize=window_size,
+            numPartitions=num_partitions,
+            minCount=min_count,
+            maxSentenceLength=max_sentence_length,
+            seed=seed,
+            stepSize=step_size,
+        )
+
+    def unset_neighbors_aggregation(self) -> None:
+        self._aggregate_neighbors = False
+
+    def set_neighbors_aggregation(self, max_neighbors: int = 50, seed: int = 42) -> None:
+        self._aggregate_neighbors = True
+        self._agg_max_nbrs = max_neighbors
+        self._agg_seed = seed
+
+    def set_clean_up_after_run(self, clean_up: bool = True) -> None:
+        self._clean_up = clean_up
+
+    def run(self) -> DataFrame:
+        """DF[id: string, vector: array<double>]."""
+        spark = self._graph.spark
+        if self._cached_walks is not None:
+            walks = spark.read.parquet(self._cached_walks)
+            if RW_COL not in walks.columns:
+                raise GraphFramesError(
+                    f"cached walks at {self._cached_walks} lack a {RW_COL!r} column"
+                )
+        elif self._rw is not None:
+            walks = self._rw.onGraph(self._graph).run()
+        else:
+            raise ValueError("TMP path or cached walks path should be provided!")
+        if self._sequence_model is None:
+            raise ValueError("set a sequence model via set_hash2vec or set_word2vec")
+
+        seqs = walks.select(
+            F.transform(F.col(RW_COL), lambda x: x.cast("string")).alias(RW_COL)
+        ).filter(F.size(RW_COL) > 0)
+
+        if self._sequence_model == "hash2vec":
+            params = dict(self._h2v)
+            n_parts = params.pop("num_partitions")
+            # partial maps accumulate per partition: the partition count
+            # bounds both parallelism and per-worker vocabulary size
+            emb = hash2vec(seqs.repartition(n_parts), RW_COL, **params)
+        else:
+            from pyspark.ml.feature import Word2Vec
+            from pyspark.ml.functions import vector_to_array
+
+            w2v = Word2Vec(inputCol=RW_COL, outputCol="_w2v", **self._w2v)
+            model = w2v.fit(seqs)
+            emb = model.getVectors().select(
+                F.col("word").alias(ID),
+                vector_to_array(F.col("vector")).alias(VECTOR_COL),
+            )
+
+        if self._aggregate_neighbors:
+            emb = sampling_convolution(
+                self._graph,
+                emb,
+                k=self._agg_max_nbrs,
+                seed=self._agg_seed,
+                concat_self=True,
+                id_as_string=True,
+            )
+
+        if self._clean_up and self._rw is not None and self._cached_walks is None:
+            # walk batches feed the (lazy) result plan, so materialize
+            # before deleting them out from under it
+            emb = emb.localCheckpoint(eager=True)
+            import shutil
+
+            prefix = self._rw._temporary_prefix.rstrip("/")
+            run_id = self._rw.getRunId()
+            for i in range(1, self._rw._num_batches + 1):
+                shutil.rmtree(f"{prefix}/{run_id}_batch_{i}", ignore_errors=True)
+        return emb

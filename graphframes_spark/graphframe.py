@@ -617,6 +617,16 @@ class GraphFrame:
         """Alias for :attr:`vertices` (reference python client parity)."""
         return self._vertices
 
+    @property
+    def rw_embeddings(self):
+        """Random-walk-embeddings builder with the reference python
+        client's snake_case surface (python/graphframes/graphframe.py:
+        1160-1253); see also the camelCase
+        :class:`~graphframes_spark.embeddings.RandomWalkEmbeddings`."""
+        from graphframes_spark.embeddings import RwEmbeddings
+
+        return RwEmbeddings(self)
+
     type_out_degree = typeOutDegree
     type_in_degree = typeInDegree
     type_degree = typeDegree

@@ -169,3 +169,65 @@ def test_random_walk_embeddings_vector_output(blob_graph, tmp_path):
     assert isinstance(emb.schema["vector"].dataType, VectorUDT)
     row = emb.limit(1).collect()[0]
     assert len(row["vector"]) == 8
+
+
+# ---------------------------------------- reference-client snake_case builder
+
+
+def test_rw_embeddings_builder_hash2vec(blob_graph, tmp_path):
+    b = blob_graph.rw_embeddings
+    b.set_rw_model(
+        str(tmp_path), num_walks_per_node=1, num_batches=1, walks_per_batch=4, seed=5
+    )
+    b.set_hash2vec(context_size=2, num_partitions=2, embeddings_dim=8)
+    emb = b.run()
+    rows = {r["id"]: r["vector"] for r in emb.collect()}
+    assert len(rows) > 0 and all(len(v) == 8 for v in rows.values())
+    # L2-normalized
+    for v in rows.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-6
+
+
+def test_rw_embeddings_builder_word2vec_cached_and_cleanup(blob_graph, tmp_path):
+    import os
+
+    # first run with cleanup: batch dirs are gone afterwards
+    b = blob_graph.rw_embeddings
+    b.set_rw_model(
+        str(tmp_path / "w"), num_walks_per_node=2, num_batches=1,
+        walks_per_batch=4, seed=5,
+    )
+    b.set_word2vec(embeddings_dim=8, min_count=1)
+    b.set_clean_up_after_run(True)
+    emb = b.run()
+    assert emb.count() > 0
+    assert os.listdir(tmp_path / "w") == []
+
+    # cached walks path: no rw model needed
+    walks = (
+        RandomWalkWithRestart()
+        .onGraph(blob_graph)
+        .setNumWalksPerNode(1).setBatchSize(4).setNumBatches(1)
+        .setGlobalSeed(5).setTemporaryPrefix(str(tmp_path / "c"))
+        .run()
+    )
+    walks.write.mode("overwrite").parquet(str(tmp_path / "cached"))
+    b2 = blob_graph.rw_embeddings
+    b2.use_cached_random_walks(str(tmp_path / "cached"))
+    b2.set_hash2vec(context_size=2, num_partitions=2, embeddings_dim=8)
+    b2.set_neighbors_aggregation(max_neighbors=3, seed=7)
+    emb2 = b2.run()
+    rows = {r["id"]: r["vector"] for r in emb2.collect()}
+    assert all(len(v) == 16 for v in rows.values())  # self ++ neighbor mean
+
+
+def test_rw_embeddings_builder_errors(blob_graph):
+    import pytest as _pytest
+
+    b = blob_graph.rw_embeddings
+    with _pytest.raises(ValueError, match="TMP path or cached walks"):
+        b.run()
+    with _pytest.raises(ValueError, match="decay"):
+        b.set_hash2vec(decay_function="nope")
+    with _pytest.raises(ValueError, match="empty"):
+        b.use_cached_random_walks("")

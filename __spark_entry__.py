@@ -260,17 +260,29 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.connectedComponents().select("id", "component")
 
 
+def _chain_landmark(spark: SparkSession, sf_dir: str) -> int:
+    """Event id 21 hops into the min-user chain (bounds supersteps at any
+    SF). One bounded agg + one single-user window — the per-user rank is
+    computed AFTER the user filter so no full-table window runs."""
+    events = _read_events(spark, sf_dir)
+    min_user = events.agg(F.min("user_id")).collect()[0][0]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    user_seq = (
+        events.filter(F.col("user_id") == min_user)
+        .select("event_id", F.row_number().over(w).alias("rn"))
+    )
+    row = (
+        user_seq.withColumn("m", F.max("rn").over(Window.partitionBy()))
+        .filter(F.col("rn") == F.least(F.col("m"), F.lit(21)))
+        .select("event_id")
+        .collect()[0]
+    )
+    return row["event_id"]
+
+
 def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _events_chain_graph(spark, sf_dir)
-    events = _read_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = events.select("event_id", "user_id", F.row_number().over(w).alias("rn"))
-    min_user = events.agg(F.min("user_id")).collect()[0][0]
-    user_seq = seq.filter(F.col("user_id") == min_user)
-    # landmark 21 hops into the chain bounds Pregel supersteps at any SF
-    max_rn = user_seq.agg(F.max("rn")).collect()[0][0]
-    lrn = min(21, max_rn)
-    landmark = user_seq.filter(F.col("rn") == lrn).collect()[0]["event_id"]
+    landmark = _chain_landmark(spark, sf_dir)
     sp = g.shortestPaths(landmarks=[landmark])
     return sp.select(
         F.col("id"), F.explode(F.col("distances")).alias("landmark", "distance")
@@ -300,12 +312,7 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("weight"),
     ).filter(F.col("dst").isNotNull())
     g = GraphFrame(events.select(F.col("event_id").alias("id")), edges)
-    seq = events.select("event_id", "user_id", F.row_number().over(w).alias("rn"))
-    min_user = events.agg(F.min("user_id")).collect()[0][0]
-    user_seq = seq.filter(F.col("user_id") == min_user)
-    max_rn = user_seq.agg(F.max("rn")).collect()[0][0]
-    lrn = min(21, max_rn)
-    landmark = user_seq.filter(F.col("rn") == lrn).collect()[0]["event_id"]
+    landmark = _chain_landmark(spark, sf_dir)
     sp = g.shortestPathsWeighted([landmark], weightCol="weight")
     return sp.select(
         F.col("id"), F.explode(F.col("distances")).alias("landmark", "distance")

@@ -111,15 +111,27 @@ def shortest_paths(
         )
         # eager checkpoint (not persist): the frontier chains superstep to
         # superstep, so an unbroken lineage grows one join+agg per hop and
-        # blows up driver plan handling on long chains
+        # blows up driver plan handling on long chains. The emptiness
+        # probe rides the checkpoint's materialization job (Observation)
+        # instead of a second isEmpty action per hop.
+        from pyspark.sql import Observation
+
+        from graphframes_spark.pregel import _observed_count
+
+        obs = Observation()
+        improved = improved.observe(obs, F.count(F.lit(1)).alias("cnt"))
         improved = harness.checkpoint(improved, eager=True)
-        if improved.isEmpty():
+        if _observed_count(obs, "cnt") == 0:
             break
         # first-touch finality: keys in `improved` are disjoint from
         # `state`, so the union stays (id, landmark)-unique with no
         # re-min and, because every batch is already checkpointed, the
         # union tree's plan depth grows by one cheap node per hop
         state = state.unionByName(improved)
+        # consolidate periodically: an ever-wider union makes each hop's
+        # analysis and anti-join scan O(hops), O(hops^2) over the loop
+        if harness.iteration % 8 == 0:
+            state = harness.checkpoint(state, eager=True)
         frontier = improved
         harness.rotate()
 

@@ -18,8 +18,17 @@ each round keeps the classic Bellman-Ford improvement test:
 
     frontier ⋈ edges → (id, landmark, dist + weight)
     → groupBy(id, landmark).min(dist)          (partial-aggregatable)
-    → improvement filter vs. state             (left join, keep smaller)
-    → state := union + re-min                  (one shuffle)
+    → improvement filter vs. state             (anti join: drop unless
+                                                strictly cheaper than
+                                                every prior relaxation)
+    → state := plain union of checkpointed batches
+
+State may hold superseded rows — one final ``groupBy.min`` drops them —
+so the per-hop update is lineage-free and shuffle-free; the only
+per-hop O(|state|) work is the anti-join's build side. Each key appears
+at most once per hop that improves it (bounded by the hop length of its
+shortest path under non-negative weights), so the superseded-row
+overhead is a small constant factor on state size.
 
 Rounds are bounded by ``max_iter`` (default 100): with non-negative
 weights the loop self-terminates within the hop length of the longest
@@ -115,40 +124,56 @@ def shortest_paths_weighted(
             .groupBy(ID, LANDMARK)
             .agg(F.min(DIST).alias(DIST))
         )
-        # renamed build side mints fresh exprIds: `state` contains the
+        # anti-join with the inequality folded into the condition: a
+        # candidate survives iff NO prior relaxation of its key was
+        # already as cheap. `state` is allowed to hold superseded rows
+        # (min deferred to the end), so the per-hop update is a
+        # lineage-free union of checkpointed batches — no full-state
+        # re-aggregation shuffle and no state checkpoint per hop.
+        # Renamed build side mints fresh exprIds: `state` contains the
         # checkpointed batch the frontier lineage derives from (see
-        # lib/shortest_paths.py for the analyzer-dedup trap)
+        # lib/shortest_paths.py for the analyzer-dedup trap).
         old = state.select(
             F.col(ID).alias("_old_id"),
             F.col(LANDMARK).alias("_old_lm"),
             F.col(DIST).alias("_old_dist"),
         )
-        improved = (
-            candidates.join(
-                old,
-                (candidates[ID] == old["_old_id"])
-                & (candidates[LANDMARK] == old["_old_lm"]),
-                how="left_outer",
-            )
-            .filter(F.col("_old_dist").isNull() | (F.col(DIST) < F.col("_old_dist")))
-            .select(ID, LANDMARK, DIST)
+        improved = candidates.join(
+            old,
+            (candidates[ID] == old["_old_id"])
+            & (candidates[LANDMARK] == old["_old_lm"])
+            & (old["_old_dist"] <= candidates[DIST]),
+            how="left_anti",
         )
+        # fold the emptiness probe into the checkpoint's materialization
+        # job via Observation — no separate isEmpty action per hop
+        from pyspark.sql import Observation
+
+        from graphframes_spark.pregel import _observed_count
+
+        obs = Observation()
+        improved = improved.observe(obs, F.count(F.lit(1)).alias("cnt"))
         improved = harness.checkpoint(improved, eager=True)
-        if improved.isEmpty():
+        if _observed_count(obs, "cnt") == 0:
             break
-        state = harness.checkpoint(
-            state.unionByName(improved)
-            .groupBy(ID, LANDMARK)
-            .agg(F.min(DIST).alias(DIST)),
-            eager=True,
-        )
+        state = state.unionByName(improved)
+        # consolidate periodically: an ever-wider union makes each hop's
+        # analysis and anti-join scan O(hops), O(hops^2) over the loop
+        if harness.iteration % 8 == 0:
+            state = harness.checkpoint(state, eager=True)
         frontier = improved
         harness.rotate()
 
-    result = state.groupBy(ID).agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct(F.col(LANDMARK), F.col(DIST))))
-        ).alias(DISTANCE_ID)
+    # superseded rows dropped here: one min per (id, landmark) key
+    result = (
+        state.groupBy(ID, LANDMARK)
+        .agg(F.min(DIST).alias(DIST))
+        .groupBy(ID)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct(F.col(LANDMARK), F.col(DIST))))
+            ).alias(DISTANCE_ID)
+        )
     )
     res = result.select(F.col(ID).alias("_sp_res_id"), F.col(DISTANCE_ID))
     out = (

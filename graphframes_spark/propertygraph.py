@@ -44,6 +44,11 @@ class InvalidPropertyGroupError(GraphFramesError):
     """Raised when a property group references missing/invalid columns."""
 
 
+#: reference python client name (pg/property_groups.py
+#: InvalidPropertyGroupException)
+InvalidPropertyGroupException = InvalidPropertyGroupError
+
+
 @dataclass(frozen=True)
 class VertexPropertyGroup:
     """Named group of vertices (VertexPropertyGroup.scala:46-109)."""
@@ -272,3 +277,10 @@ class PropertyGraphFrame:
         return out
 
     joinVertices = join_vertices
+
+    # reference python client names (pg/property_graphframe.py:80-330)
+    to_graphframe = to_graph_frame
+
+    @property
+    def edges_property_groups(self) -> Sequence[EdgePropertyGroup]:
+        return self.edge_property_groups

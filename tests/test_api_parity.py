@@ -117,3 +117,32 @@ def test_storage_level_fromstring_jvm_semantics():
     assert sl("NONE").useMemory is False and sl("NONE").useDisk is False
     with pytest.raises(GraphFramesError):
         sl("MEMORY_AND_DISK_3")
+
+
+def test_pg_reference_client_aliases(spark):
+    from graphframes_spark.propertygraph import (
+        EdgePropertyGroup,
+        InvalidPropertyGroupError,
+        InvalidPropertyGroupException,
+        PropertyGraphFrame,
+        VertexPropertyGroup,
+    )
+
+    assert InvalidPropertyGroupException is InvalidPropertyGroupError
+    v = VertexPropertyGroup("u", spark.createDataFrame([(1,)], ["id"]))
+    e = EdgePropertyGroup(
+        "r",
+        spark.createDataFrame([(1, 1, 1.0)], ["src", "dst", "weight"]),
+        v,
+        v,
+    )
+    pg = PropertyGraphFrame([v], [e])
+    assert pg.edges_property_groups == pg.edge_property_groups
+    # to_graphframe (reference python name) = to_graph_frame
+    g = pg.to_graphframe(["u"], ["r"])
+    assert set(g.vertices.columns) >= {"id"}
+
+
+def test_rw_embeddings_property_exists(friends):
+    b = friends.rw_embeddings
+    assert hasattr(b, "set_rw_model") and hasattr(b, "set_hash2vec")

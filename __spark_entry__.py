@@ -321,6 +321,31 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (lib/hits.py) on the supplier→part bipartite from lineitem;
+    2 iterations, matched by a fully-unrolled DuckDB oracle. Parts get
+    offset long ids (same trick as pg_copurchase) — 8-byte join keys
+    beat prefixed strings on every shuffle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey").cast("long") + F.lit(ORDER_OFFSET)).alias("dst"),
+    ).distinct()
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        (F.col("p_partkey").cast("long") + F.lit(ORDER_OFFSET)).alias("id")
+    )
+    g = GraphFrame(supp.unionByName(part), e)
+    res = g.hits(maxIter=2)
+    return res.select(
+        "id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _events_chain_graph(spark, sf_dir)
     return g.labelPropagation(maxIter=3).select("id", "label")
@@ -1210,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_balanced_sample": q_dp_balanced_sample,
         "dp_source_rollup": q_dp_source_rollup,
         "sssp": q_sssp,
+        "hits": q_hits,
     }
 
 
@@ -1855,6 +1881,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        # two HITS iterations unrolled: each auth/hub update is a
+        # join+sum, each normalization a scalar subquery — mirrors the
+        # operator's exact per-iteration normalize ordering
+        "hits": """
+            WITH v AS (
+                SELECT s_suppkey AS id FROM supplier
+                UNION ALL
+                SELECT p_partkey + 10000000 AS id FROM part
+            ),
+            e AS (
+                SELECT DISTINCT l_suppkey AS src,
+                                l_partkey + 10000000 AS dst
+                FROM lineitem
+            ),
+            ra1 AS (SELECT dst AS id, CAST(count(*) AS DOUBLE) AS raw
+                    FROM e GROUP BY dst),
+            a1 AS (SELECT id, raw / nullif((SELECT sqrt(sum(raw*raw)) FROM ra1), 0)
+                          AS auth FROM ra1),
+            rh1 AS (SELECT e.src AS id, sum(a1.auth) AS raw
+                    FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src),
+            h1 AS (SELECT id, raw / nullif((SELECT sqrt(sum(raw*raw)) FROM rh1), 0)
+                          AS hub FROM rh1),
+            ra2 AS (SELECT e.dst AS id, sum(h1.hub) AS raw
+                    FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst),
+            a2 AS (SELECT id, raw / nullif((SELECT sqrt(sum(raw*raw)) FROM ra2), 0)
+                          AS auth FROM ra2),
+            rh2 AS (SELECT e.src AS id, sum(a2.auth) AS raw
+                    FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src),
+            h2 AS (SELECT id, raw / nullif((SELECT sqrt(sum(raw*raw)) FROM rh2), 0)
+                          AS hub FROM rh2)
+            SELECT v.id,
+                   round(coalesce(h2.hub, 0.0), 6) AS hub,
+                   round(coalesce(a2.auth, 0.0), 6) AS authority
+            FROM v
+            LEFT JOIN h2 ON v.id = h2.id
+            LEFT JOIN a2 ON v.id = a2.id
         """,
         # unique path per pair on a chain, so weighted SSSP distance is an
         # exact prefix-sum difference along the min-user event chain

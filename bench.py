@@ -58,6 +58,7 @@ HEADLINE = [
     "dp_ann_topk",
     # round-4 additions
     "sssp",
+    "hits",
     "dp_balanced_sample",
     "dp_source_rollup",
 ]

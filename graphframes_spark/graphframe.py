@@ -429,6 +429,14 @@ class GraphFrame:
 
         return shortest_paths_weighted(self, landmarks, weightCol, isDirected, maxIter)
 
+    def hits(self, maxIter: int = 10) -> DataFrame:
+        """Hubs and authorities (Kleinberg HITS, L2-normalized per
+        iteration); DF[<vertex columns>, hub, authority]. Beyond-reference
+        — the reference's GraphX-derived set has no HITS."""
+        from graphframes_spark.lib.hits import hits
+
+        return hits(self, maxIter)
+
     def connectedComponents(
         self,
         algorithm: Optional[str] = None,

@@ -1,0 +1,82 @@
+"""HITS (hubs and authorities, Kleinberg 1999).
+
+Beyond-reference: the reference library has no HITS operator (its
+algorithm set is GraphX-derived), but the power-iteration shape is the
+same family as pageRank and fits the same DataFrame recipe. Per
+iteration (the classic normalized formulation):
+
+    auth(v) = Σ_{u→v} hub(u)     then L2-normalize auth
+    hub(u)  = Σ_{u→v} auth(v)    then L2-normalize hub
+
+Scale posture: each iteration is two edge-state joins + two
+partial-aggregatable sums keyed on vertex id; the L2 norm is a 1-row
+aggregate broadcast back (no driver collect, no window). State per
+vertex is two doubles — hub-degree never inflates a row. Lineage is cut
+with an eager checkpoint per iteration, same policy as the other
+fixed-iteration recipes.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphframes_spark.harness import IterationHarness
+from graphframes_spark.util import DST, ID, SRC, GraphFramesError
+
+if TYPE_CHECKING:
+    from graphframes_spark.graphframe import GraphFrame
+
+HUB = "hub"
+AUTHORITY = "authority"
+
+
+def _l2_normalized(df: DataFrame, key_alias: str, out_col: str) -> DataFrame:
+    """(key, _raw) → (id, out_col = _raw / ||_raw||₂); zero norm → 0."""
+    norm = df.agg(
+        F.sqrt(F.sum(F.col("_raw") * F.col("_raw"))).alias("_n")
+    )
+    return df.crossJoin(F.broadcast(norm)).select(
+        F.col(key_alias).alias(ID),
+        F.when(F.col("_n") > 0, F.col("_raw") / F.col("_n"))
+        .otherwise(F.lit(0.0))
+        .alias(out_col),
+    )
+
+
+def hits(graph: "GraphFrame", max_iter: int = 10) -> DataFrame:
+    """DF[<vertex columns>, hub: double, authority: double]."""
+    if max_iter < 1:
+        raise GraphFramesError("maxIter must be >= 1")
+    spark = graph.spark
+    harness = IterationHarness(spark, checkpoint_interval=1)
+    edges = harness.pin(graph.edges.select(SRC, DST).distinct())
+
+    hub = graph.vertices.select(ID).withColumn(HUB, F.lit(1.0))
+    hub = harness.checkpoint(hub, eager=True)
+    auth = None
+    for _ in harness.iterations(max_iter):
+        raw_a = (
+            edges.join(hub.withColumnRenamed(ID, SRC), on=SRC)
+            .groupBy(DST)
+            .agg(F.sum(HUB).alias("_raw"))
+        )
+        auth = _l2_normalized(raw_a, DST, AUTHORITY)
+        raw_h = (
+            edges.join(auth.withColumnRenamed(ID, DST), on=DST)
+            .groupBy(SRC)
+            .agg(F.sum(AUTHORITY).alias("_raw"))
+        )
+        hub = harness.checkpoint(_l2_normalized(raw_h, SRC, HUB), eager=True)
+        harness.rotate()
+    auth = harness.checkpoint(auth, eager=True)
+
+    out = (
+        graph.vertices.join(hub, on=ID, how="left_outer")
+        .join(auth, on=ID, how="left_outer")
+        .withColumn(HUB, F.coalesce(F.col(HUB), F.lit(0.0)))
+        .withColumn(AUTHORITY, F.coalesce(F.col(AUTHORITY), F.lit(0.0)))
+    )
+    return harness.finish(out)

@@ -355,3 +355,49 @@ def test_sssp_multi_landmark_and_unit_fallback(spark):
     d2 = {r["id"]: dict(r["distances"])
           for r in g2.shortestPathsWeighted([2], weightCol="w").collect()}
     assert d2[1] == {2: 1.0}
+
+
+# ------------------------------------------------------------------ HITS
+
+
+def test_hits_two_iterations_known_values(spark):
+    import math
+
+    from graphframes_spark import GraphFrame
+
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("e",)], ["id"])
+    e = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("b", "d")], ["src", "dst"]
+    )
+    g = GraphFrame(v, e)
+    res = {r["id"]: (r["hub"], r["authority"]) for r in g.hits(maxIter=2).collect()}
+    # hand-rolled two normalized iterations:
+    # iter1: auth ∝ (c=2, d=1); hub ∝ (a=auth_c, b=auth_c+auth_d) = (2, 3)/√5
+    # iter2: auth ∝ (c=hub_a+hub_b=5, d=hub_b=3)/√13 → /√34
+    #        hub  ∝ (a=auth_c=5, b=auth_c+auth_d=8)/√34 → /√89
+    assert abs(res["a"][0] - 5 / math.sqrt(89)) < 1e-9
+    assert abs(res["b"][0] - 8 / math.sqrt(89)) < 1e-9
+    assert abs(res["c"][1] - 5 / math.sqrt(34)) < 1e-9
+    assert abs(res["d"][1] - 3 / math.sqrt(34)) < 1e-9
+    # sinks have no hub score, sources no authority, isolated vertex neither
+    assert res["c"][0] == 0.0 and res["d"][0] == 0.0
+    assert res["a"][1] == 0.0 and res["b"][1] == 0.0
+    assert res["e"] == (0.0, 0.0)
+    # L2 norms of the final update are 1
+    assert abs(sum(h * h for h, _ in res.values()) - 1.0) < 1e-9
+    assert abs(sum(a * a for _, a in res.values()) - 1.0) < 1e-9
+
+
+def test_hits_empty_edges_and_bad_iter(spark):
+    import pytest as _pytest
+
+    from graphframes_spark import GraphFrame
+    from graphframes_spark.util import GraphFramesError
+
+    v = spark.createDataFrame([(1,), (2,)], ["id"])
+    e = spark.createDataFrame([], "src long, dst long")
+    res = {r["id"]: (r["hub"], r["authority"])
+           for r in GraphFrame(v, e).hits(maxIter=1).collect()}
+    assert res == {1: (0.0, 0.0), 2: (0.0, 0.0)}
+    with _pytest.raises(GraphFramesError):
+        GraphFrame(v, e).hits(maxIter=0)

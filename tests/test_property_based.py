@@ -153,3 +153,48 @@ def test_kcore_matches_peeling(spark, edges):
     g = _graph(spark, canon)
     got = {r["id"]: r["kcore"] for r in g.kCore().collect()}
     assert got == _kcore_oracle(canon)
+
+
+weighted_edge_sets = st.sets(
+    st.tuples(
+        st.integers(0, MAX_V - 1),
+        st.integers(0, MAX_V - 1),
+        st.integers(1, 9),  # weights as small ints -> exact float arithmetic
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _sssp_oracle(edges, landmark):
+    """Driver-side Bellman-Ford: min total weight v -> landmark along
+    edge direction; unreachable vertices are absent."""
+    inf = float("inf")
+    dist = {i: inf for i in range(MAX_V)}
+    dist[landmark] = 0.0
+    # keep only the lightest parallel edge, like the operator does
+    best = {}
+    for s, d, w in edges:
+        best[(s, d)] = min(best.get((s, d), inf), float(w))
+    for _ in range(MAX_V):
+        for (s, d), w in best.items():
+            if dist[d] + w < dist[s]:
+                dist[s] = dist[d] + w
+    return {i: d for i, d in dist.items() if d < inf}
+
+
+@pytest.mark.slow
+@given(edges=weighted_edge_sets, landmark=st.integers(0, MAX_V - 1))
+@settings(**SETTINGS)
+def test_sssp_matches_bellman_ford(spark, edges, landmark):
+    v = spark.createDataFrame([(i,) for i in range(MAX_V)], ["id"])
+    e = spark.createDataFrame(
+        sorted((s, d, float(w)) for s, d, w in edges), ["src", "dst", "weight"]
+    )
+    g = GraphFrame(v, e)
+    got = {
+        r["id"]: r["distances"].get(landmark)
+        for r in g.shortestPathsWeighted([landmark]).collect()
+        if landmark in r["distances"]
+    }
+    assert got == _sssp_oracle(edges, landmark)

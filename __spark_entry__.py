@@ -321,6 +321,20 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors + Adamic-Adar (lib/linkpred.py) on the
+    customer-order bipartite: order pairs share exactly their customer,
+    so adamic_adar = 1/ln(customer degree) — varied, exactly checkable."""
+    g = _customer_order_graph(spark, sf_dir)
+    s = g.commonNeighborScores()
+    return s.select(
+        "id_a",
+        "id_b",
+        "common_neighbors",
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS (lib/hits.py) on the supplier→part bipartite from lineitem;
     2 iterations, matched by a fully-unrolled DuckDB oracle. Parts get
@@ -1236,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_source_rollup": q_dp_source_rollup,
         "sssp": q_sssp,
         "hits": q_hits,
+        "link_prediction": q_link_prediction,
     }
 
 
@@ -1881,6 +1896,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        # wedge enumeration through each undirected center, canonical
+        # pair order, center degree = distinct undirected neighbors
+        "link_prediction": f"""
+            WITH e AS (
+                SELECT o_custkey AS src, o_orderkey + {ORDER_OFFSET} AS dst
+                FROM orders
+            ),
+            und AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT dst AS src, src AS dst FROM e
+            ),
+            deg AS (SELECT src AS w, count(*) AS d FROM und GROUP BY src),
+            wedge AS (
+                SELECT u1.src AS w, u1.dst AS a, u2.dst AS b
+                FROM und u1 JOIN und u2 ON u1.src = u2.src AND u1.dst < u2.dst
+            )
+            SELECT a AS id_a, b AS id_b,
+                   count(*) AS common_neighbors,
+                   round(sum(1.0 / ln(d)), 6) AS adamic_adar
+            FROM wedge JOIN deg USING (w)
+            GROUP BY a, b
         """,
         # two HITS iterations unrolled: each auth/hub update is a
         # join+sum, each normalization a scalar subquery — mirrors the

@@ -59,6 +59,7 @@ HEADLINE = [
     # round-4 additions
     "sssp",
     "hits",
+    "link_prediction",
     "dp_balanced_sample",
     "dp_source_rollup",
 ]

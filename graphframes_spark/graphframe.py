@@ -437,6 +437,16 @@ class GraphFrame:
 
         return hits(self, maxIter)
 
+    def commonNeighborScores(self, maxDegree: Optional[int] = None) -> DataFrame:
+        """Link-prediction scores for every vertex pair sharing >= 1
+        undirected neighbor: DF[id_a, id_b, common_neighbors,
+        adamic_adar]. ``maxDegree`` drops super-hub wedge centers (their
+        ~1/ln(d) per-pair contribution is negligible; their d² wedges are
+        not). Beyond-reference."""
+        from graphframes_spark.lib.linkpred import common_neighbor_scores
+
+        return common_neighbor_scores(self, maxDegree)
+
     def connectedComponents(
         self,
         algorithm: Optional[str] = None,
@@ -651,6 +661,7 @@ class GraphFrame:
     parallel_personalized_page_rank = parallelPersonalizedPageRank
     shortest_paths = shortestPaths
     shortest_paths_weighted = shortestPathsWeighted
+    common_neighbor_scores = commonNeighborScores
     detecting_cycles = detectingCycles
     power_iteration_clustering = powerIterationClustering
     svd_plus_plus = svdPlusPlus

@@ -401,3 +401,40 @@ def test_hits_empty_edges_and_bad_iter(spark):
     assert res == {1: (0.0, 0.0), 2: (0.0, 0.0)}
     with _pytest.raises(GraphFramesError):
         GraphFrame(v, e).hits(maxIter=0)
+
+
+# -------------------------------------------------------- link prediction
+
+
+def test_common_neighbor_scores_clique_and_cap(spark):
+    import math
+
+    from graphframes_spark import GraphFrame
+    from graphframes_spark.util import GraphFramesError
+    import pytest as _pytest
+    import itertools
+
+    # 4-clique stored canonically (src < dst) + a pendant 9-0
+    v = spark.createDataFrame([(i,) for i in range(5)] + [(9,)], ["id"])
+    clique = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    e = spark.createDataFrame(clique + [(9, 0)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    rows = {(r["id_a"], r["id_b"]): (r["common_neighbors"], r["adamic_adar"])
+            for r in g.commonNeighborScores().collect()}
+    # inside the clique: every pair shares the 2 other members; 0 has an
+    # extra pendant neighbor so deg(0)=4, others 3
+    assert rows[(1, 2)][0] == 2 and abs(
+        rows[(1, 2)][1] - (1 / math.log(4) + 1 / math.log(3))
+    ) < 1e-9
+    # (0, 1) share {2, 3}, both of plain clique degree 3
+    assert rows[(0, 1)][0] == 2 and abs(
+        rows[(0, 1)][1] - 2 / math.log(3)
+    ) < 1e-9
+    # pendant 9 shares 0's other neighbors through center 0
+    assert rows[(1, 9)] == (1, 1 / math.log(4))
+    # capping out centers of degree > 3 removes every wedge through 0
+    capped = {(r["id_a"], r["id_b"]) for r in
+              g.commonNeighborScores(maxDegree=3).collect()}
+    assert (1, 9) not in capped and (1, 2) in capped
+    with _pytest.raises(GraphFramesError):
+        g.commonNeighborScores(maxDegree=1)

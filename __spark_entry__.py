@@ -326,12 +326,13 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-order bipartite: order pairs share exactly their customer,
     so adamic_adar = 1/ln(customer degree) — varied, exactly checkable."""
     g = _customer_order_graph(spark, sf_dir)
-    s = g.commonNeighborScores()
+    s = g.commonNeighborScores(includeJaccard=True)
     return s.select(
         "id_a",
         "id_b",
         "common_neighbors",
         F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 
@@ -1914,11 +1915,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT u1.src AS w, u1.dst AS a, u2.dst AS b
                 FROM und u1 JOIN und u2 ON u1.src = u2.src AND u1.dst < u2.dst
             )
-            SELECT a AS id_a, b AS id_b,
-                   count(*) AS common_neighbors,
-                   round(sum(1.0 / ln(d)), 6) AS adamic_adar
-            FROM wedge JOIN deg USING (w)
-            GROUP BY a, b
+            ,
+            cn AS (
+                SELECT a AS id_a, b AS id_b,
+                       count(*) AS common_neighbors,
+                       round(sum(1.0 / ln(d)), 6) AS adamic_adar
+                FROM wedge JOIN deg USING (w)
+                GROUP BY a, b
+            )
+            SELECT cn.id_a, cn.id_b, cn.common_neighbors, cn.adamic_adar,
+                   round(cn.common_neighbors * 1.0
+                         / (da.d + db.d - cn.common_neighbors), 6) AS jaccard
+            FROM cn
+            JOIN deg da ON cn.id_a = da.w
+            JOIN deg db ON cn.id_b = db.w
         """,
         # two HITS iterations unrolled: each auth/hub update is a
         # join+sum, each normalization a scalar subquery — mirrors the

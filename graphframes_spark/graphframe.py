@@ -437,15 +437,17 @@ class GraphFrame:
 
         return hits(self, maxIter)
 
-    def commonNeighborScores(self, maxDegree: Optional[int] = None) -> DataFrame:
+    def commonNeighborScores(
+        self, maxDegree: Optional[int] = None, includeJaccard: bool = False
+    ) -> DataFrame:
         """Link-prediction scores for every vertex pair sharing >= 1
         undirected neighbor: DF[id_a, id_b, common_neighbors,
-        adamic_adar]. ``maxDegree`` drops super-hub wedge centers (their
-        ~1/ln(d) per-pair contribution is negligible; their d² wedges are
-        not). Beyond-reference."""
+        adamic_adar[, jaccard]]. ``maxDegree`` drops super-hub wedge
+        centers (their ~1/ln(d) per-pair contribution is negligible;
+        their d² wedges are not). Beyond-reference."""
         from graphframes_spark.lib.linkpred import common_neighbor_scores
 
-        return common_neighbor_scores(self, maxDegree)
+        return common_neighbor_scores(self, maxDegree, includeJaccard)
 
     def connectedComponents(
         self,

@@ -40,9 +40,16 @@ ID_B = "id_b"
 
 
 def common_neighbor_scores(
-    graph: "GraphFrame", max_degree: Optional[int] = None
+    graph: "GraphFrame",
+    max_degree: Optional[int] = None,
+    include_jaccard: bool = False,
 ) -> DataFrame:
-    """DF[id_a, id_b, common_neighbors: long, adamic_adar: double]."""
+    """DF[id_a, id_b, common_neighbors: long, adamic_adar: double
+    [, jaccard: double]].
+
+    ``include_jaccard`` adds ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` via two
+    broadcast-friendly joins against the (uncapped) degree table — the
+    union size is ``deg(a) + deg(b) - cn``, no second enumeration."""
     if max_degree is not None and max_degree < 2:
         raise GraphFramesError("max_degree must be >= 2 (a wedge needs 2 neighbors)")
     e = graph.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
@@ -51,15 +58,31 @@ def common_neighbor_scores(
     ).distinct()
     # degree of the wedge center = its distinct undirected neighbor count
     deg = und.groupBy(SRC).agg(F.count(F.lit(1)).alias("_deg"))
-    if max_degree is not None:
-        deg = deg.filter(F.col("_deg") <= max_degree)
-    centers = und.join(deg, on=SRC)
+    centers_deg = (
+        deg if max_degree is None else deg.filter(F.col("_deg") <= max_degree)
+    )
+    centers = und.join(centers_deg, on=SRC)
     left = centers.select(
         F.col(SRC).alias("_w"), F.col(DST).alias(ID_A), F.col("_deg")
     )
     right = und.select(F.col(SRC).alias("_w"), F.col(DST).alias(ID_B))
     wedges = left.join(right, on="_w").filter(F.col(ID_A) < F.col(ID_B))
-    return wedges.groupBy(ID_A, ID_B).agg(
+    scores = wedges.groupBy(ID_A, ID_B).agg(
         F.count(F.lit(1)).alias("common_neighbors"),
         F.sum(F.lit(1.0) / F.log(F.col("_deg"))).alias("adamic_adar"),
+    )
+    if not include_jaccard:
+        return scores
+    deg_a = deg.select(F.col(SRC).alias(ID_A), F.col("_deg").alias("_deg_a"))
+    deg_b = deg.select(F.col(SRC).alias(ID_B), F.col("_deg").alias("_deg_b"))
+    return (
+        scores.join(deg_a, on=ID_A)
+        .join(deg_b, on=ID_B)
+        .withColumn(
+            "jaccard",
+            F.col("common_neighbors")
+            / (F.col("_deg_a") + F.col("_deg_b") - F.col("common_neighbors")),
+        )
+        .drop("_deg_a", "_deg_b")
+        .select(ID_A, ID_B, "common_neighbors", "adamic_adar", "jaccard")
     )

@@ -438,3 +438,22 @@ def test_common_neighbor_scores_clique_and_cap(spark):
     assert (1, 9) not in capped and (1, 2) in capped
     with _pytest.raises(GraphFramesError):
         g.commonNeighborScores(maxDegree=1)
+
+
+def test_common_neighbor_scores_jaccard(spark):
+    import itertools
+
+    from graphframes_spark import GraphFrame
+
+    v = spark.createDataFrame([(i,) for i in range(5)] + [(9,)], ["id"])
+    clique = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    e = spark.createDataFrame(clique + [(9, 0)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in g.commonNeighborScores(includeJaccard=True).collect()}
+    # (0,1): cn=2, deg(0)=4 (pendant), deg(1)=3 -> 2 / (4+3-2)
+    assert abs(rows[(0, 1)] - 2 / 5) < 1e-9
+    # (2,3): cn=2, both deg 3 -> 2/4
+    assert abs(rows[(2, 3)] - 0.5) < 1e-9
+    # (1,9): cn=1, deg(9)=1 -> 1 / (3+1-1)
+    assert abs(rows[(1, 9)] - 1 / 3) < 1e-9

@@ -321,6 +321,36 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (lib/triangle_count.py) over the
+    triangle-rich part co-purchase projection (pairs co-ordered in >= 2
+    distinct orders)."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_orderkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, on="_o")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id")
+    )
+    g = GraphFrame(parts, pairs)
+    return g.clusteringCoefficient().select(
+        "id",
+        F.col("count").alias("n_triangles"),
+        F.round("coefficient", 6).alias("coefficient"),
+    )
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbors + Adamic-Adar (lib/linkpred.py) on the
     customer-order bipartite: order pairs share exactly their customer,
@@ -1252,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "hits": q_hits,
         "link_prediction": q_link_prediction,
+        "clustering_coefficient": q_clustering_coefficient,
     }
 
 
@@ -1897,6 +1928,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        # triangles enumerated once as x<y<z over the canonical edge set;
+        # coefficient = 2T / d(d-1) with distinct-neighbor degrees
+        "clustering_coefficient": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            deg AS (
+                SELECT id, count(*) AS d FROM (
+                    SELECT src AS id FROM e UNION ALL SELECT dst FROM e
+                ) GROUP BY id
+            ),
+            tri AS (
+                SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                FROM e e1
+                JOIN e e2 ON e1.dst = e2.src
+                JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            ),
+            per_v AS (
+                SELECT id, count(*) AS t FROM (
+                    SELECT x AS id FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY id
+            )
+            SELECT p.p_partkey AS id,
+                   coalesce(per_v.t, 0) AS n_triangles,
+                   round(CASE WHEN coalesce(deg.d, 0) >= 2
+                              THEN 2.0 * coalesce(per_v.t, 0)
+                                   / (deg.d * (deg.d - 1))
+                              ELSE 0.0 END, 6) AS coefficient
+            FROM part p
+            LEFT JOIN per_v ON p.p_partkey = per_v.id
+            LEFT JOIN deg ON p.p_partkey = deg.id
         """,
         # wedge enumeration through each undirected center, canonical
         # pair order, center degree = distinct undirected neighbors

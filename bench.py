@@ -60,6 +60,7 @@ HEADLINE = [
     "sssp",
     "hits",
     "link_prediction",
+    "clustering_coefficient",
     "dp_balanced_sample",
     "dp_source_rollup",
 ]

@@ -437,6 +437,14 @@ class GraphFrame:
 
         return hits(self, maxIter)
 
+    def clusteringCoefficient(self) -> DataFrame:
+        """Local clustering coefficient 2·T(v)/(d·(d−1)) on the canonical
+        undirected simple graph; DF[<vertex columns>, count, coefficient].
+        Beyond-reference."""
+        from graphframes_spark.lib.triangle_count import clustering_coefficient
+
+        return clustering_coefficient(self)
+
     def commonNeighborScores(
         self, maxDegree: Optional[int] = None, includeJaccard: bool = False
     ) -> DataFrame:
@@ -664,6 +672,7 @@ class GraphFrame:
     shortest_paths = shortestPaths
     shortest_paths_weighted = shortestPathsWeighted
     common_neighbor_scores = commonNeighborScores
+    clustering_coefficient = clusteringCoefficient
     detecting_cycles = detectingCycles
     power_iteration_clustering = powerIterationClustering
     svd_plus_plus = svdPlusPlus

@@ -156,3 +156,41 @@ def triangle_count(graph: "GraphFrame") -> DataFrame:
         .withColumn(COUNT_ID, F.coalesce(F.col(COUNT_ID), F.lit(0)).cast("long"))
         .select(COUNT_ID, *graph.vertices.columns)
     )
+
+
+def clustering_coefficient(graph: "GraphFrame") -> DataFrame:
+    """Local clustering coefficient per vertex:
+    ``2·T(v) / (d(v)·(d(v)−1))`` on the canonical undirected simple
+    graph (T = triangle_count, d = distinct-neighbor degree); vertices
+    with degree < 2 score 0.0. Beyond-reference — derived entirely from
+    the compact-forward triangle machinery above, adding only the
+    degree join and one arithmetic projection."""
+    tri = triangle_count(graph)
+    edges = (
+        graph.edges.select(SRC, DST)
+        .filter(F.col(SRC) != F.col(DST))
+        .select(
+            F.least(F.col(SRC), F.col(DST)).alias(SRC),
+            F.greatest(F.col(SRC), F.col(DST)).alias(DST),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.explode(F.array(SRC, DST)).alias(ID))
+        .groupBy(ID)
+        .agg(F.count("*").alias("_deg"))
+    )
+    return (
+        tri.join(deg, on=ID, how="left_outer")
+        .withColumn(
+            "coefficient",
+            F.when(
+                F.col("_deg") >= 2,
+                F.lit(2.0)
+                * F.col(COUNT_ID)
+                / (F.col("_deg") * (F.col("_deg") - F.lit(1))),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_deg")
+        .select(*graph.vertices.columns, COUNT_ID, "coefficient")
+    )

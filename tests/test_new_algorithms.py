@@ -457,3 +457,22 @@ def test_common_neighbor_scores_jaccard(spark):
     assert abs(rows[(2, 3)] - 0.5) < 1e-9
     # (1,9): cn=1, deg(9)=1 -> 1 / (3+1-1)
     assert abs(rows[(1, 9)] - 1 / 3) < 1e-9
+
+
+def test_clustering_coefficient_known_values(spark):
+    import itertools
+
+    from graphframes_spark import GraphFrame
+
+    # K4 on {0..3}, pendant 9-0, isolated 5
+    v = spark.createDataFrame([(i,) for i in range(5)] + [(9,)], ["id"])
+    clique = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    e = spark.createDataFrame(clique + [(9, 0)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    rows = {r["id"]: (r["count"], r["coefficient"])
+            for r in g.clusteringCoefficient().collect()}
+    # 0: 3 triangles, degree 4 -> 6/12; 1-3: 3 triangles, degree 3 -> 1.0
+    assert rows[0] == (3, 0.5)
+    assert rows[1] == (3, 1.0) and rows[2] == (3, 1.0) and rows[3] == (3, 1.0)
+    # degree-1 pendant and degree-0 isolated score 0
+    assert rows[9] == (0, 0.0) and rows[4] == (0, 0.0)

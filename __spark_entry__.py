@@ -321,6 +321,14 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic vertex-induced subgraph sample (GraphFrame
+    .sampleVertices) of the customer-order graph at fraction 0.5; the
+    md5-threshold selection replays bit-identically in the oracle."""
+    g = _customer_order_graph(spark, sf_dir).sampleVertices(0.5, seed="r4")
+    return g.outDegrees.select("id", F.col("outDegree").alias("out_degree"))
+
+
 def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient (lib/triangle_count.py) over the
     triangle-rich part co-purchase projection (pairs co-ordered in >= 2
@@ -1283,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "link_prediction": q_link_prediction,
         "clustering_coefficient": q_clustering_coefficient,
+        "sample_subgraph": q_sample_subgraph,
     }
 
 
@@ -1928,6 +1937,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        # lexicographic order on lowercase md5 hex IS numeric order, so
+        # the 0.5 fraction is the literal '8' || 31 zeros threshold
+        "sample_subgraph": f"""
+            WITH v AS (
+                SELECT c_custkey AS id FROM customer
+                UNION ALL
+                SELECT o_orderkey + {ORDER_OFFSET} AS id FROM orders
+            ),
+            keep AS (
+                SELECT id FROM v
+                WHERE md5(concat_ws(chr(31), 'r4', CAST(id AS VARCHAR)))
+                      < '80000000000000000000000000000000'
+            ),
+            e AS (
+                SELECT o_custkey AS src, o_orderkey + {ORDER_OFFSET} AS dst
+                FROM orders
+            )
+            SELECT e.src AS id, count(*) AS out_degree
+            FROM e
+            JOIN keep ks ON e.src = ks.id
+            JOIN keep kd ON e.dst = kd.id
+            GROUP BY e.src
         """,
         # triangles enumerated once as x<y<z over the canonical edge set;
         # coefficient = 2T / d(d-1) with distinct-neighbor degrees

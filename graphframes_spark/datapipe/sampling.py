@@ -49,6 +49,22 @@ def sample_rank(key: Column, seed: str = "") -> Column:
     return F.md5(F.concat_ws(_SEP, F.lit(seed), key.cast("string")))
 
 
+def sample_keep(key: Column, fraction: float, seed: str = "") -> Column:
+    """Boolean: deterministically keep ~``fraction`` of rows by key.
+
+    The md5 hex rank is uniform over [0, 16^32); lexicographic order on
+    lowercase hex IS numeric order, so ``rank < hex(fraction * 16^32)``
+    selects the fraction exactly — one string comparison, no hex→int
+    conversion, and the DuckDB oracle replicates it with the same two
+    builtins. Same seed → same rows on every run and every engine."""
+    if fraction >= 1.0:
+        return F.lit(True)
+    if fraction <= 0.0:
+        return F.lit(False)
+    threshold = format(int(fraction * 16**32), "032x")
+    return sample_rank(key, seed) < F.lit(threshold)
+
+
 def balanced_sample(
     df: DataFrame,
     group_col: str,

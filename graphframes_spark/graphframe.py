@@ -239,6 +239,28 @@ class GraphFrame:
         ).select(self._edges.columns)
         return GraphFrame(v, e)
 
+    def sampleVertices(self, fraction: float, seed: str = "") -> "GraphFrame":
+        """Deterministic vertex-induced random subgraph: keeps each
+        vertex iff its md5 rank falls below ``fraction`` (same seed →
+        same subgraph on every run and engine — resumable 100 TB
+        sampling), then drops edges with a dropped endpoint like
+        :meth:`filterVertices`. Beyond-reference."""
+        from graphframes_spark.datapipe.sampling import sample_keep
+
+        return self.filterVertices(sample_keep(F.col(ID), fraction, seed))
+
+    def sampleEdges(self, fraction: float, seed: str = "") -> "GraphFrame":
+        """Deterministic random edge subsample (vertices unchanged),
+        keyed on the (src, dst) pair. Beyond-reference."""
+        from graphframes_spark.datapipe.sampling import sample_keep
+
+        key = F.concat_ws(
+            "\x1f", F.col(SRC).cast("string"), F.col(DST).cast("string")
+        )
+        return GraphFrame(
+            self._vertices, self._edges.filter(sample_keep(key, fraction, seed))
+        )
+
     def filterEdges(self, condition: Union[str, Column]) -> "GraphFrame":
         """Keep matching edges; all vertices (GraphFrame.scala:771-781)."""
         return GraphFrame(self._vertices, self._edges.filter(condition))
@@ -663,6 +685,8 @@ class GraphFrame:
     drop_isolated_vertices = dropIsolatedVertices
     filter_vertices = filterVertices
     filter_edges = filterEdges
+    sample_vertices = sampleVertices
+    sample_edges = sampleEdges
     connected_components = connectedComponents
     strongly_connected_components = stronglyConnectedComponents
     label_propagation = labelPropagation

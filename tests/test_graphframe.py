@@ -103,3 +103,24 @@ def test_examples_module(spark):
     assert ising.edges.count() == 12
     assert {"a", "id", "i", "j"} <= set(ising.vertices.columns)
     assert "b" in ising.edges.columns
+
+
+def test_sample_vertices_deterministic_and_induced(friends):
+    g1 = friends.sampleVertices(0.6, seed="t")
+    g2 = friends.sampleVertices(0.6, seed="t")
+    ids1 = {r["id"] for r in g1.vertices.collect()}
+    assert ids1 == {r["id"] for r in g2.vertices.collect()}
+    # induced: every surviving edge has both endpoints in the sample
+    for r in g1.edges.collect():
+        assert r["src"] in ids1 and r["dst"] in ids1
+    # fraction bounds
+    assert friends.sampleVertices(1.0).vertices.count() == friends.vertices.count()
+    assert friends.sampleVertices(0.0).vertices.count() == 0
+
+
+def test_sample_edges_keeps_vertices(friends):
+    g = friends.sampleEdges(0.5, seed="t")
+    assert g.vertices.count() == friends.vertices.count()
+    assert g.edges.count() <= friends.edges.count()
+    again = friends.sampleEdges(0.5, seed="t")
+    assert sorted(map(tuple, g.edges.collect())) == sorted(map(tuple, again.edges.collect()))

@@ -321,6 +321,14 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the nation within-region cliques: every edge of a
+    5-clique sits in 3 triangles, so the peeling fixpoint is the full
+    canonical edge set with support 3 — exactly expressible in SQL."""
+    g = _nation_graph(spark, sf_dir)
+    return g.kTruss(4).select("src", "dst", "support")
+
+
 def q_sample_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic vertex-induced subgraph sample (GraphFrame
     .sampleVertices) of the customer-order graph at fraction 0.5; the
@@ -1292,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "clustering_coefficient": q_clustering_coefficient,
         "sample_subgraph": q_sample_subgraph,
+        "ktruss": q_ktruss,
     }
 
 
@@ -1937,6 +1946,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        # 5-cliques: every within-region edge has truss support 3, the
+        # k=4 peel drops nothing, so the fixpoint is closed-form
+        "ktruss": """
+            SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+                   CAST(3 AS BIGINT) AS support
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey
+             AND a.n_nationkey < b.n_nationkey
         """,
         # lexicographic order on lowercase md5 hex IS numeric order, so
         # the 0.5 fraction is the literal '8' || 31 zeros threshold

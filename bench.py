@@ -61,6 +61,8 @@ HEADLINE = [
     "hits",
     "link_prediction",
     "clustering_coefficient",
+    "ktruss",
+    "sample_subgraph",
     "dp_balanced_sample",
     "dp_source_rollup",
 ]

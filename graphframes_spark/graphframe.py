@@ -459,6 +459,14 @@ class GraphFrame:
 
         return hits(self, maxIter)
 
+    def kTruss(self, k: int) -> DataFrame:
+        """Edges of the k-truss (every edge in >= k-2 triangles within
+        the truss); DF[src, dst, support] with src < dst on the
+        canonical undirected simple graph. Beyond-reference."""
+        from graphframes_spark.lib.triangle_count import ktruss
+
+        return ktruss(self, k)
+
     def clusteringCoefficient(self) -> DataFrame:
         """Local clustering coefficient 2·T(v)/(d·(d−1)) on the canonical
         undirected simple graph; DF[<vertex columns>, count, coefficient].
@@ -697,6 +705,7 @@ class GraphFrame:
     shortest_paths_weighted = shortestPathsWeighted
     common_neighbor_scores = commonNeighborScores
     clustering_coefficient = clusteringCoefficient
+    k_truss = kTruss
     detecting_cycles = detectingCycles
     power_iteration_clustering = powerIterationClustering
     svd_plus_plus = svdPlusPlus

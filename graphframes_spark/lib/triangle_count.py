@@ -194,3 +194,100 @@ def clustering_coefficient(graph: "GraphFrame") -> DataFrame:
         .drop("_deg")
         .select(*graph.vertices.columns, COUNT_ID, "coefficient")
     )
+
+
+def ktruss(graph: "GraphFrame", k: int) -> DataFrame:
+    """Edges of the k-truss: the maximal subgraph of the canonical
+    undirected simple graph in which every edge participates in at
+    least ``k - 2`` triangles. DF[src, dst, support] (src < dst;
+    support = triangle count within the truss itself).
+
+    Beyond-reference. Peeling loop: enumerate triangles with the same
+    degree-ordered compact-forward join as ``triangle_count``, explode
+    each into its three edges, count per-edge support
+    (partial-aggregatable), drop edges below threshold, repeat until no
+    edge is dropped — support only decreases as edges leave, so the
+    cascade converges to the unique fixpoint. Each round is bounded by
+    one triangle enumeration; the edge set shrinks monotonically and is
+    checkpointed per round to keep lineage flat.
+    """
+    from graphframes_spark.harness import IterationHarness
+    from graphframes_spark.util import GraphFramesError
+
+    if k < 3:
+        raise GraphFramesError("kTruss requires k >= 3 (k-2 >= 1 triangle per edge)")
+    min_support = k - 2
+    harness = IterationHarness(graph.spark, checkpoint_interval=1)
+
+    edges = (
+        graph.edges.select(SRC, DST)
+        .filter(F.col(SRC) != F.col(DST))
+        .select(
+            F.least(F.col(SRC), F.col(DST)).alias(SRC),
+            F.greatest(F.col(SRC), F.col(DST)).alias(DST),
+        )
+        .distinct()
+    )
+    edges = harness.checkpoint(edges, eager=True)
+    n_edges = edges.count()
+
+    supported = edges.limit(0).withColumn("support", F.lit(0).cast("long"))
+    while n_edges > 0:
+        deg = (
+            edges.select(F.explode(F.array(SRC, DST)).alias(ID))
+            .groupBy(ID)
+            .agg(F.count("*").alias("_deg"))
+        )
+        with_deg = edges.join(
+            deg.select(F.col(ID).alias(SRC), F.col("_deg").alias("_dsrc")), on=SRC
+        ).join(deg.select(F.col(ID).alias(DST), F.col("_deg").alias("_ddst")), on=DST)
+        src_first = (F.col("_dsrc") < F.col("_ddst")) | (
+            (F.col("_dsrc") == F.col("_ddst")) & (F.col(SRC) < F.col(DST))
+        )
+        oriented = with_deg.select(
+            F.when(src_first, F.col(SRC)).otherwise(F.col(DST)).alias("lo"),
+            F.when(src_first, F.col(DST)).otherwise(F.col(SRC)).alias("hi"),
+        )
+        o1 = oriented.select(F.col("lo"), F.col("hi").alias("_v"))
+        o2 = oriented.select(F.col("lo"), F.col("hi").alias("_w"))
+        wedges = o1.join(o2, on="lo").filter(F.col("_v") < F.col("_w"))
+        triangles = wedges.join(
+            edges,
+            (wedges["_v"] == edges[SRC]) & (wedges["_w"] == edges[DST]),
+            "left_semi",
+        )
+        # each triangle (lo, v, w) supports its three canonical edges
+        tri_edges = triangles.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("lo", "_v").alias(SRC),
+                        F.greatest("lo", "_v").alias(DST),
+                    ),
+                    F.struct(
+                        F.least("lo", "_w").alias(SRC),
+                        F.greatest("lo", "_w").alias(DST),
+                    ),
+                    F.struct(F.col("_v").alias(SRC), F.col("_w").alias(DST)),
+                )
+            ).alias("_e")
+        ).select("_e.*")
+        support = tri_edges.groupBy(SRC, DST).agg(F.count("*").alias("support"))
+        supported = harness.checkpoint(
+            edges.join(support, on=[SRC, DST], how="left_outer").withColumn(
+                "support", F.coalesce(F.col("support"), F.lit(0)).cast("long")
+            ),
+            eager=True,
+        )
+        kept = supported.filter(F.col("support") >= min_support)
+        n_kept = kept.count()
+        if n_kept == n_edges:
+            break
+        edges = harness.checkpoint(kept.select(SRC, DST), eager=True)
+        n_edges = n_kept
+        harness.rotate()
+
+    result = supported.filter(F.col("support") >= min_support)
+    if n_edges == 0:
+        result = supported.limit(0)
+    return harness.finish(result)

@@ -476,3 +476,53 @@ def test_clustering_coefficient_known_values(spark):
     assert rows[1] == (3, 1.0) and rows[2] == (3, 1.0) and rows[3] == (3, 1.0)
     # degree-1 pendant and degree-0 isolated score 0
     assert rows[9] == (0, 0.0) and rows[4] == (0, 0.0)
+
+
+# ----------------------------------------------------------------- k-truss
+
+
+def test_ktruss_cascade_and_supports(spark):
+    import itertools
+
+    from graphframes_spark import GraphFrame
+    from graphframes_spark.util import GraphFramesError
+    import pytest as _pytest
+
+    # K4 on {0..3} plus a triangle {3,4,5} glued at 3, plus pendant 6-0
+    v = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    k4 = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    extra = [(3, 4), (3, 5), (4, 5)]
+    e = spark.createDataFrame(k4 + extra + [(0, 6)], ["src", "dst"])
+    g = GraphFrame(v, e)
+
+    # 3-truss: every edge in >= 1 triangle -> pendant dropped, both
+    # clique and glued triangle survive with their local supports
+    t3 = {(r["src"], r["dst"]): r["support"] for r in g.kTruss(3).collect()}
+    assert set(t3) == set(k4) | set(extra)
+    assert t3[(4, 5)] == 1 and t3[(0, 1)] == 2
+
+    # 4-truss: glued triangle edges have support 1 -> dropped; K4 stands
+    # alone with support 2 per edge (no cascade beyond the first peel)
+    t4 = {(r["src"], r["dst"]): r["support"] for r in g.kTruss(4).collect()}
+    assert set(t4) == set(k4) and all(s == 2 for s in t4.values())
+
+    # 5-truss of K4 requires support 3 -> empty
+    assert g.kTruss(5).count() == 0
+    with _pytest.raises(GraphFramesError):
+        g.kTruss(2)
+
+
+def test_ktruss_cascading_removal(spark):
+    from graphframes_spark import GraphFrame
+
+    # two triangles sharing edge (1,2): each edge in exactly one triangle
+    # except (1,2) with support 2. 4-truss: outer edges (support 1) drop
+    # first, which strands (1,2) -> cascade empties the graph.
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)], ["src", "dst"]
+    )
+    g = GraphFrame(v, e)
+    assert g.kTruss(4).count() == 0
+    t3 = {(r["src"], r["dst"]) for r in g.kTruss(3).collect()}
+    assert t3 == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)}

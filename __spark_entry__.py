@@ -321,6 +321,17 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the customer-order graph: the one-line graph
+    summary every sizing decision starts from (two partial-aggregatable
+    shuffles, no joins)."""
+    g = _customer_order_graph(spark, sf_dir)
+    return (
+        g.degrees.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the nation within-region cliques: every edge of a
     5-clique sits in 3 triangles, so the peeling fixpoint is the full
@@ -1301,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_clustering_coefficient,
         "sample_subgraph": q_sample_subgraph,
         "ktruss": q_ktruss,
+        "degree_distribution": q_degree_distribution,
     }
 
 
@@ -1946,6 +1958,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        # degrees excludes edge-less vertices, so only order-bearing
+        # customers and the orders themselves appear
+        "degree_distribution": f"""
+            WITH d AS (
+                SELECT o_custkey AS id, count(*) AS degree
+                FROM orders GROUP BY o_custkey
+                UNION ALL
+                SELECT o_orderkey + {ORDER_OFFSET} AS id, 1 AS degree
+                FROM orders
+            )
+            SELECT degree, count(*) AS n_vertices FROM d GROUP BY degree
         """,
         # 5-cliques: every within-region edge has truss support 3, the
         # k=4 peel drops nothing, so the fixpoint is closed-form

@@ -63,6 +63,7 @@ HEADLINE = [
     "clustering_coefficient",
     "ktruss",
     "sample_subgraph",
+    "degree_distribution",
     "dp_balanced_sample",
     "dp_source_rollup",
 ]

@@ -1224,7 +1224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_degrees": q_in_degrees,
         "degrees": q_degrees,
         "triplets": q_triplets,
-        "motif_two_hop": q_motif_two_hop,
         "motif_negation": q_motif_negation,
         "motif_var_length": q_motif_var_length,
         "filter_vertices": q_filter_vertices,
@@ -1242,9 +1241,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "scc": q_scc,
         "pagerank": q_pagerank,
-        "pagerank_personalized": q_pagerank_personalized,
         "ppr": q_ppr,
         "shortest_paths": q_shortest_paths,
+        "sssp": q_sssp,
+        "ktruss": q_ktruss,
         "label_propagation": q_label_propagation,
         "triangle_count": q_triangle_count,
         "kcore": q_kcore,
@@ -1277,6 +1277,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_multimodal_meta": q_dp_multimodal_meta,
         # ---------------- past the driver's 50-entry correctness window:
         # option-surface variants of components already green above
+        # (motif_two_hop is subsumed by motif_var_length's hop-1 join and
+        # motif_negation's positive leg; pagerank_personalized overlaps
+        # ppr's personalization semantics — both were green in r02+r03)
+        "motif_two_hop": q_motif_two_hop,
+        "pagerank_personalized": q_pagerank_personalized,
         "motif_mutual": q_motif_mutual,
         "type_in_degree": q_type_in_degree,
         "type_degree": q_type_degree,
@@ -1306,12 +1311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_sessionize": q_dp_sessionize,
         "dp_balanced_sample": q_dp_balanced_sample,
         "dp_source_rollup": q_dp_source_rollup,
-        "sssp": q_sssp,
         "hits": q_hits,
         "link_prediction": q_link_prediction,
         "clustering_coefficient": q_clustering_coefficient,
         "sample_subgraph": q_sample_subgraph,
-        "ktruss": q_ktruss,
         "degree_distribution": q_degree_distribution,
     }
 

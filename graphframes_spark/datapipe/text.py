@@ -233,3 +233,60 @@ def minhash_fingerprint(text: Column, n: int = 3) -> Column:
     n-token shingles (a 1-permutation MinHash; documents sharing it are
     near-dup candidates)."""
     return F.array_min(F.transform(shingles(tokenize(text), n), F.md5))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window token chunking (context-window prep for LLM
+    training / RAG indexing) — DF[<id>, chunk_idx, n_chunk_tokens,
+    chunk_text].
+
+    Windows are ``size`` whitespace tokens with ``overlap`` tokens shared
+    between consecutive chunks (stride = size - overlap). A chunk is
+    emitted only if it contributes at least one token not covered by the
+    previous chunk, so trailing windows fully contained in their
+    predecessor are dropped; a document shorter than one window yields a
+    single chunk, and an empty document yields none. ``chunk_idx`` is the
+    0-based window index in document order.
+
+    Scale path: a pure narrow transformation — tokenize once per row,
+    ``posexplode`` over the start offsets, ``slice`` per window. No
+    shuffle, no UDF; at 100 TB this runs inside whole-stage codegen at
+    scan speed and grows output size by ~size/stride ×, which the
+    parquet writer absorbs per-partition."""
+    from graphframes_spark.util import GraphFramesError
+
+    if size < 1:
+        raise GraphFramesError(f"chunk size must be >= 1, got {size}")
+    if not 0 <= overlap < size:
+        raise GraphFramesError(
+            f"overlap must be in [0, size), got overlap={overlap} size={size}"
+        )
+    stride = size - overlap
+    toks = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    )
+    n = F.size("_toks")
+    # last admissible start: the largest one whose window still covers a
+    # new token (start < n - overlap); sequence() is inclusive, so clamp
+    # the upper bound at 0 for short docs (single whole-document chunk)
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(0), F.greatest(n - F.lit(1 + overlap), F.lit(0)), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = toks.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(F.slice("_toks", F.col("_start") + 1, size)).alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.slice("_toks", F.col("_start") + 1, size)).alias("chunk_text"),
+    )

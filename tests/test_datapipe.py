@@ -298,3 +298,49 @@ def test_source_rollup(spark):
     approx = {r["source"]: r for r in dp.source_rollup(
         df, group_cols=("source",), exact_distinct=False).collect()}
     assert approx["s1"]["n_docs"] == 3
+
+
+def test_chunk_documents(spark):
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+        (2, "a b c"),                               # shorter than one window
+        (3, ""),                                    # empty -> no chunks
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dp.chunk_documents(df, size=6, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: stride 4, admissible starts 0 and 4 (start 8's window t8..t9
+    # is fully inside chunk 1's t4..t9, so it is dropped)
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [c["chunk_idx"] for c in chunks] == [0, 1]
+    assert chunks[0]["chunk_text"] == "t0 t1 t2 t3 t4 t5"
+    assert chunks[0]["n_chunk_tokens"] == 6
+    assert chunks[1]["chunk_text"] == "t4 t5 t6 t7 t8 t9"
+    assert chunks[1]["n_chunk_tokens"] == 6
+    # overlap: chunk 1 repeats the last `overlap` tokens of chunk 0
+    assert chunks[0]["chunk_text"].split()[-2:] == chunks[1]["chunk_text"].split()[:2]
+    # doc 2: one whole-document chunk
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0]["chunk_text"] == "a b c"
+    assert by_doc[2][0]["n_chunk_tokens"] == 3
+    # doc 3: no chunks
+    assert 3 not in by_doc
+    # every token of every doc is covered by some chunk
+    covered = set()
+    for c in chunks:
+        covered.update(c["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_validation(spark):
+    from graphframes_spark.util import GraphFramesError
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(GraphFramesError):
+        dp.chunk_documents(df, size=0)
+    with pytest.raises(GraphFramesError):
+        dp.chunk_documents(df, size=4, overlap=4)
+    with pytest.raises(GraphFramesError):
+        dp.chunk_documents(df, size=4, overlap=-1)

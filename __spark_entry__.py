@@ -289,6 +289,38 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled harmonic/closeness centrality on the event chain
+    (lib/centrality.py): one BFS to the chain landmark, then per-row
+    higher-order aggregates over the bounded distances map — zero
+    incremental shuffle over shortestPaths itself."""
+    g = _events_chain_graph(spark, sf_dir)
+    landmark = _chain_landmark(spark, sf_dir)
+    hc = g.harmonicCentrality(landmarks=[landmark])
+    return hc.select(
+        F.col("id"),
+        F.col("n_reached"),
+        F.col("dist_sum"),
+        F.round("harmonic", 9).alias("harmonic"),
+        F.round("closeness", 9).alias("closeness"),
+    )
+
+
+def q_node2vec_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec walks on the event chain (graphframes_spark/node2vec.py):
+    every vertex has exactly one out-neighbor, so the biased sampler is
+    forced and walks are exact chain prefixes — a full-hash oracle for
+    the second-order walk machinery (p/q/Gumbel-max paths all execute)."""
+    g = _events_chain_graph(spark, sf_dir)
+    walks = g.node2vecWalks(walkLength=5, p=2.0, q=0.5, seed=11)
+    return walks.select(
+        F.col("start"),
+        F.col("walk_idx"),
+        F.concat_ws(" ", F.col("random_walk").cast("array<string>")).alias("walk"),
+        F.size("random_walk").alias("walk_len"),
+    )
+
+
 def q_shortest_paths_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """isDirected=False path: the canonically-oriented clique graph (each
     edge stored once, src < dst) still yields distance 1 to every
@@ -780,6 +812,16 @@ def q_dp_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(
         docs, bench, n=3, min_shared=2
     ).select(F.col("doc_id"), F.col("ref_doc_id"), F.col("n_shared"))
+
+
+def q_dp_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (64-token windows, 16-token overlap)
+    over the document corpus — the context-window prep step of an LLM
+    training pipeline (datapipe/text.py chunk_documents). Pure narrow
+    posexplode+slice transform, no shuffle."""
+    from graphframes_spark.datapipe import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), size=64, overlap=16)
 
 
 def q_dp_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1309,6 +1351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_lsh_exact": q_dp_lsh_exact,
         "dp_ivf_exact": q_dp_ivf_exact,
         "dp_sessionize": q_dp_sessionize,
+        "dp_chunking": q_dp_chunking,
+        "harmonic_centrality": q_harmonic_centrality,
+        "node2vec_chain": q_node2vec_chain,
         "dp_balanced_sample": q_dp_balanced_sample,
         "dp_source_rollup": q_dp_source_rollup,
         "hits": q_hits,
@@ -1944,6 +1989,68 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b
               ON b.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
             WHERE len(list_intersect(a.sh, b.sh)) >= 2
+        """,
+        "node2vec_chain": """
+            WITH seq AS (
+                SELECT event_id,
+                       lead(event_id, 1) OVER w AS n1,
+                       lead(event_id, 2) OVER w AS n2,
+                       lead(event_id, 3) OVER w AS n3,
+                       lead(event_id, 4) OVER w AS n4,
+                       lead(event_id, 5) OVER w AS n5
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id AS start,
+                   1 AS walk_idx,
+                   array_to_string(list_filter([event_id, n1, n2, n3, n4, n5],
+                                               x -> x IS NOT NULL), ' ') AS walk,
+                   CAST(len(list_filter([event_id, n1, n2, n3, n4, n5],
+                                        x -> x IS NOT NULL)) AS INTEGER) AS walk_len
+            FROM seq
+            WHERE n1 IS NOT NULL
+        """,
+        "harmonic_centrality": """
+            WITH seq AS (
+                SELECT event_id, user_id,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            mu AS (SELECT min(user_id) AS u FROM events),
+            chainu AS (SELECT event_id, rn FROM seq, mu WHERE user_id = mu.u),
+            lm AS (
+                SELECT rn AS lrn FROM chainu
+                WHERE rn = least(21, (SELECT max(rn) FROM chainu))
+            )
+            SELECT e.event_id AS id,
+                   CAST(CASE WHEN c.rn IS NOT NULL AND c.rn < lm.lrn
+                             THEN 1 ELSE 0 END AS INTEGER) AS n_reached,
+                   CAST(CASE WHEN c.rn IS NOT NULL AND c.rn < lm.lrn
+                             THEN lm.lrn - c.rn ELSE 0 END AS BIGINT) AS dist_sum,
+                   CASE WHEN c.rn IS NOT NULL AND c.rn < lm.lrn
+                        THEN round(1.0 / (lm.lrn - c.rn), 9) ELSE 0.0 END AS harmonic,
+                   CASE WHEN c.rn IS NOT NULL AND c.rn < lm.lrn
+                        THEN round(1.0 / (lm.lrn - c.rn), 9) ELSE 0.0 END AS closeness
+            FROM events e
+            LEFT JOIN chainu c ON e.event_id = c.event_id
+            CROSS JOIN lm
+        """,
+        "dp_chunking": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> len(x) > 0) AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, greatest(len(toks) - 17, 0), 48)) AS i
+                FROM t WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   CAST(i // 48 AS INTEGER) AS chunk_idx,
+                   CAST(len(toks[i + 1 : i + 64]) AS INTEGER) AS n_chunk_tokens,
+                   array_to_string(toks[i + 1 : i + 64], ' ') AS chunk_text
+            FROM s
         """,
         "dp_sessionize": """
             WITH b AS (

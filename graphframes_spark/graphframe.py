@@ -93,6 +93,41 @@ class GraphFrame:
 
     from_edges = fromEdges
 
+    def save(
+        self,
+        path: str,
+        mode: str = "error",
+        partitionVerticesBy: Optional[Sequence[str]] = None,
+        partitionEdgesBy: Optional[Sequence[str]] = None,
+    ) -> None:
+        """Persist the graph as two parquet directories, ``<path>/vertices``
+        and ``<path>/edges`` — the same layout the reference's algorithms
+        spill checkpoints in (TwoPhase.scala:270-272,
+        RandomWalkBase.scala:266-270), promoted to a user-facing sink.
+
+        ``mode`` is any Spark save mode; the optional partition columns
+        become hive-style directory partitions so downstream loads get
+        partition pruning for free (e.g. ``partitionEdgesBy=["src_type"]``
+        on a typed property graph)."""
+        vw = self._vertices.write.mode(mode)
+        if partitionVerticesBy:
+            vw = vw.partitionBy(*partitionVerticesBy)
+        vw.parquet(f"{path}/vertices")
+        ew = self._edges.write.mode(mode)
+        if partitionEdgesBy:
+            ew = ew.partitionBy(*partitionEdgesBy)
+        ew.parquet(f"{path}/edges")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "GraphFrame":
+        """Read a graph written by :meth:`save`. Plain parquet scans —
+        column pruning and partition/predicate pushdown flow into every
+        downstream operator."""
+        return cls(
+            spark.read.parquet(f"{path}/vertices"),
+            spark.read.parquet(f"{path}/edges"),
+        )
+
     def validate(self, checkVertices: bool = True) -> None:
         """Integrity check: unique vertex ids; with ``checkVertices``,
         every edge endpoint exists in the vertex DataFrame — the endpoint
@@ -450,6 +485,45 @@ class GraphFrame:
         from graphframes_spark.lib.sssp import shortest_paths_weighted
 
         return shortest_paths_weighted(self, landmarks, weightCol, isDirected, maxIter)
+
+    def node2vecWalks(
+        self,
+        walkLength: int = 10,
+        numWalksPerNode: int = 1,
+        p: float = 1.0,
+        q: float = 1.0,
+        seed: int = 42,
+        useEdgeDirection: bool = True,
+        maxNbrsPerVertex: Optional[int] = None,
+    ) -> DataFrame:
+        """Second-order biased random walks (node2vec, Grover & Leskovec
+        KDD'16) with hash-derived determinism; DF[start, walk_idx,
+        random_walk]. Beyond-reference — the reference ships only
+        first-order walks with restart."""
+        from graphframes_spark.node2vec import node2vec_walks
+
+        return node2vec_walks(
+            self,
+            walk_length=walkLength,
+            num_walks_per_node=numWalksPerNode,
+            p=p,
+            q=q,
+            seed=seed,
+            use_edge_direction=useEdgeDirection,
+            max_nbrs=maxNbrsPerVertex,
+        )
+
+    def harmonicCentrality(
+        self, landmarks: Sequence[Any], isDirected: bool = True
+    ) -> DataFrame:
+        """Landmark-sampled harmonic/closeness centrality (Eppstein-Wang
+        estimator over one landmark BFS); DF[<vertex columns>, n_reached,
+        dist_sum, harmonic, closeness]. Beyond-reference — the reference
+        has no distance-based centrality. Outbound variant; use
+        ``asReversed()`` or ``isDirected=False`` for inbound."""
+        from graphframes_spark.lib.centrality import harmonic_centrality
+
+        return harmonic_centrality(self, landmarks, isDirected)
 
     def hits(self, maxIter: int = 10) -> DataFrame:
         """Hubs and authorities (Kleinberg HITS, L2-normalized per

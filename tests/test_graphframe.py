@@ -124,3 +124,37 @@ def test_sample_edges_keeps_vertices(friends):
     assert g.edges.count() <= friends.edges.count()
     again = friends.sampleEdges(0.5, seed="t")
     assert sorted(map(tuple, g.edges.collect())) == sorted(map(tuple, again.edges.collect()))
+
+
+def test_save_load_roundtrip(spark, friends, tmp_path):
+    path = str(tmp_path / "g")
+    friends.save(path)
+    g2 = type(friends).load(spark, path)
+    assert sorted(r["id"] for r in g2.vertices.collect()) == sorted(
+        r["id"] for r in friends.vertices.collect()
+    )
+    assert g2.edges.count() == friends.edges.count()
+    assert set(g2.vertices.columns) == set(friends.vertices.columns)
+    # overwrite mode replaces; error mode raises on existing path
+    friends.save(path, mode="overwrite")
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        friends.save(path, mode="error")
+
+
+def test_save_partitioned_edges(spark, tmp_path):
+    from graphframes_spark import GraphFrame
+
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1, "a"), (1, 2, "a"), (2, 3, "b")], ["src", "dst", "etype"]
+    )
+    path = str(tmp_path / "pg")
+    GraphFrame(v, e).save(path, partitionEdgesBy=["etype"])
+    import os
+
+    assert os.path.isdir(os.path.join(path, "edges", "etype=a"))
+    g2 = GraphFrame.load(spark, path)
+    assert g2.edges.filter("etype = 'b'").count() == 1

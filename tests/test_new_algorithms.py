@@ -526,3 +526,106 @@ def test_ktruss_cascading_removal(spark):
     assert g.kTruss(4).count() == 0
     t3 = {(r["src"], r["dst"]) for r in g.kTruss(3).collect()}
     assert t3 == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)}
+
+
+# ------------------------------------------------- harmonic centrality
+
+
+def test_harmonic_centrality_chain(spark):
+    # chain 0 -> 1 -> 2 -> 3, landmarks {3}: d(i, 3) = 3 - i
+    g = chain_graph(spark, 4)
+    out = {r["id"]: r for r in g.harmonicCentrality(landmarks=[3]).collect()}
+    assert out[0]["n_reached"] == 1 and out[0]["dist_sum"] == 3
+    assert abs(out[0]["harmonic"] - 1 / 3) < 1e-12
+    assert abs(out[0]["closeness"] - 1 / 3) < 1e-12
+    assert out[2]["dist_sum"] == 1 and abs(out[2]["harmonic"] - 1.0) < 1e-12
+    # the landmark itself: self-distance 0 excluded -> all zeros
+    assert out[3]["n_reached"] == 0 and out[3]["dist_sum"] == 0
+    assert out[3]["harmonic"] == 0.0 and out[3]["closeness"] == 0.0
+
+
+def test_harmonic_centrality_multi_landmark(spark):
+    # star center 0 with leaves 1..4, edges leaf -> center? star_graph is
+    # center -> leaves; landmarks at two leaves, directed: center reaches
+    # both at distance 1, leaves reach nothing (no outgoing edges)
+    g = star_graph(spark, 4)
+    out = {r["id"]: r for r in g.harmonicCentrality(landmarks=[1, 2]).collect()}
+    assert out[0]["n_reached"] == 2 and out[0]["dist_sum"] == 2
+    assert abs(out[0]["harmonic"] - 2.0) < 1e-12
+    assert abs(out[0]["closeness"] - 1.0) < 1e-12
+    # leaf 1 is itself a landmark (zero excluded) and cannot reach leaf 2
+    assert out[1]["n_reached"] == 0 and out[1]["harmonic"] == 0.0
+    assert out[3]["n_reached"] == 0
+
+
+def test_harmonic_centrality_undirected(spark):
+    # undirected chain 0 - 1 - 2, landmark 0: against edge direction the
+    # chain only reaches it in undirected mode
+    g = chain_graph(spark, 3)
+    out = {
+        r["id"]: r
+        for r in g.harmonicCentrality(landmarks=[0], isDirected=False).collect()
+    }
+    assert out[1]["dist_sum"] == 1
+    assert out[2]["dist_sum"] == 2 and abs(out[2]["harmonic"] - 0.5) < 1e-12
+
+
+# ---------------------------------------------------- node2vec walks
+
+
+def test_node2vec_chain_deterministic(spark):
+    # directed chain 0 -> 1 -> 2 -> 3: exactly one choice per step, so
+    # walks are forced paths regardless of p/q
+    g = chain_graph(spark, 4)
+    out = {r["start"]: r for r in
+           g.node2vecWalks(walkLength=5, p=4.0, q=0.25).collect()}
+    # vertex 3 has no out-edge -> no walk row
+    assert set(out) == {0, 1, 2}
+    assert out[0]["random_walk"] == [0, 1, 2, 3]
+    assert out[1]["random_walk"] == [1, 2, 3]
+    assert out[2]["random_walk"] == [2, 3]
+
+
+def test_node2vec_seed_determinism(spark):
+    g = two_blobs(spark, 4)
+    a = sorted(map(tuple, g.node2vecWalks(
+        walkLength=6, numWalksPerNode=2, seed=7).collect()))
+    b = sorted(map(tuple, g.node2vecWalks(
+        walkLength=6, numWalksPerNode=2, seed=7).collect()))
+    assert a == b
+    # walks stay inside the edge set
+    edges = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    for row in g.node2vecWalks(walkLength=6, seed=7).collect():
+        w = row["random_walk"]
+        assert w[0] == row["start"]
+        for x, y in zip(w, w[1:]):
+            assert (x, y) in edges
+
+
+def test_node2vec_return_bias(spark):
+    # path graph a - b plus b - c as undirected: from b after arriving
+    # from a, p -> 0 makes returning to a overwhelmingly likely; many
+    # walks from a should look like a,b,a,b,... rather than reaching c
+    from graphframes_spark import GraphFrame
+
+    v = spark.createDataFrame([(i,) for i in range(3)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    walks = g.node2vecWalks(
+        walkLength=2, numWalksPerNode=64, p=1e-6, q=1e6,
+        useEdgeDirection=False, seed=3,
+    ).collect()
+    from_zero = [r["random_walk"] for r in walks if r["start"] == 0]
+    assert len(from_zero) == 64
+    returns = sum(1 for w in from_zero if w == [0, 1, 0])
+    assert returns >= 56  # overwhelming return bias
+
+
+def test_node2vec_validation(spark):
+    g = chain_graph(spark, 3)
+    with pytest.raises(GraphFramesError):
+        g.node2vecWalks(walkLength=0)
+    with pytest.raises(GraphFramesError):
+        g.node2vecWalks(p=0.0)
+    with pytest.raises(GraphFramesError):
+        g.node2vecWalks(numWalksPerNode=0)

@@ -364,6 +364,29 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the customer-order bipartite graph
+    (strongly negative: hubs connect to degree-1 orders). One row; the
+    Pearson moments are replayed with DuckDB's corr()."""
+    g = _customer_order_graph(spark, sf_dir)
+    return g.degreeAssortativity().select(
+        F.round(F.col("assortativity"), 6).alias("assortativity")
+    )
+
+
+def q_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity of the nation graph under an id%3
+    partition that deliberately crosses region-clique boundaries, so
+    both the intra-edge and degree-mass terms are exercised."""
+    g = _nation_graph(spark, sf_dir)
+    asg = g.vertices.select(
+        F.col("id"), (F.col("id") % 3).alias("community")
+    )
+    return g.modularity(asg).select(
+        F.round(F.col("modularity"), 6).alias("modularity")
+    )
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the nation within-region cliques: every edge of a
     5-clique sits in 3 triangles, so the peeling fixpoint is the full
@@ -1361,6 +1384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_clustering_coefficient,
         "sample_subgraph": q_sample_subgraph,
         "degree_distribution": q_degree_distribution,
+        "assortativity": q_assortativity,
+        "modularity_regions": q_modularity_regions,
     }
 
 
@@ -2387,6 +2412,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, round(m, 6) AS nbr_mean0, round(m * 2, 6) AS nbr_mean1
             FROM nb
+        """,
+        # Pearson over both orientations of each undirected edge; DuckDB's
+        # sample corr() equals the population-moment ratio (factors cancel)
+        "assortativity": f"""
+            WITH e AS (
+                SELECT o_custkey AS src, o_orderkey + {ORDER_OFFSET} AS dst
+                FROM orders
+            ),
+            und AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM e
+                    UNION ALL
+                    SELECT dst AS src, src AS dst FROM e
+                )
+            ),
+            deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src)
+            SELECT round(corr(CAST(ds.d AS DOUBLE), CAST(dd.d AS DOUBLE)), 6)
+                   AS assortativity
+            FROM und
+            JOIN deg ds ON und.src = ds.id
+            JOIN deg dd ON und.dst = dd.id
+        """,
+        # Q = sum_c ( L_c/m - (d_c/2m)^2 ) over the id%3 partition of the
+        # symmetrized nation graph
+        "modularity_regions": f"""
+            WITH adj AS ({_NATION_EDGES_SQL}),
+            und AS (SELECT DISTINCT src, dst FROM adj),
+            canon AS (SELECT src, dst FROM und WHERE src < dst),
+            asg AS (SELECT n_nationkey AS id, n_nationkey % 3 AS c FROM nation),
+            m AS (SELECT count(*) AS m FROM canon),
+            deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src),
+            dc AS (
+                SELECT a.c, sum(deg.d) AS dc
+                FROM deg JOIN asg a ON deg.id = a.id GROUP BY a.c
+            ),
+            lc AS (
+                SELECT a1.c, count(*) AS lc
+                FROM canon e
+                JOIN asg a1 ON e.src = a1.id
+                JOIN asg a2 ON e.dst = a2.id
+                WHERE a1.c = a2.c GROUP BY a1.c
+            )
+            SELECT round(sum(
+                       coalesce(lc.lc, 0) / (m.m * 1.0)
+                       - (dc.dc / (2.0 * m.m)) * (dc.dc / (2.0 * m.m))
+                   ), 6) AS modularity
+            FROM dc LEFT JOIN lc ON dc.c = lc.c CROSS JOIN m
         """,
     }
 

@@ -533,6 +533,25 @@ class GraphFrame:
 
         return hits(self, maxIter)
 
+    def degreeAssortativity(self, mode: str = "total") -> DataFrame:
+        """Newman degree-assortativity coefficient; 1-row
+        DF[assortativity: double]. ``mode="total"`` (undirected,
+        symmetrized) or ``"out-in"`` (directed). Beyond-reference."""
+        from graphframes_spark.lib.metrics import degree_assortativity
+
+        return degree_assortativity(self, mode)
+
+    def modularity(
+        self, assignment: DataFrame, communityCol: str = "community"
+    ) -> DataFrame:
+        """Newman–Girvan modularity of a partition (undirected
+        semantics); 1-row DF[modularity: double]. ``assignment`` is
+        DF[id, <communityCol>] — e.g. labelPropagation output.
+        Beyond-reference."""
+        from graphframes_spark.lib.metrics import modularity
+
+        return modularity(self, assignment, communityCol)
+
     def kTruss(self, k: int) -> DataFrame:
         """Edges of the k-truss (every edge in >= k-2 triangles within
         the truss); DF[src, dst, support] with src < dst on the

@@ -33,8 +33,16 @@ HUB = "hub"
 AUTHORITY = "authority"
 
 
-def _l2_normalized(df: DataFrame, key_alias: str, out_col: str) -> DataFrame:
-    """(key, _raw) → (id, out_col = _raw / ||_raw||₂); zero norm → 0."""
+def _l2_normalized(
+    harness: IterationHarness, df: DataFrame, key_alias: str, out_col: str
+) -> DataFrame:
+    """(key, _raw) → (id, out_col = _raw / ||_raw||₂); zero norm → 0.
+
+    ``df`` is persisted first: it feeds both the 1-row norm aggregate and
+    the normalized projection, and without the persist the upstream
+    join+agg would execute twice per iteration.
+    """
+    df = harness.persist(df)
     norm = df.agg(
         F.sqrt(F.sum(F.col("_raw") * F.col("_raw"))).alias("_n")
     )
@@ -63,13 +71,15 @@ def hits(graph: "GraphFrame", max_iter: int = 10) -> DataFrame:
             .groupBy(DST)
             .agg(F.sum(HUB).alias("_raw"))
         )
-        auth = _l2_normalized(raw_a, DST, AUTHORITY)
+        auth = _l2_normalized(harness, raw_a, DST, AUTHORITY)
         raw_h = (
             edges.join(auth.withColumnRenamed(ID, DST), on=DST)
             .groupBy(SRC)
             .agg(F.sum(AUTHORITY).alias("_raw"))
         )
-        hub = harness.checkpoint(_l2_normalized(raw_h, SRC, HUB), eager=True)
+        hub = harness.checkpoint(
+            _l2_normalized(harness, raw_h, SRC, HUB), eager=True
+        )
         harness.rotate()
     auth = harness.checkpoint(auth, eager=True)
 

@@ -1,0 +1,135 @@
+"""Graph-level summary metrics: degree assortativity and modularity.
+
+Beyond-reference (the reference library computes no whole-graph
+statistics): both are single-row corpus/graph health numbers a pipeline
+operator wants before and after community detection or dedup-by-CC —
+"is this graph hub-attracted or hub-avoidant?" (assortativity) and
+"how good is this partition?" (modularity of LPA/CC output).
+
+Scale posture: both reduce to one or two hash-aggregations over the
+edge list joined with a degree table — no iteration, no windows, no
+driver-side data. The degree table is vertex-sized; joining it onto
+edges twice is the same shape every Pregel superstep already has. At
+100 TB the joins shuffle on src/dst exactly once each and the final
+aggregate is a 1-row partial-aggregatable reduction.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphframes_spark.util import DST, ID, SRC, GraphFramesError
+
+if TYPE_CHECKING:
+    from graphframes_spark.graphframe import GraphFrame
+
+
+def _symmetrized(graph: "GraphFrame") -> DataFrame:
+    """Distinct undirected neighbor pairs, both orientations, no loops."""
+    e = graph.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
+    return e.unionByName(
+        e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    ).distinct()
+
+
+def degree_assortativity(graph: "GraphFrame", mode: str = "total") -> DataFrame:
+    """DF[assortativity: double] — Newman (2002) degree correlation.
+
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list (each undirected edge contributes both orientations, which is
+    exactly Newman's sum over edge "ends"). ``mode``:
+
+    - ``"total"``: undirected — symmetrize, correlate total degree.
+    - ``"out-in"``: directed — correlate src out-degree with dst
+      in-degree over the directed edges.
+
+    r > 0: hubs attach to hubs (social nets); r < 0: hubs attach to
+    leaves (stars, the web). NaN when all degrees are equal (zero
+    variance — e.g. cliques, cycles).
+    """
+    if mode == "total":
+        und = _symmetrized(graph)
+        deg = und.groupBy(SRC).agg(F.count(F.lit(1)).alias("_deg"))
+        joined = (
+            und.join(deg.select(F.col(SRC), F.col("_deg").alias("_dsrc")), on=SRC)
+            .join(
+                deg.select(F.col(SRC).alias(DST), F.col("_deg").alias("_ddst")),
+                on=DST,
+            )
+        )
+    elif mode == "out-in":
+        e = graph.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
+        outd = e.groupBy(SRC).agg(F.count(F.lit(1)).alias("_dsrc"))
+        ind = e.groupBy(DST).agg(F.count(F.lit(1)).alias("_ddst"))
+        joined = e.join(outd, on=SRC).join(ind, on=DST)
+    else:
+        raise GraphFramesError(f"unknown assortativity mode: {mode!r}")
+    # Pearson r via population moments with try_divide: Spark 4's ANSI
+    # mode makes corr() raise DIVIDE_BY_ZERO on zero-variance input
+    # (regular graphs); NULL is the contract instead
+    x = F.col("_dsrc").cast("double")
+    y = F.col("_ddst").cast("double")
+    return joined.agg(
+        F.try_divide(
+            F.covar_pop(x, y), F.stddev_pop(x) * F.stddev_pop(y)
+        ).alias("assortativity")
+    )
+
+
+def modularity(
+    graph: "GraphFrame", assignment: DataFrame, community_col: str = "community"
+) -> DataFrame:
+    """DF[modularity: double] — Newman–Girvan modularity of a partition.
+
+    ``assignment`` is DF[id, <community_col>] (e.g. labelPropagation or
+    connectedComponents output). Undirected semantics: the graph is
+    symmetrized and de-duplicated; self-loops are dropped.
+
+        Q = Σ_c ( L_c / m  −  (d_c / 2m)² )
+
+    with m = undirected edge count, L_c = edges inside community c,
+    d_c = total degree in c. Computed as two aggregates over the
+    degree-annotated symmetrized edges — the per-community terms are
+    partial-aggregatable, and the community count is bounded by the
+    vertex count, never materialized on the driver.
+    """
+    if community_col not in assignment.columns:
+        raise GraphFramesError(
+            f"assignment is missing community column {community_col!r}"
+        )
+    und = _symmetrized(graph)
+    # canonical one-row-per-undirected-edge view for m and L_c
+    canon = und.filter(F.col(SRC) < F.col(DST))
+    a_src = assignment.select(
+        F.col(ID).alias(SRC), F.col(community_col).alias("_csrc")
+    )
+    a_dst = assignment.select(
+        F.col(ID).alias(DST), F.col(community_col).alias("_cdst")
+    )
+    m = canon.count()
+    if m == 0:
+        spark = graph.spark
+        return spark.createDataFrame([(float("nan"),)], "modularity double")
+    intra = (
+        canon.join(a_src, on=SRC)
+        .join(a_dst, on=DST)
+        .filter(F.col("_csrc") == F.col("_cdst"))
+        .groupBy("_csrc")
+        .agg(F.count(F.lit(1)).alias("_lc"))
+    )
+    deg = und.groupBy(SRC).agg(F.count(F.lit(1)).alias("_deg"))
+    comm_deg = (
+        deg.join(a_src, on=SRC)
+        .groupBy("_csrc")
+        .agg(F.sum("_deg").alias("_dc"))
+    )
+    per_comm = comm_deg.join(intra, on="_csrc", how="left_outer").select(
+        (
+            F.coalesce(F.col("_lc"), F.lit(0)) / F.lit(float(m))
+            - (F.col("_dc") / F.lit(2.0 * m)) * (F.col("_dc") / F.lit(2.0 * m))
+        ).alias("_q")
+    )
+    return per_comm.agg(F.sum("_q").alias("modularity"))

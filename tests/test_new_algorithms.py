@@ -629,3 +629,81 @@ def test_node2vec_validation(spark):
         g.node2vecWalks(p=0.0)
     with pytest.raises(GraphFramesError):
         g.node2vecWalks(numWalksPerNode=0)
+
+
+# ---------------------------------------------------- graph-level metrics
+
+
+def test_assortativity_star_is_minus_one(spark):
+    g = star_graph(spark, 5)
+    r = g.degreeAssortativity().collect()[0]
+    assert abs(r["assortativity"] - (-1.0)) < 1e-9
+
+
+def test_assortativity_chain(spark):
+    # path of 5: endpoints deg1, interior deg2; known r = -1/3
+    g = chain_graph(spark, 5)
+    r = g.degreeAssortativity().collect()[0]
+    assert abs(r["assortativity"] - (-1.0 / 3.0)) < 1e-9
+
+
+def test_assortativity_clique_nan(spark):
+    # all degrees equal -> zero variance -> NaN/None
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(4) if i < j], ["src", "dst"]
+    )
+    r = GraphFrame(v, e).degreeAssortativity().collect()[0]
+    import math
+
+    assert r["assortativity"] is None or math.isnan(r["assortativity"])
+
+
+def test_assortativity_out_in_mode(spark):
+    # out-deg(src) and in-deg(dst) must both vary for a defined r
+    v = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (2, 1), (4, 0)], ["src", "dst"]
+    )
+    r = GraphFrame(v, e).degreeAssortativity(mode="out-in").collect()[0]
+    assert r["assortativity"] is not None
+
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e).degreeAssortativity(mode="bogus")
+
+
+def test_modularity_two_triangles(spark):
+    v = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)], ["src", "dst"]
+    )
+    g = GraphFrame(v, e)
+    asg = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], ["id", "community"]
+    )
+    q = g.modularity(asg).collect()[0]["modularity"]
+    assert abs(q - 0.5) < 1e-9
+    # one community covering everything scores 0
+    asg1 = spark.createDataFrame([(i, 0) for i in range(6)], ["id", "community"])
+    q1 = g.modularity(asg1).collect()[0]["modularity"]
+    assert abs(q1) < 1e-9
+
+
+def test_modularity_matches_lpa_communities(spark):
+    # two blobs: LPA labels should score higher than a random split
+    g = two_blobs(spark, 4)
+    labels = g.labelPropagation(maxIter=5).select(
+        "id", F.col("label").alias("community")
+    )
+    q_lpa = g.modularity(labels).collect()[0]["modularity"]
+    odd_even = g.vertices.select(
+        "id", (F.col("id") % 2).alias("community")
+    )
+    q_rand = g.modularity(odd_even).collect()[0]["modularity"]
+    assert q_lpa > q_rand
+
+
+def test_modularity_requires_community_col(spark):
+    g = chain_graph(spark, 3)
+    with pytest.raises(GraphFramesError):
+        g.modularity(g.vertices.select("id"), "community")

@@ -824,6 +824,36 @@ def q_dp_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-normalization pre-pass (lower / collapse non-alnum / trim)
+    plus its md5 — a codegen-resident narrow transform whose oracle is
+    the same regex replayed by DuckDB's RE2."""
+    from graphframes_spark.datapipe import normalize_text
+
+    d = _docs(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    return d.select("doc_id", norm.alias("normalized"), F.md5(norm).alias("norm_md5"))
+
+
+def q_dp_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: redacted text + per-document email/IP/phone
+    match counts (zero on this synthetic corpus — the oracle verifies
+    the full regex pipeline end-to-end; crafted-PII behavior is covered
+    in tests/test_datapipe.py)."""
+    from graphframes_spark.datapipe import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))
+
+
+def q_dp_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document: explode + two hash aggs + a
+    vocabulary join + per-doc top-k window; scores rounded before
+    ranking so the (score DESC, term ASC) order is engine-stable."""
+    from graphframes_spark.datapipe import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
 def q_dp_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/benchmark n-gram decontamination: documents sharing >= 2
     distinct 3-grams with the doc_id % 10 == 0 slice (the stand-in
@@ -1386,6 +1416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": q_degree_distribution,
         "assortativity": q_assortativity,
         "modularity_regions": q_modularity_regions,
+        "dp_normalize": q_dp_normalize,
+        "dp_redact": q_dp_redact,
+        "dp_tfidf": q_dp_tfidf,
     }
 
 
@@ -2459,6 +2492,67 @@ def oracle_sql() -> dict[str, str]:
                        - (dc.dc / (2.0 * m.m)) * (dc.dc / (2.0 * m.m))
                    ), 6) AS modularity
             FROM dc LEFT JOIN lc ON dc.c = lc.c CROSS JOIN m
+        """,
+        # same regex replayed under RE2 ('g' = Spark's always-global)
+        "dp_normalize": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                       AS normalized
+                FROM documents
+            )
+            SELECT doc_id, normalized, md5(normalized) AS norm_md5 FROM n
+        """,
+        "dp_redact": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+                               '<EMAIL>', 'g'),
+                           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                           '<IP>', 'g'),
+                       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+                       '<PHONE>', 'g') AS redacted_text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+                       AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                       AS INTEGER) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+                       AS INTEGER) AS n_phones
+            FROM documents
+        """,
+        "dp_tfidf": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0)) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            dfreq AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM toks GROUP BY term
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       round(tf.tf * ln(n.n / (1.0 * dfreq.df)), 6) AS score
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, score, CAST(rk AS INTEGER) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+                FROM scored
+            ) WHERE rk <= 5
         """,
     }
 

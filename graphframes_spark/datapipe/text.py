@@ -290,3 +290,98 @@ def chunk_documents(
         F.size(F.slice("_toks", F.col("_start") + 1, size)).alias("n_chunk_tokens"),
         F.concat_ws(" ", F.slice("_toks", F.col("_start") + 1, size)).alias("chunk_text"),
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Dedup-normalized text: lower-case, non-alphanumerics collapsed to
+    single spaces, trimmed. The standard pre-pass before exact/near-dup
+    hashing so trivial formatting variants collide. Regex kept to the
+    subset with identical semantics in Java regex (Spark) and RE2
+    (DuckDB), so oracles can replay it verbatim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+
+
+# PII patterns shared by redact_pii and its oracle: a regex subset with
+# identical semantics in Java regex and RE2 (no backrefs, no lookaround)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrub for training corpora — DF[<id>, redacted_text,
+    n_emails, n_ips, n_phones].
+
+    Emails, IPv4 addresses and NNN-NNN-NNNN phone numbers are replaced
+    with <EMAIL>/<IP>/<PHONE> sentinels (applied in that order so an
+    already-redacted span is never re-matched) and per-document match
+    counts are kept for corpus audit rollups. Pure ``regexp_replace`` /
+    ``regexp_extract_all`` — codegen-resident, no shuffle, no UDF; at
+    100 TB this runs at parquet scan speed with column pruning."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+                PII_IPV4,
+                "<IP>",
+            ),
+            PII_PHONE,
+            "<PHONE>",
+        ).alias("redacted_text"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF —
+    DF[<id>, term, score, rank].
+
+    score = tf(term, doc) · ln(N / df(term)), rounded to 6 decimals
+    before ranking so the (score DESC, term ASC) tie-break is stable
+    across engines; terms present in every document score 0.
+
+    Scale path: one explode + two partial-aggregatable hash
+    aggregations (term frequency keyed on (doc, term); document
+    frequency keyed on term), a shuffle join on term against the
+    term-dictionary (vocabulary-sized, typically many orders smaller
+    than the corpus), the corpus size N broadcast from a 1-row
+    aggregate, and a top-k window partitioned by document id — no
+    global sort, no driver-side data."""
+    from graphframes_spark.util import GraphFramesError
+
+    if k < 1:
+        raise GraphFramesError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("_tf") * F.log(F.col("_n") / F.col("_df").cast("double")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -344,3 +344,62 @@ def test_chunk_documents_validation(spark):
         dp.chunk_documents(df, size=4, overlap=4)
     with pytest.raises(GraphFramesError):
         dp.chunk_documents(df, size=4, overlap=-1)
+
+
+# ------------------------------------------- normalization / PII / TF-IDF
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! (42) \t spark--sql  ")], ["id", "text"]
+    )
+    out = df.select(dp.normalize_text(F.col("text")).alias("n")).collect()[0]["n"]
+    assert out == "hello world 42 spark sql"
+
+
+def test_redact_pii_crafted(spark):
+    rows = [
+        (1, "contact alice.smith+x@example.co.uk or bob@test.io today"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (3, "call 555-867-5309 or 123.456.7890 now"),
+        (4, "clean text with no sensitive content at all"),
+        (5, "mix: a@b.com from 8.8.8.8 dialed 800-555-1212"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dp.redact_pii(df).collect()}
+    assert out[1]["n_emails"] == 2 and "<EMAIL>" in out[1]["redacted_text"]
+    assert "alice" not in out[1]["redacted_text"]
+    assert out[2]["n_ips"] == 2 and out[2]["redacted_text"].count("<IP>") == 2
+    assert out[3]["n_phones"] == 2 and "<PHONE>" in out[3]["redacted_text"]
+    assert out[4]["redacted_text"] == rows[3][1]
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (0, 0, 0)
+    assert (out[5]["n_emails"], out[5]["n_ips"], out[5]["n_phones"]) == (1, 1, 1)
+
+
+def test_tfidf_top_terms(spark):
+    rows = [
+        (1, "apple apple banana shared"),
+        (2, "banana cherry shared"),
+        (3, "cherry durian shared shared"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dp.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    # 'shared' is in all docs -> idf 0 -> never outranks unique terms
+    # doc1: apple tf=2 idf=ln(3) = 2.197; banana tf=1 idf=ln(1.5)
+    top1 = sorted(by_doc[1])[0]
+    assert top1[1] == "apple"
+    import math
+
+    assert abs(top1[2] - round(2 * math.log(3), 6)) < 1e-9
+    # doc3: durian (unique, tf=1) beats shared (idf 0) despite tf=2
+    assert sorted(by_doc[3])[0][1] == "durian"
+    ranks = [r for r, _, _ in by_doc[2]]
+    assert sorted(ranks) == [1, 2]
+
+    from graphframes_spark.util import GraphFramesError
+
+    with pytest.raises(GraphFramesError):
+        dp.tfidf_top_terms(df, k=0)

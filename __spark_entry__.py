@@ -387,6 +387,41 @@ def q_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: vertex-id offsets for the region->nation->customer tree (customer
+#: keys stay raw; both offsets clear any realistic custkey range)
+NAT_OFF = 50_000_000
+REG_OFF = 60_000_000
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes betweenness from all region roots over the directed
+    region->nation->customer tree. On an out-tree sigma == 1 everywhere
+    and delta(v) = #descendants, so each nation's betweenness is exactly
+    its customer count — closed-form in SQL."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    v = (
+        region.select((F.col("r_regionkey") + REG_OFF).alias("id"))
+        .unionByName(nation.select((F.col("n_nationkey") + NAT_OFF).alias("id")))
+        .unionByName(customer.select(F.col("c_custkey").alias("id")))
+    )
+    e = nation.select(
+        (F.col("n_regionkey") + REG_OFF).alias("src"),
+        (F.col("n_nationkey") + NAT_OFF).alias("dst"),
+    ).unionByName(
+        customer.select(
+            (F.col("c_nationkey") + NAT_OFF).alias("src"),
+            F.col("c_custkey").alias("dst"),
+        )
+    )
+    g = GraphFrame(v, e)
+    sources = [r[0] + REG_OFF for r in region.select("r_regionkey").collect()]
+    return g.betweennessCentrality(sources, maxDepth=4).select(
+        "id", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the nation within-region cliques: every edge of a
     5-clique sits in 3 triangles, so the peeling fixpoint is the full
@@ -1419,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_normalize": q_dp_normalize,
         "dp_redact": q_dp_redact,
         "dp_tfidf": q_dp_tfidf,
+        "betweenness": q_betweenness,
     }
 
 
@@ -2553,6 +2589,22 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
                 FROM scored
             ) WHERE rk <= 5
+        """,
+        # out-tree Brandes: sigma=1 and delta(v)=#descendants, so a
+        # nation's betweenness is its customer count; roots and leaves 0
+        "betweenness": f"""
+            WITH v AS (
+                SELECT r_regionkey + {REG_OFF} AS id FROM region
+                UNION ALL SELECT n_nationkey + {NAT_OFF} FROM nation
+                UNION ALL SELECT c_custkey FROM customer
+            ),
+            bc AS (
+                SELECT c_nationkey + {NAT_OFF} AS id,
+                       CAST(count(*) AS DOUBLE) AS b
+                FROM customer GROUP BY c_nationkey
+            )
+            SELECT v.id, round(coalesce(bc.b, 0.0), 6) AS betweenness
+            FROM v LEFT JOIN bc USING (id)
         """,
     }
 

@@ -533,6 +533,20 @@ class GraphFrame:
 
         return hits(self, maxIter)
 
+    def betweennessCentrality(
+        self,
+        sources: Sequence[Any],
+        maxDepth: int = 20,
+        isDirected: bool = True,
+    ) -> DataFrame:
+        """Brandes betweenness restricted to a source sample (exact when
+        ``sources`` is all vertices; scale by n/|sources| for the
+        Brandes-Pich estimate); DF[<vertex columns>, betweenness].
+        Beyond-reference."""
+        from graphframes_spark.lib.betweenness import betweenness_centrality
+
+        return betweenness_centrality(self, sources, maxDepth, isDirected)
+
     def degreeAssortativity(self, mode: str = "total") -> DataFrame:
         """Newman degree-assortativity coefficient; 1-row
         DF[assortativity: double]. ``mode="total"`` (undirected,

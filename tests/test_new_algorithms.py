@@ -707,3 +707,58 @@ def test_modularity_requires_community_col(spark):
     g = chain_graph(spark, 3)
     with pytest.raises(GraphFramesError):
         g.modularity(g.vertices.select("id"), "community")
+
+
+# ------------------------------------------------------- betweenness
+
+
+def test_betweenness_chain_exact(spark):
+    g = chain_graph(spark, 5)
+    r = {
+        x["id"]: x["betweenness"]
+        for x in g.betweennessCentrality(
+            list(range(5)), isDirected=False
+        ).collect()
+    }
+    assert r == {0: 0.0, 1: 6.0, 2: 8.0, 3: 6.0, 4: 0.0}
+
+
+def test_betweenness_diamond_split_paths(spark):
+    # 0->1->3, 0->2->3: two shortest paths, deps split evenly
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame([(0, 1), (0, 2), (1, 3), (2, 3)], ["src", "dst"])
+    r = {
+        x["id"]: x["betweenness"]
+        for x in GraphFrame(v, e).betweennessCentrality([0]).collect()
+    }
+    assert r == {0: 0.0, 1: 0.5, 2: 0.5, 3: 0.0}
+
+
+def test_betweenness_source_subset_and_depth(spark):
+    g = chain_graph(spark, 6)
+    # only source 0, depth-capped at 2: paths beyond hop 2 ignored
+    r = {
+        x["id"]: x["betweenness"]
+        for x in g.betweennessCentrality([0], maxDepth=2).collect()
+    }
+    assert r[1] == 1.0  # only 0->1->2 counted
+    assert r[3] == 0.0 and r[4] == 0.0
+
+    with pytest.raises(GraphFramesError):
+        g.betweennessCentrality([])
+    with pytest.raises(GraphFramesError):
+        g.betweennessCentrality([0], maxDepth=0)
+
+
+def test_betweenness_disconnected_sources(spark):
+    # two components; sources in one never credit the other
+    v = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    r = {
+        x["id"]: x["betweenness"]
+        for x in GraphFrame(v, e).betweennessCentrality([0, 3]).collect()
+    }
+    assert r[1] == 1.0 and r[4] == 1.0
+    assert r[0] == 0.0 and r[2] == 0.0 and r[3] == 0.0 and r[5] == 0.0

@@ -321,6 +321,30 @@ def q_node2vec_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound eccentricity of the chain landmark (lib/centrality.py):
+    on a chain the farthest vertex reaching the landmark is the chain
+    head, so eccentricity == the landmark's 0-based chain position and
+    n_reached == position + 1 — closed-form in SQL."""
+    g = _events_chain_graph(spark, sf_dir)
+    landmark = _chain_landmark(spark, sf_dir)
+    return g.eccentricity(landmarks=[landmark])
+
+
+def q_dp_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (datapipe/similarity.py):
+    per-vector absmax scaling replayed element-for-element by DuckDB
+    list_transform."""
+    from graphframes_spark.datapipe import quantize_embeddings
+
+    q = quantize_embeddings(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.concat_ws(" ", F.col("qvec").cast("array<string>")).alias("qvec_str"),
+        F.round("scale", 9).alias("scale"),
+    )
+
+
 def q_shortest_paths_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """isDirected=False path: the canonically-oriented clique graph (each
     edge stored once, src < dst) still yields distance 1 to every
@@ -1455,6 +1479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_redact": q_dp_redact,
         "dp_tfidf": q_dp_tfidf,
         "betweenness": q_betweenness,
+        "eccentricity": q_eccentricity,
+        "dp_quantize": q_dp_quantize,
     }
 
 
@@ -2605,6 +2631,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v.id, round(coalesce(bc.b, 0.0), 6) AS betweenness
             FROM v LEFT JOIN bc USING (id)
+        """,
+        # chain: farthest vertex reaching the landmark is the chain head
+        "eccentricity": """
+            WITH seq AS (
+                SELECT event_id, user_id,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            mu AS (SELECT min(user_id) AS u FROM events),
+            chainu AS (SELECT event_id, rn FROM seq, mu WHERE user_id = mu.u),
+            lm AS (
+                SELECT event_id AS lid, rn AS lrn FROM chainu
+                WHERE rn = least(21, (SELECT max(rn) FROM chainu))
+            )
+            SELECT lid AS landmark,
+                   CAST(lrn - 1 AS INTEGER) AS eccentricity,
+                   CAST(lrn AS BIGINT) AS n_reached
+            FROM lm
+        """,
+        # element-for-element absmax int8 replay; all-zero vectors -> 0s
+        "dp_quantize": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            m AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS absmax
+                FROM e
+            )
+            SELECT vec_id,
+                   CASE WHEN absmax > 0 THEN
+                       array_to_string(list_transform(v,
+                           x -> CAST(CAST(round(x * 127.0 / absmax) AS INTEGER) AS VARCHAR)), ' ')
+                   ELSE
+                       array_to_string(list_transform(v, x -> '0'), ' ')
+                   END AS qvec_str,
+                   round(CASE WHEN absmax > 0 THEN absmax / 127.0 ELSE 0.0 END, 9)
+                   AS scale
+            FROM m
         """,
     }
 

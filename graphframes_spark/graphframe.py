@@ -525,6 +525,17 @@ class GraphFrame:
 
         return harmonic_centrality(self, landmarks, isDirected)
 
+    def eccentricity(
+        self, landmarks: Sequence[Any], isDirected: bool = True
+    ) -> DataFrame:
+        """Inbound eccentricity per landmark (max hop distance over the
+        vertices reaching it) — DF[landmark, eccentricity, n_reached];
+        max over a landmark sample = pseudo-diameter lower bound.
+        Beyond-reference."""
+        from graphframes_spark.lib.centrality import eccentricity
+
+        return eccentricity(self, landmarks, isDirected)
+
     def hits(self, maxIter: int = 10) -> DataFrame:
         """Hubs and authorities (Kleinberg HITS, L2-normalized per
         iteration); DF[<vertex columns>, hub, authority]. Beyond-reference

@@ -47,6 +47,32 @@ def _positive_dists(distances: Column) -> Column:
     return F.filter(F.map_values(distances), lambda d: d > F.lit(0))
 
 
+def eccentricity(
+    graph: "GraphFrame",
+    landmarks: Sequence[Any],
+    is_directed: bool = True,
+) -> DataFrame:
+    """Per-landmark inbound eccentricity — DF[landmark, eccentricity:
+    int, n_reached: long].
+
+    ``eccentricity`` is the maximum hop distance over every vertex that
+    reaches the landmark (d(v → landmark) along edge direction);
+    ``n_reached`` counts those vertices, the landmark itself included.
+    ``max(eccentricity)`` over a landmark sample is the standard
+    pseudo-diameter lower bound (double sweep). Cost: the landmark BFS
+    itself plus one explode + one landmark-keyed aggregation — at most
+    |landmarks| groups, partial-aggregatable."""
+    sp = shortest_paths(graph, landmarks, is_directed)
+    return (
+        sp.select(F.explode(F.col(DISTANCE_ID)).alias("landmark", "_d"))
+        .groupBy("landmark")
+        .agg(
+            F.max("_d").alias("eccentricity"),
+            F.count(F.lit(1)).alias(N_REACHED),
+        )
+    )
+
+
 def harmonic_centrality(
     graph: "GraphFrame",
     landmarks: Sequence[Any],

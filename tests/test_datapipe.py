@@ -403,3 +403,21 @@ def test_tfidf_top_terms(spark):
 
     with pytest.raises(GraphFramesError):
         dp.tfidf_top_terms(df, k=0)
+
+
+def test_quantize_embeddings(spark):
+    rows = [
+        (1, [0.5, -1.0, 0.25]),
+        (2, [0.0, 0.0, 0.0]),
+        (3, [2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in dp.quantize_embeddings(df).collect()}
+    assert out[1]["qvec"] == [64, -127, 32]   # round(0.5*127)=64 (63.5 HALF_UP)
+    assert abs(out[1]["scale"] - 1.0 / 127.0) < 1e-12
+    assert out[2]["qvec"] == [0, 0, 0] and out[2]["scale"] == 0.0
+    assert out[3]["qvec"] == [127]
+    # dequantization error bounded by scale/2 per element
+    deq = [q * out[1]["scale"] for q in out[1]["qvec"]]
+    for got, want in zip(deq, rows[0][1]):
+        assert abs(got - want) <= out[1]["scale"] / 2 + 1e-12

@@ -762,3 +762,16 @@ def test_betweenness_disconnected_sources(spark):
     }
     assert r[1] == 1.0 and r[4] == 1.0
     assert r[0] == 0.0 and r[2] == 0.0 and r[3] == 0.0 and r[5] == 0.0
+
+
+def test_eccentricity_chain_and_star(spark):
+    g = chain_graph(spark, 6)
+    r = {x["landmark"]: x for x in g.eccentricity([5, 2]).collect()}
+    assert r[5]["eccentricity"] == 5 and r[5]["n_reached"] == 6
+    assert r[2]["eccentricity"] == 2 and r[2]["n_reached"] == 3
+    s = star_graph(spark, 4)
+    rs = {x["landmark"]: x for x in s.eccentricity([1]).collect()}
+    assert rs[1]["eccentricity"] == 1 and rs[1]["n_reached"] == 2
+    # undirected: leaf landmark reachable from every vertex in 2 hops
+    ru = {x["landmark"]: x for x in s.eccentricity([1], isDirected=False).collect()}
+    assert ru[1]["eccentricity"] == 2 and ru[1]["n_reached"] == 5

@@ -66,6 +66,11 @@ HEADLINE = [
     "degree_distribution",
     "dp_balanced_sample",
     "dp_source_rollup",
+    # round-4 metrics/centrality/text additions
+    "betweenness",
+    "assortativity",
+    "dp_tfidf",
+    "dp_quantize",
 ]
 
 

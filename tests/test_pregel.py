@@ -198,3 +198,32 @@ def test_builder_validation(chain):
         chain.pregel.sendMsgToDst(F.lit(1)).aggMsgs(F.sum(Pregel.msg())).withVertexColumn(
             "x", F.lit(0), F.lit(0)
         ).setMaxIter(0).run()
+
+
+def test_column_repr_canary_for_dst_detection(spark):
+    """Version-pinned canary: _needs_dst_state parses str(Column) to find
+    dst references. If a PySpark upgrade changes the Column repr so that
+    'dst' stops appearing, detection would silently ELIDE a required dst
+    join (wrong results, not just slower). This pins the repr forms the
+    regex relies on — if it fails after an upgrade, revisit
+    Pregel._needs_dst_state before trusting auto-elision."""
+    forms = {
+        "plain": Pregel.dst("rank"),
+        "col_path": F.col("dst.rank"),
+        "arith": Pregel.dst("rank") / Pregel.src("deg"),
+        "conditional": F.when(Pregel.dst("active"), F.lit(1)).otherwise(F.lit(0)),
+        "nested_fn": F.coalesce(Pregel.dst("rank"), F.lit(0.0)),
+    }
+    import re
+
+    for name, col in forms.items():
+        s = str(col)
+        assert re.search(r"\bdst\.(\w+)|\bdst\[(\w+)\]|\bdst\b", s), (
+            f"Column repr no longer exposes dst reference for {name!r}: {s}"
+        )
+    # and dst.id-only forms must still parse as field 'id' (elidable)
+    s = str(Pregel.dst("id"))
+    m = re.findall(r"\bdst\.(\w+)", s) + re.findall(r"\bdst\[(\w+)\]", s)
+    assert "id" in m, f"dst.id repr changed: {s}"
+    # src-only expressions must NOT trip the dst detector
+    assert not re.search(r"\bdst\b", str(Pregel.src("rank")))

@@ -913,6 +913,29 @@ def q_dp_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
 
+def q_dp_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment keyed on doc_id
+    (datapipe/sampling.py split_corpus): the seeded-md5 threshold chain
+    is replayed verbatim by the oracle, so membership is bit-stable
+    across engines and reruns."""
+    from graphframes_spark.datapipe import split_corpus
+
+    return split_corpus(_docs(spark, sf_dir), "doc_id", seed="r4").select(
+        "doc_id", "split"
+    )
+
+
+def q_dp_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best duplicate resolution over exact-content groups: one row
+    per md5 fingerprint survives (longest text, ties to smallest id)."""
+    from graphframes_spark.datapipe import dedup_keep_best, fingerprint
+
+    d = _docs(spark, sf_dir).withColumn("fp", fingerprint(F.col("text")))
+    return dedup_keep_best(d, "fp", "n_chars", "doc_id").select(
+        "doc_id", "fp", "keep"
+    )
+
+
 def q_dp_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/benchmark n-gram decontamination: documents sharing >= 2
     distinct 3-grams with the doc_id % 10 == 0 slice (the stand-in
@@ -1481,6 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "eccentricity": q_eccentricity,
         "dp_quantize": q_dp_quantize,
+        "dp_split": q_dp_split,
+        "dp_keep_best": q_dp_keep_best,
     }
 
 
@@ -2672,6 +2697,33 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN absmax > 0 THEN absmax / 127.0 ELSE 0.0 END, 9)
                    AS scale
             FROM m
+        """,
+        # seeded-md5 threshold chain replayed verbatim (98/1/1)
+        "dp_split": """
+            SELECT doc_id,
+                   CASE
+                       WHEN md5(concat_ws(chr(31), 'r4', CAST(doc_id AS VARCHAR)))
+                            < 'fae147ae147ae0000000000000000000' THEN 'train'
+                       WHEN md5(concat_ws(chr(31), 'r4', CAST(doc_id AS VARCHAR)))
+                            < 'fd70a3d70a3d70000000000000000000' THEN 'val'
+                       ELSE 'test'
+                   END AS split
+            FROM documents
+        """,
+        # one winner per exact-content fingerprint group
+        "dp_keep_best": """
+            WITH t AS (
+                SELECT doc_id, n_chars,
+                       md5(array_to_string(
+                           list_filter(string_split_regex(lower(text), '\\s+'),
+                                       x -> len(x) > 0), ' ')) AS fp
+                FROM documents
+            )
+            SELECT doc_id, fp,
+                   row_number() OVER (
+                       PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC
+                   ) = 1 AS keep
+            FROM t
         """,
     }
 

@@ -144,3 +144,63 @@ def source_rollup(
             F.lit(1.0) - F.col("n_unique") / F.col("n_docs").cast("double"),
         )
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    key_col: str,
+    weights: Optional[dict[str, float]] = None,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — input columns plus
+    ``split: string``.
+
+    ``weights`` maps split name → fraction (default
+    ``{"train": .98, "val": .01, "test": .01}``); fractions must sum to
+    1. Assignment hashes only ``key_col`` (``sample_rank``: seeded md5,
+    engine-reproducible), so it is stable under reruns, repartitioning
+    and retries, and adding rows later never moves an existing key
+    between splits — the property that keeps eval sets uncontaminated
+    as a 100 TB corpus grows. Narrow transform: no shuffle, no UDF.
+    """
+    from graphframes_spark.util import GraphFramesError
+
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights or abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise GraphFramesError(
+            f"split weights must sum to 1, got {weights!r}"
+        )
+    rank = sample_rank(F.col(key_col), seed)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        threshold = format(int(cum * 16**32), "032x")
+        cond = rank < F.lit(threshold)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    group_col: str,
+    quality_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Duplicate-group resolution — input columns plus ``keep: boolean``.
+
+    Within each ``group_col`` value (e.g. an exact-dedup fingerprint or
+    a near-dup cluster id) exactly one row is kept: the highest
+    ``quality_col``, ties broken by smallest ``key_col`` — the standard
+    "keep the best copy" policy after any dedup pass. One
+    ``row_number`` window partitioned by group: a single shuffle on the
+    group key, skew-bounded by the largest duplicate cluster (AQE
+    splits stragglers), never a driver-side collect."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(quality_col), F.asc(key_col)
+    )
+    return df.withColumn("keep", F.row_number().over(w) == 1)

@@ -421,3 +421,38 @@ def test_quantize_embeddings(spark):
     deq = [q * out[1]["scale"] for q in out[1]["qvec"]]
     for got, want in zip(deq, rows[0][1]):
         assert abs(got - want) <= out[1]["scale"] / 2 + 1e-12
+
+
+def test_split_corpus_deterministic_and_disjoint(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    out = dp.split_corpus(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 1500 < counts["train"] < 1700          # ~1600 expected
+    # rerun identical
+    again = dp.split_corpus(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s")
+    assert out.exceptAll(again).count() == 0
+    # growing the corpus never moves an existing key
+    bigger = dp.split_corpus(
+        spark.createDataFrame([(i,) for i in range(4000)], ["doc_id"]),
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s",
+    ).filter(F.col("doc_id") < 2000)
+    assert out.exceptAll(bigger).count() == 0
+    # different seed draws a different assignment
+    other = dp.split_corpus(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="t")
+    assert out.exceptAll(other).count() > 0
+
+    from graphframes_spark.util import GraphFramesError
+
+    with pytest.raises(GraphFramesError):
+        dp.split_corpus(df, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_dedup_keep_best(spark):
+    rows = [
+        (1, "g1", 10), (2, "g1", 30), (3, "g1", 30),   # g1: best = id 2 (q tie -> min id)
+        (4, "g2", 5),                                   # singleton keeps
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "q"])
+    out = {r["doc_id"]: r["keep"] for r in dp.dedup_keep_best(df, "grp", "q", "doc_id").collect()}
+    assert out == {1: False, 2: True, 3: False, 4: True}

@@ -12,6 +12,10 @@ bounded centroid table:
 - dp_ivf_exact/dp_ivf_topk  the query x centroid probe is a crossJoin
                          against a BROADCAST num_cells-row table —
                          bounded, the classic IVF probe shape
+- dp_tfidf               the corpus size N is a 1-row aggregate
+                         broadcast onto every (doc, term) row — the
+                         bounded scalar-join shape, not a data x data
+                         cartesian
 """
 
 import pytest
@@ -20,7 +24,9 @@ import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.001"
 
-ALLOWED_QUADRATIC = {"dp_ann_topk", "dp_lsh_exact", "dp_ivf_exact", "dp_ivf_topk"}
+ALLOWED_QUADRATIC = {
+    "dp_ann_topk", "dp_lsh_exact", "dp_ivf_exact", "dp_ivf_topk", "dp_tfidf",
+}
 
 
 @pytest.mark.parametrize("name", list(entry_mod.queries()))

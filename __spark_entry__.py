@@ -566,6 +566,16 @@ def q_pagerank_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (weightCol=o_totalprice) on the customer-order
+    bipartite graph, maxIter=2: customers have no in-edges so their rank
+    settles at alpha/n after one superstep and the order ranks after two
+    are a closed form over the per-customer price shares."""
+    g = _customer_order_graph(spark, sf_dir)
+    pr = g.pageRank(maxIter=2, weightCol="o_totalprice")
+    return pr.vertices.select("id", F.round("pagerank", 10).alias("pagerank"))
+
+
 def q_aggregate_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphframes_spark.lib.aggregate_messages import AggregateMessages as AM
 
@@ -1506,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_quantize": q_dp_quantize,
         "dp_split": q_dp_split,
         "dp_keep_best": q_dp_keep_best,
+        "pagerank_weighted": q_pagerank_weighted,
     }
 
 
@@ -2724,6 +2735,25 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC
                    ) = 1 AS keep
             FROM t
+        """,
+        # 2-iteration closed form: customers settle at alpha/n after one
+        # superstep; orders then get alpha/n + (1-alpha)(alpha/n)(w/sum_w)
+        "pagerank_weighted": f"""
+            WITH n AS (
+                SELECT (SELECT count(*) FROM customer)
+                       + (SELECT count(*) FROM orders) AS n
+            ),
+            ws AS (
+                SELECT o_custkey, sum(o_totalprice) AS s
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT c_custkey AS id, round(0.15 / n.n, 10) AS pagerank
+            FROM customer, n
+            UNION ALL
+            SELECT o.o_orderkey + {ORDER_OFFSET},
+                   round(0.15 / n.n
+                         + 0.85 * (0.15 / n.n) * (o.o_totalprice / ws.s), 10)
+            FROM orders o JOIN ws ON o.o_custkey = ws.o_custkey, n
         """,
     }
 

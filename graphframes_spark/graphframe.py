@@ -427,9 +427,12 @@ class GraphFrame:
         sourceId: Optional[Any] = None,
         maxIter: Optional[int] = None,
         tol: Optional[float] = None,
+        weightCol: Optional[str] = None,
     ) -> "GraphFrame":
         """PageRank (fixed-iteration via ``maxIter`` or tolerance mode via
         ``tol``), optionally personalized from ``sourceId``.
+        ``weightCol`` (beyond-reference) distributes rank proportionally
+        to that edge column instead of uniformly over out-edges.
 
         NOTE — normalization deviation from the reference
         (lib/PageRank.scala:61-66): this implementation returns the
@@ -440,7 +443,7 @@ class GraphFrame:
         """
         from graphframes_spark.lib.pagerank import page_rank
 
-        return page_rank(self, resetProbability, sourceId, maxIter, tol)
+        return page_rank(self, resetProbability, sourceId, maxIter, tol, weightCol)
 
     def parallelPersonalizedPageRank(
         self,

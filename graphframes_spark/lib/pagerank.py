@@ -49,14 +49,28 @@ def page_rank(
     source_id: Optional[Any] = None,
     max_iter: Optional[int] = None,
     tol: Optional[float] = None,
+    weight_col: Optional[str] = None,
 ) -> "GraphFrame":
+    """``weight_col`` (beyond-reference) switches to weighted PageRank:
+    each vertex distributes rank proportionally to its out-edge weights
+    (``w / Σ_out w``) instead of uniformly (``1 / outDeg``); the output
+    edge ``weight`` column carries the normalized weights. The weight
+    normalization is one extra src-keyed aggregation+join before the
+    loop — per-superstep cost is identical to the uniform recipe."""
     from graphframes_spark.graphframe import GraphFrame
 
     if max_iter is None and tol is None:
         raise GraphFramesError("pageRank requires maxIter or tol")
     if max_iter is not None and tol is not None:
         raise GraphFramesError("pageRank accepts maxIter or tol, not both")
+    if weight_col is not None and weight_col not in graph.edges.columns:
+        raise GraphFramesError(f"edges have no weight column {weight_col!r}")
     alpha = reset_probability
+
+    if weight_col is not None:
+        return _weighted_page_rank(
+            graph, alpha, source_id, max_iter, tol, weight_col
+        )
 
     prepared = _prepared_graph(graph)
     n = prepared.vertices.count()
@@ -111,6 +125,79 @@ def page_rank(
         .withColumn("weight", F.lit(1.0) / F.col(_OUT_DEG))
         .drop(_OUT_DEG)
     )
+    return GraphFrame(out_v, out_e)
+
+
+def _weighted_page_rank(
+    graph: "GraphFrame",
+    alpha: float,
+    source_id: Optional[Any],
+    max_iter: Optional[int],
+    tol: Optional[float],
+    weight_col: str,
+) -> "GraphFrame":
+    """rank_t+1(v) = reset + (1-α) · Σ_{u→v} rank_t(u) · w(u,v)/Σ_out w(u).
+
+    Zero/negative total out-weight vertices distribute nothing (their
+    edges get weight 0), mirroring how the uniform recipe treats
+    dangling vertices — mass is not redistributed (GraphX-compatible).
+    """
+    from graphframes_spark.graphframe import GraphFrame
+
+    n = graph.vertices.count()
+    if n == 0:
+        empty_v = graph.vertices.withColumn("pagerank", F.lit(0.0)).limit(0)
+        empty_e = graph.edges.withColumn("weight", F.lit(0.0)).limit(0)
+        return GraphFrame(empty_v, empty_e)
+
+    wsum = graph.edges.groupBy(SRC).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("_pr_wsum")
+    )
+    norm_e = (
+        graph.edges.select(SRC, DST, F.col(weight_col).cast("double").alias("_w"))
+        .join(wsum, on=SRC)
+        .select(
+            SRC,
+            DST,
+            F.when(
+                F.col("_pr_wsum") > 0, F.col("_w") / F.col("_pr_wsum")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("_pr_w"),
+        )
+    )
+    prepared = GraphFrame(graph.vertices.select(ID), norm_e)
+
+    if source_id is not None:
+        init = F.when(F.col(ID) == F.lit(source_id), F.lit(1.0)).otherwise(F.lit(0.0))
+        reset = F.when(F.col(ID) == F.lit(source_id), F.lit(alpha)).otherwise(F.lit(0.0))
+    else:
+        init = F.lit(1.0 / n)
+        reset = F.lit(alpha / n)
+
+    new_rank = reset + F.lit(1.0 - alpha) * F.coalesce(Pregel.msg(), F.lit(0.0))
+    pregel = (
+        prepared.pregel.withVertexColumn("pagerank", init, new_rank)
+        .sendMsgToDst(Pregel.src("pagerank") * Pregel.edge("_pr_w"))
+        .aggMsgs(F.sum(Pregel.msg()))
+        .requiredSrcColumns("pagerank")
+        .setCheckpointInterval(5)
+    )
+    if tol is not None:
+        pregel = (
+            pregel.setMaxIter(1_000_000)
+            .setUpdateActiveVertexExpression(
+                F.abs(new_rank - F.col("pagerank")) >= F.lit(tol)
+            )
+            .setStopIfAllNonActiveVertices(True)
+            .setCheckpointInterval(1)
+        )
+    else:
+        pregel = pregel.setMaxIter(max_iter)
+
+    ranks = pregel.run().select(ID, "pagerank")
+    out_v = graph.vertices.join(ranks, on=ID, how="left_outer")
+    out_e = norm_e.withColumnRenamed("_pr_w", "weight")
     return GraphFrame(out_v, out_e)
 
 

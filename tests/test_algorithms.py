@@ -229,3 +229,44 @@ def test_belief_propagation_zero_couplings(spark):
     assert abs(beliefs["0,0"] - 0.5) < 1e-9
     assert abs(beliefs["0,1"] - 1 / (1 + math.exp(-2.0))) < 1e-9
     assert abs(beliefs["1,0"] - 1 / (1 + math.exp(2.0))) < 1e-9
+
+
+def test_pagerank_weighted_known_values(spark):
+    from graphframes_spark import GraphFrame
+
+    v = spark.createDataFrame([(i,) for i in range(3)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0)], ["src", "dst", "w"]
+    )
+    g = GraphFrame(v, e)
+    res = g.pageRank(maxIter=1, weightCol="w")
+    r = {x["id"]: x["pagerank"] for x in res.vertices.collect()}
+    a, n = 0.15, 3
+    assert abs(r[1] - (a / n + (1 - a) * (1 / n) * 0.75)) < 1e-12
+    assert abs(r[2] - (a / n + (1 - a) * (1 / n) * 0.25)) < 1e-12
+    assert abs(r[0] - a / n) < 1e-12
+    w = {(x["src"], x["dst"]): x["weight"] for x in res.edges.collect()}
+    assert abs(w[(0, 1)] - 0.75) < 1e-12 and abs(w[(0, 2)] - 0.25) < 1e-12
+
+
+def test_pagerank_weighted_uniform_equals_unweighted(spark):
+    from graphframes_spark import GraphFrame
+
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 2.0), (1, 3, 7.0), (2, 3, 7.0), (3, 0, 1.0)],
+        ["src", "dst", "w"],
+    )
+    g = GraphFrame(v, e)
+    rw = {x["id"]: x["pagerank"] for x in g.pageRank(maxIter=5, weightCol="w").vertices.collect()}
+    ru = {x["id"]: x["pagerank"] for x in g.pageRank(maxIter=5).vertices.collect()}
+    for k in rw:
+        assert abs(rw[k] - ru[k]) < 1e-12
+
+
+def test_pagerank_weighted_validation(friends):
+    import pytest as _pytest
+    from graphframes_spark.util import GraphFramesError
+
+    with _pytest.raises(GraphFramesError):
+        friends.pageRank(maxIter=2, weightCol="nope")

@@ -446,6 +446,23 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_coloring_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann coloring (lib/coloring.py) on the region cliques:
+    with deterministic md5 priorities a clique colors strictly in
+    priority order, so color == md5-rank-within-region − 1 — the full
+    iterative machinery (local-maxima rounds, mex over neighbor colors)
+    replayed by one SQL window."""
+    g = _nation_graph(spark, sf_dir)
+    return g.greedyColoring(seed="r4").select("id", "color")
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit triangle enumeration (compact-forward) over the region
+    cliques — every within-region nation triple exactly once."""
+    g = _nation_graph(spark, sf_dir)
+    return g.enumerateTriangles()
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the nation within-region cliques: every edge of a
     5-clique sits in 3 triangles, so the peeling fixpoint is the full
@@ -1517,6 +1534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_split": q_dp_split,
         "dp_keep_best": q_dp_keep_best,
         "pagerank_weighted": q_pagerank_weighted,
+        "coloring_regions": q_coloring_regions,
+        "triangles": q_triangles,
     }
 
 
@@ -2754,6 +2773,25 @@ def oracle_sql() -> dict[str, str]:
                    round(0.15 / n.n
                          + 0.85 * (0.15 / n.n) * (o.o_totalprice / ws.s), 10)
             FROM orders o JOIN ws ON o.o_custkey = ws.o_custkey, n
+        """,
+        # JP on a clique colors in strict priority order: color = rank-1
+        "coloring_regions": """
+            SELECT n_nationkey AS id,
+                   CAST(row_number() OVER (
+                       PARTITION BY n_regionkey
+                       ORDER BY md5(concat_ws(chr(31), 'r4',
+                                    CAST(n_nationkey AS VARCHAR))) DESC,
+                                n_nationkey DESC
+                   ) - 1 AS INTEGER) AS color
+            FROM nation
+        """,
+        "triangles": """
+            SELECT a.n_nationkey AS a, b.n_nationkey AS b, c.n_nationkey AS c
+            FROM nation a
+            JOIN nation b ON a.n_regionkey = b.n_regionkey
+                         AND a.n_nationkey < b.n_nationkey
+            JOIN nation c ON a.n_regionkey = c.n_regionkey
+                         AND b.n_nationkey < c.n_nationkey
         """,
     }
 

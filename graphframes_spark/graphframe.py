@@ -561,6 +561,23 @@ class GraphFrame:
 
         return betweenness_centrality(self, sources, maxDepth, isDirected)
 
+    def greedyColoring(self, seed: str = "", maxIter: int = 500) -> DataFrame:
+        """Deterministic Jones-Plassmann graph coloring (md5-seeded
+        priorities, proper on the symmetrized simple graph) —
+        DF[<vertex columns>, color: int]. Beyond-reference."""
+        from graphframes_spark.lib.coloring import greedy_coloring
+
+        return greedy_coloring(self, seed, maxIter)
+
+    def enumerateTriangles(self) -> DataFrame:
+        """All triangles of the canonical undirected simple graph, one
+        row each — DF[a, b, c] with a < b < c (compact-forward plan, no
+        per-row neighbor sets). Beyond-reference (the reference only
+        counts triangles)."""
+        from graphframes_spark.lib.triangle_count import enumerate_triangles
+
+        return enumerate_triangles(self)
+
     def degreeAssortativity(self, mode: str = "total") -> DataFrame:
         """Newman degree-assortativity coefficient; 1-row
         DF[assortativity: double]. ``mode="total"`` (undirected,

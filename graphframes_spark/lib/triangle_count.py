@@ -101,7 +101,9 @@ def approx_triangle_count(graph: "GraphFrame", lg_nom_entries: int = 12) -> Data
     )
 
 
-def triangle_count(graph: "GraphFrame") -> DataFrame:
+def _triangle_rows(graph: "GraphFrame") -> DataFrame:
+    """Every triangle of the canonical undirected simple graph, exactly
+    once, as (lo, _v, _w) — lo is the lowest-(degree, id) corner."""
     # canonical undirected simple edges: src < dst
     edges = (
         graph.edges.select(SRC, DST)
@@ -137,11 +139,31 @@ def triangle_count(graph: "GraphFrame") -> DataFrame:
     o1 = oriented.select(F.col("lo"), F.col("hi").alias("_v"))
     o2 = oriented.select(F.col("lo"), F.col("hi").alias("_w"))
     wedges = o1.join(o2, on="lo").filter(F.col("_v") < F.col("_w"))
-    triangles = wedges.join(
+    return wedges.join(
         edges,
         (wedges["_v"] == edges[SRC]) & (wedges["_w"] == edges[DST]),
         "left_semi",
     )
+
+
+def enumerate_triangles(graph: "GraphFrame") -> DataFrame:
+    """All triangles of the canonical undirected simple graph, one row
+    each — DF[a, b, c] with a < b < c. Beyond-reference (the reference
+    only counts); same compact-forward plan as triangleCount, so hub
+    rows never hold more than three ids and AQE splits skewed wedge
+    corners."""
+    tri = _triangle_rows(graph).select(
+        F.array_sort(F.array(F.col("lo"), F.col("_v"), F.col("_w"))).alias("_t")
+    )
+    return tri.select(
+        F.col("_t")[0].alias("a"),
+        F.col("_t")[1].alias("b"),
+        F.col("_t")[2].alias("c"),
+    )
+
+
+def triangle_count(graph: "GraphFrame") -> DataFrame:
+    triangles = _triangle_rows(graph)
 
     per_vertex = (
         triangles.select(

@@ -775,3 +775,57 @@ def test_eccentricity_chain_and_star(spark):
     # undirected: leaf landmark reachable from every vertex in 2 hops
     ru = {x["landmark"]: x for x in s.eccentricity([1], isDirected=False).collect()}
     assert ru[1]["eccentricity"] == 2 and ru[1]["n_reached"] == 5
+
+
+# ---------------------------------------------------------- graph coloring
+
+
+def test_coloring_clique_matches_priority_rank(spark):
+    import hashlib
+
+    v = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    e = spark.createDataFrame(
+        [(i, j) for i in range(5) for j in range(5) if i < j], ["src", "dst"]
+    )
+    cols = {r["id"]: r["color"] for r in GraphFrame(v, e).greedyColoring(seed="x").collect()}
+    pr = {i: hashlib.md5(f"x\x1f{i}".encode()).hexdigest() for i in range(5)}
+    rank = {i: sorted(pr.values(), reverse=True).index(pr[i]) for i in range(5)}
+    assert cols == rank
+
+
+def test_coloring_proper_and_frugal(spark):
+    g = chain_graph(spark, 9)
+    cols = {r["id"]: r["color"] for r in g.greedyColoring(seed="y").collect()}
+    for i in range(8):
+        assert cols[i] != cols[i + 1]
+    assert max(cols.values()) <= 2  # greedy on a path never needs > 3 colors
+
+    # isolated vertices take color 0
+    v = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    c = {r["id"]: r["color"] for r in GraphFrame(v, e).greedyColoring().collect()}
+    assert c[3] == 0 and c[1] != c[2]
+
+    with pytest.raises(GraphFramesError):
+        g.greedyColoring(maxIter=0)
+
+
+def test_enumerate_triangles(spark):
+    v = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)], ["src", "dst"]
+    )
+    tr = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in GraphFrame(v, e).enumerateTriangles().collect()
+    )
+    assert tr == [(0, 1, 2), (2, 3, 4)]
+    # direction / duplicate edges don't change the set
+    e2 = spark.createDataFrame(
+        [(1, 0), (1, 2), (0, 2), (2, 0), (3, 2), (4, 3), (2, 4)], ["src", "dst"]
+    )
+    tr2 = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in GraphFrame(v, e2).enumerateTriangles().collect()
+    )
+    assert tr2 == tr

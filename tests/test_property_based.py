@@ -198,3 +198,66 @@ def test_sssp_matches_bellman_ford(spark, edges, landmark):
         if landmark in r["distances"]
     }
     assert got == _sssp_oracle(edges, landmark)
+
+
+def _betweenness_oracle(edges, sources):
+    """Brandes on a tiny directed graph, per-source BFS + accumulation."""
+    from collections import deque
+
+    adj = {i: [] for i in range(MAX_V)}
+    for s, d in edges:
+        adj[s].append(d)
+    bc = {i: 0.0 for i in range(MAX_V)}
+    for s in sources:
+        sigma = {i: 0.0 for i in range(MAX_V)}
+        dist = {i: -1 for i in range(MAX_V)}
+        preds = {i: [] for i in range(MAX_V)}
+        sigma[s], dist[s] = 1.0, 0
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {i: 0.0 for i in range(MAX_V)}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+@pytest.mark.parametrize("sources", [[0], [0, 3, 7]])
+@given(edges=edge_sets)
+@settings(**SETTINGS)
+def test_betweenness_matches_bruteforce(spark, sources, edges):
+    g = _graph(spark, edges)
+    got = {
+        r["id"]: r["betweenness"]
+        for r in g.betweennessCentrality(sources, maxDepth=MAX_V).collect()
+    }
+    want = _betweenness_oracle(edges, sources)
+    for i in range(MAX_V):
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i], sorted(edges))
+
+
+@given(edges=edge_sets)
+@settings(**SETTINGS)
+def test_coloring_proper_on_random_graphs(spark, edges):
+    g = _graph(spark, edges)
+    cols = {r["id"]: r["color"] for r in g.greedyColoring(seed="pb").collect()}
+    for s, d in edges:
+        assert cols[s] != cols[d], (s, d, cols)
+    # colors are 0-based and bounded by max degree + 1 (greedy guarantee)
+    deg = {i: 0 for i in range(MAX_V)}
+    for s, d in edges:
+        deg[s] += 1
+        deg[d] += 1
+    assert all(0 <= c <= max(deg.values()) for c in cols.values())

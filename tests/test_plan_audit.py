@@ -38,3 +38,36 @@ def test_no_accidental_cartesian(spark, name):
     if name in ALLOWED_QUADRATIC:
         return  # intentional exact baselines / broadcast probes
     assert not has_quadratic, f"{name} plan contains a cartesian/nested-loop join"
+
+
+# Column pruning must reach the parquet scan: a dp-tier transform that
+# needs (doc_id, text) must not read lang/source/n_chars — at 100 TB the
+# difference is the whole scan.
+PRUNING_CASES = {
+    "dp_token_counts": {"doc_id", "text"},
+    "dp_normalize": {"doc_id", "text"},
+    "dp_fingerprint": {"doc_id", "text"},
+    "dp_split": {"doc_id"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(PRUNING_CASES))
+def test_parquet_scan_column_pruning(spark, name):
+    fn = entry_mod.queries()[name]
+    df = fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, f"{name}: no parquet ReadSchema in plan"
+    read_cols = {
+        field.split(":")[0].strip()
+        for schema in schemas
+        for field in schema.split(",")
+        if field.strip()
+    }
+    allowed = PRUNING_CASES[name]
+    assert read_cols <= allowed, (
+        f"{name} reads unpruned columns {read_cols - allowed} "
+        f"(scan should touch only {allowed})"
+    )

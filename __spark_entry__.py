@@ -471,6 +471,68 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.kTruss(4).select("src", "dst", "support")
 
 
+def _nation_customer_graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
+    """Nation cliques (offset by NAT_OFF) + nation->customer spokes:
+    clique wedges are closed (triangles), spoke wedges are open — so
+    global transitivity is strictly between 0 and 1."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    v = nation.select((F.col("n_nationkey") + NAT_OFF).alias("id")).unionByName(
+        customer.select(F.col("c_custkey").alias("id"))
+    )
+    n1 = nation.select(
+        (F.col("n_nationkey") + NAT_OFF).alias("src"),
+        F.col("n_regionkey").alias("r1"),
+    )
+    n2 = nation.select(
+        (F.col("n_nationkey") + NAT_OFF).alias("dst"),
+        F.col("n_regionkey").alias("r2"),
+    )
+    cliques = (
+        n1.join(n2, F.col("r1") == F.col("r2"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    spokes = customer.select(
+        (F.col("c_nationkey") + NAT_OFF).alias("src"),
+        F.col("c_custkey").alias("dst"),
+    )
+    return GraphFrame(v, cliques.unionByName(spokes))
+
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient 3*triangles/wedges of the
+    nation-clique + customer-spoke graph; the oracle recounts triangles
+    with a three-way canonical-edge join and wedges from degrees."""
+    g = _nation_customer_graph(spark, sf_dir)
+    return g.transitivity().select(
+        F.round(F.col("transitivity"), 6).alias("transitivity")
+    )
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the customer->order graph with the reverse
+    edge added only for orderkey % 3 == 0 — a deterministic mixed
+    directed graph (reciprocity strictly between 0 and 1)."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v = customer.select(F.col("c_custkey").alias("id")).unionByName(
+        orders.select((F.col("o_orderkey") + ORDER_OFFSET).alias("id"))
+    )
+    fwd = orders.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst"),
+    )
+    back = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("src"),
+        F.col("o_custkey").alias("dst"),
+    )
+    g = GraphFrame(v, fwd.unionByName(back))
+    return g.reciprocity().select(
+        F.round(F.col("reciprocity"), 6).alias("reciprocity")
+    )
+
+
 def q_sample_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic vertex-induced subgraph sample (GraphFrame
     .sampleVertices) of the customer-order graph at fraction 0.5; the
@@ -1536,6 +1598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         "coloring_regions": q_coloring_regions,
         "triangles": q_triangles,
+        "transitivity": q_transitivity,
+        "reciprocity": q_reciprocity,
     }
 
 
@@ -2609,6 +2673,66 @@ def oracle_sql() -> dict[str, str]:
                        - (dc.dc / (2.0 * m.m)) * (dc.dc / (2.0 * m.m))
                    ), 6) AS modularity
             FROM dc LEFT JOIN lc ON dc.c = lc.c CROSS JOIN m
+        """,
+        # triangles recounted with a 3-way canonical-edge join; wedges
+        # from distinct-neighbor degrees
+        "transitivity": f"""
+            WITH nedges AS (
+                SELECT a.n_nationkey + {NAT_OFF} AS src,
+                       b.n_nationkey + {NAT_OFF} AS dst
+                FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+                WHERE a.n_nationkey <> b.n_nationkey
+            ),
+            alledges AS (
+                SELECT src, dst FROM nedges
+                UNION ALL
+                SELECT c_nationkey + {NAT_OFF} AS src, c_custkey AS dst
+                FROM customer
+            ),
+            canon AS (
+                SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+                FROM alledges WHERE src <> dst
+            ),
+            deg AS (
+                SELECT id, count(*) AS d FROM (
+                    SELECT src AS id FROM canon
+                    UNION ALL
+                    SELECT dst AS id FROM canon
+                ) GROUP BY id
+            ),
+            wedges AS (SELECT sum(d * (d - 1) / 2.0) AS w FROM deg),
+            tri AS (
+                SELECT count(*) AS t
+                FROM canon e1
+                JOIN canon e2 ON e2.src = e1.dst
+                JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            )
+            SELECT round(3.0 * t / w, 6) AS transitivity
+            FROM tri CROSS JOIN wedges
+        """,
+        "reciprocity": f"""
+            WITH fwd AS (
+                SELECT o_custkey AS src, o_orderkey + {ORDER_OFFSET} AS dst
+                FROM orders
+            ),
+            back AS (
+                SELECT o_orderkey + {ORDER_OFFSET} AS src, o_custkey AS dst
+                FROM orders WHERE o_orderkey % 3 = 0
+            ),
+            e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT * FROM fwd UNION ALL SELECT * FROM back
+                ) WHERE src <> dst
+            ),
+            mutual AS (
+                SELECT count(*) AS mu FROM e a
+                WHERE EXISTS (
+                    SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src
+                )
+            ),
+            total AS (SELECT count(*) AS tot FROM e)
+            SELECT round(mu * 1.0 / tot, 6) AS reciprocity
+            FROM mutual CROSS JOIN total
         """,
         # same regex replayed under RE2 ('g' = Spark's always-global)
         "dp_normalize": """

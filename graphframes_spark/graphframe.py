@@ -597,6 +597,22 @@ class GraphFrame:
 
         return modularity(self, assignment, communityCol)
 
+    def transitivity(self) -> DataFrame:
+        """Global clustering coefficient 3·triangles/wedges on the
+        canonical undirected simple graph; 1-row DF[transitivity:
+        double] (NULL on wedge-free graphs). Beyond-reference."""
+        from graphframes_spark.lib.metrics import transitivity
+
+        return transitivity(self)
+
+    def reciprocity(self) -> DataFrame:
+        """Fraction of distinct directed non-loop edges with a reverse
+        edge present; 1-row DF[reciprocity: double] (NULL on edge-free
+        graphs). Beyond-reference."""
+        from graphframes_spark.lib.metrics import reciprocity
+
+        return reciprocity(self)
+
     def kTruss(self, k: int) -> DataFrame:
         """Edges of the k-truss (every edge in >= k-2 triangles within
         the truss); DF[src, dst, support] with src < dst on the

@@ -1,4 +1,5 @@
-"""Graph-level summary metrics: degree assortativity and modularity.
+"""Graph-level summary metrics: degree assortativity, modularity,
+global transitivity, and reciprocity.
 
 Beyond-reference (the reference library computes no whole-graph
 statistics): both are single-row corpus/graph health numbers a pipeline
@@ -133,3 +134,68 @@ def modularity(
         ).alias("_q")
     )
     return per_comm.agg(F.sum("_q").alias("modularity"))
+
+
+def transitivity(graph: "GraphFrame") -> DataFrame:
+    """DF[transitivity: double] — global clustering coefficient.
+
+    ``3 * triangles / wedges`` on the canonical undirected simple graph,
+    where wedges = Σ_v d(v)·(d(v)−1)/2 over distinct-neighbor degrees.
+    NULL on wedge-free graphs (matchings, isolated vertices).
+
+    Reuses the compact-forward triangle plan
+    (:mod:`graphframes_spark.lib.triangle_count`), so the heavy step is
+    the same degree-oriented wedge join triangleCount already runs; the
+    wedge total is one extra vertex-sized aggregation. Both reductions
+    are partial-aggregatable 1-row results, cross-joined (1×1, trivially
+    broadcast) into the final ratio.
+    """
+    from graphframes_spark.lib.triangle_count import _triangle_rows
+
+    tri_total = _triangle_rows(graph).agg(F.count(F.lit(1)).alias("_tri"))
+    edges = (
+        graph.edges.select(SRC, DST)
+        .filter(F.col(SRC) != F.col(DST))
+        .select(
+            F.least(F.col(SRC), F.col(DST)).alias(SRC),
+            F.greatest(F.col(SRC), F.col(DST)).alias(DST),
+        )
+        .distinct()
+    )
+    wedge_total = (
+        edges.select(F.explode(F.array(SRC, DST)).alias(ID))
+        .groupBy(ID)
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .agg(F.sum(F.col("_deg") * (F.col("_deg") - 1) / F.lit(2)).alias("_wedges"))
+    )
+    return tri_total.crossJoin(wedge_total).select(
+        F.try_divide(F.lit(3.0) * F.col("_tri"), F.col("_wedges")).alias(
+            "transitivity"
+        )
+    )
+
+
+def reciprocity(graph: "GraphFrame") -> DataFrame:
+    """DF[reciprocity: double] — fraction of distinct directed non-loop
+    edges (u, v) whose reverse (v, u) is also present. 1.0 for symmetric
+    graphs, 0.0 for DAGs; NULL on edge-free graphs.
+
+    One self-semi-join of the deduplicated edge list on the reversed key
+    — shuffles the edge list twice on (src, dst) and reduces to two
+    1-row partial aggregates. No vertex state, no iteration.
+    """
+    e = (
+        graph.edges.select(SRC, DST)
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
+    rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    mutual = e.join(rev, on=[SRC, DST], how="left_semi").agg(
+        F.count(F.lit(1)).alias("_mutual")
+    )
+    total = e.agg(F.count(F.lit(1)).alias("_total"))
+    return mutual.crossJoin(total).select(
+        F.try_divide(F.col("_mutual").cast("double"), F.col("_total")).alias(
+            "reciprocity"
+        )
+    )

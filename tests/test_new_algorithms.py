@@ -709,6 +709,62 @@ def test_modularity_requires_community_col(spark):
         g.modularity(g.vertices.select("id"), "community")
 
 
+def test_transitivity_triangle_plus_tail(spark):
+    # triangle 0-1-2 plus pendant 2-3: triangles=1, wedges=3+1+1=5
+    # (deg: 2,2,3,1 -> C(2,2)*2 + C(3,2) + 0 = 1+1+3 = 5) -> 3/5
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], ["src", "dst"])
+    t = GraphFrame(v, e).transitivity().collect()[0]["transitivity"]
+    assert abs(t - 3.0 / 5.0) < 1e-9
+
+
+def test_transitivity_clique_is_one_star_is_zero(spark):
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(4) if i < j], ["src", "dst"]
+    )
+    assert (
+        abs(GraphFrame(v, clique).transitivity().collect()[0]["transitivity"] - 1.0)
+        < 1e-9
+    )
+    t = star_graph(spark, 5).transitivity().collect()[0]["transitivity"]
+    assert abs(t) < 1e-9
+
+
+def test_transitivity_no_wedges_is_null(spark):
+    # single edge: no wedges -> NULL
+    v = spark.createDataFrame([(0,), (1,)], ["id"])
+    e = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    assert GraphFrame(v, e).transitivity().collect()[0]["transitivity"] is None
+
+
+def test_reciprocity_values(spark):
+    v = spark.createDataFrame([(i,) for i in range(3)], ["id"])
+    # 0<->1 mutual, 0->2 one-way: 2 of 3 edges reciprocated
+    e = spark.createDataFrame([(0, 1), (1, 0), (0, 2)], ["src", "dst"])
+    r = GraphFrame(v, e).reciprocity().collect()[0]["reciprocity"]
+    assert abs(r - 2.0 / 3.0) < 1e-9
+    # duplicates and self-loops are ignored
+    e2 = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 0), (2, 2), (0, 2)], ["src", "dst"]
+    )
+    r2 = GraphFrame(v, e2).reciprocity().collect()[0]["reciprocity"]
+    assert abs(r2 - 2.0 / 3.0) < 1e-9
+
+
+def test_reciprocity_dag_zero_symmetric_one(spark):
+    g = chain_graph(spark, 4)
+    assert abs(g.reciprocity().collect()[0]["reciprocity"]) < 1e-9
+    und = g.asUndirected()
+    assert abs(und.reciprocity().collect()[0]["reciprocity"] - 1.0) < 1e-9
+
+
+def test_reciprocity_no_edges_null(spark):
+    v = spark.createDataFrame([(0,)], ["id"])
+    e = spark.createDataFrame([], "src long, dst long")
+    assert GraphFrame(v, e).reciprocity().collect()[0]["reciprocity"] is None
+
+
 # ------------------------------------------------------- betweenness
 
 

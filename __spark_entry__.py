@@ -510,6 +510,16 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (alpha=0.1, 3 supersteps) on the
+    per-user event chains; the oracle recomputes walk counts of length
+    1..3 with three cascaded joins and folds the alpha powers."""
+    g = _events_chain_graph(spark, sf_dir)
+    return g.katzCentrality(alpha=0.1, maxIter=3).select(
+        "id", F.round(F.col("katz"), 6).alias("katz")
+    )
+
+
 def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge reciprocity of the customer->order graph with the reverse
     edge added only for orderkey % 3 == 0 — a deterministic mixed
@@ -1600,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "transitivity": q_transitivity,
         "reciprocity": q_reciprocity,
+        "katz": q_katz,
     }
 
 
@@ -2709,6 +2720,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT round(3.0 * t / w, 6) AS transitivity
             FROM tri CROSS JOIN wedges
+        """,
+        # walks_k via cascaded joins; katz = sum alpha^k * walks_k
+        "katz": f"""
+            WITH chain AS ({_EVENTS_CHAIN_SQL}),
+            w1 AS (SELECT dst AS id, count(*) AS w FROM chain GROUP BY dst),
+            w2 AS (
+                SELECT c.dst AS id, sum(w1.w) AS w
+                FROM chain c JOIN w1 ON w1.id = c.src GROUP BY c.dst
+            ),
+            w3 AS (
+                SELECT c.dst AS id, sum(w2.w) AS w
+                FROM chain c JOIN w2 ON w2.id = c.src GROUP BY c.dst
+            )
+            SELECT e.event_id AS id,
+                   round(CAST(0.1 AS DOUBLE) * coalesce(w1.w, 0)
+                         + CAST(0.01 AS DOUBLE) * coalesce(w2.w, 0)
+                         + CAST(0.001 AS DOUBLE) * coalesce(w3.w, 0), 6) AS katz
+            FROM events e
+            LEFT JOIN w1 ON w1.id = e.event_id
+            LEFT JOIN w2 ON w2.id = e.event_id
+            LEFT JOIN w3 ON w3.id = e.event_id
         """,
         "reciprocity": f"""
             WITH fwd AS (

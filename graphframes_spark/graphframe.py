@@ -516,6 +516,17 @@ class GraphFrame:
             max_nbrs=maxNbrsPerVertex,
         )
 
+    def katzCentrality(
+        self, alpha: float = 0.1, maxIter: int = 10, normalized: bool = False
+    ) -> DataFrame:
+        """Truncated Katz centrality Σ_k α^k·walks_k(v) after maxIter
+        Pregel supersteps of c ← α·Aᵀ(1+c); DF[<vertex columns>, katz:
+        double] (L2-normalized when ``normalized``). Beyond-reference —
+        the reference's only walk-based centrality is PageRank."""
+        from graphframes_spark.lib.centrality import katz_centrality
+
+        return katz_centrality(self, alpha, maxIter, normalized)
+
     def harmonicCentrality(
         self, landmarks: Sequence[Any], isDirected: bool = True
     ) -> DataFrame:

@@ -1,4 +1,4 @@
-"""Landmark-sampled harmonic / closeness centrality.
+"""Landmark-sampled harmonic / closeness centrality, plus Katz.
 
 Beyond-reference: the reference's GraphX-derived library has no
 centrality operator besides PageRank; harmonic and closeness centrality
@@ -110,3 +110,56 @@ def harmonic_centrality(
         .otherwise(F.lit(0.0))
         .alias(CLOSENESS),
     )
+
+
+def katz_centrality(
+    graph: "GraphFrame",
+    alpha: float = 0.1,
+    max_iter: int = 10,
+    normalized: bool = False,
+) -> DataFrame:
+    """Truncated Katz centrality — DF[<vertex columns>, katz: double].
+
+    After ``max_iter`` supersteps of ``c ← α·Aᵀ(1 + c)`` from ``c₀ = 0``,
+
+        katz(v) = Σ_{k=1..max_iter} α^k · walks_k(v)
+
+    where ``walks_k(v)`` counts directed walks of length k ending at v
+    (edge multiplicity respected). Converges to the classic Katz vector
+    as max_iter → ∞ when α < 1/λ_max. ``normalized=True`` divides by the
+    L2 norm (the networkx convention); the raw sum is the default so
+    downstream scaling stays explicit.
+
+    Runs on the Pregel machinery: per superstep one src-keyed join
+    against the pre-shuffled edge list (dst-state join elided via
+    ``requiredSrcColumns``) and one dst-keyed partial-aggregatable sum —
+    the same per-iteration shape as pageRank, so the 100 TB posture is
+    identical. The L2 normalizer is a 1-row aggregate broadcast back via
+    a trivial cross join.
+    """
+    from graphframes_spark.pregel import Pregel
+    from graphframes_spark.util import GraphFramesError
+
+    if not 0.0 < alpha < 1.0:
+        raise GraphFramesError(f"katz alpha must be in (0, 1), got {alpha}")
+    if max_iter < 1:
+        raise GraphFramesError(f"katz maxIter must be >= 1, got {max_iter}")
+
+    pregel = (
+        graph.pregel.withVertexColumn(
+            "katz", F.lit(0.0), F.coalesce(Pregel.msg(), F.lit(0.0))
+        )
+        .sendMsgToDst(F.lit(alpha) * (F.lit(1.0) + Pregel.src("katz")))
+        .aggMsgs(F.sum(Pregel.msg()))
+        .requiredSrcColumns("katz")
+        .setMaxIter(max_iter)
+        .setCheckpointInterval(5)
+    )
+    result = pregel.run()
+    if normalized:
+        norm = result.agg(F.sqrt(F.sum(F.col("katz") * F.col("katz"))).alias("_n"))
+        result = result.crossJoin(F.broadcast(norm)).select(
+            *[c for c in result.columns if c != "katz"],
+            F.try_divide(F.col("katz"), F.col("_n")).alias("katz"),
+        )
+    return result

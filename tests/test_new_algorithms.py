@@ -3,6 +3,8 @@ aggregateNeighbors, graphx-style CC. Modeled on the reference suites
 (core/src/test/scala/org/graphframes/lib/KCoreSuite.scala,
 AggregateNeighborsSuite.scala, python/tests/test_graphframes.py)."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -707,6 +709,46 @@ def test_modularity_requires_community_col(spark):
     g = chain_graph(spark, 3)
     with pytest.raises(GraphFramesError):
         g.modularity(g.vertices.select("id"), "community")
+
+
+def test_katz_two_cycle_geometric(spark):
+    # 0<->1: katz after K iters = sum_{k=1..K} alpha^k (one walk per length)
+    v = spark.createDataFrame([(0,), (1,)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 0)], ["src", "dst"])
+    r = {
+        row["id"]: row["katz"]
+        for row in GraphFrame(v, e).katzCentrality(alpha=0.5, maxIter=3).collect()
+    }
+    assert abs(r[0] - (0.5 + 0.25 + 0.125)) < 1e-12
+    assert abs(r[1] - (0.5 + 0.25 + 0.125)) < 1e-12
+
+
+def test_katz_star_and_isolated(spark):
+    # leaves -> hub: hub collects 3*alpha, leaves and the isolate get 0
+    v = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    e = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], ["src", "dst"])
+    r = {
+        row["id"]: row["katz"]
+        for row in GraphFrame(v, e).katzCentrality(alpha=0.1, maxIter=4).collect()
+    }
+    assert abs(r[0] - 0.3) < 1e-12
+    assert all(r[i] == 0.0 for i in (1, 2, 3, 4))
+
+
+def test_katz_normalized_l2(spark):
+    v = spark.createDataFrame([(0,), (1,)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 0)], ["src", "dst"])
+    r = GraphFrame(v, e).katzCentrality(alpha=0.5, maxIter=2, normalized=True)
+    vals = [row["katz"] for row in r.collect()]
+    assert all(abs(x - 1.0 / math.sqrt(2.0)) < 1e-12 for x in vals)
+
+
+def test_katz_validation(spark):
+    g = chain_graph(spark, 3)
+    with pytest.raises(GraphFramesError):
+        g.katzCentrality(alpha=1.5)
+    with pytest.raises(GraphFramesError):
+        g.katzCentrality(maxIter=0)
 
 
 def test_transitivity_triangle_plus_tail(spark):

@@ -510,6 +510,15 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_louvain_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain communities of the nation graph (5 disjoint 5-cliques):
+    phase-1 merges each clique, contraction leaves 5 isolated
+    supervertices, and the stable min-member relabel makes the result
+    exactly min(n_nationkey) per region — closed-form in SQL."""
+    g = _nation_graph(spark, sf_dir)
+    return g.louvain().select("id", "community")
+
+
 def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated Katz centrality (alpha=0.1, 3 supersteps) on the
     per-user event chains; the oracle recomputes walk counts of length
@@ -1611,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": q_transitivity,
         "reciprocity": q_reciprocity,
         "katz": q_katz,
+        "louvain_regions": q_louvain_regions,
     }
 
 
@@ -2720,6 +2730,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT round(3.0 * t / w, 6) AS transitivity
             FROM tri CROSS JOIN wedges
+        """,
+        # disjoint cliques: Louvain = one community per region, labeled
+        # by its smallest member
+        "louvain_regions": """
+            SELECT n_nationkey AS id,
+                   min(n_nationkey) OVER (PARTITION BY n_regionkey) AS community
+            FROM nation
         """,
         # walks_k via cascaded joins; katz = sum alpha^k * walks_k
         "katz": f"""

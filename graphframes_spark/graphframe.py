@@ -516,6 +516,21 @@ class GraphFrame:
             max_nbrs=maxNbrsPerVertex,
         )
 
+    def louvain(
+        self,
+        maxPasses: int = 3,
+        maxRoundsPerPass: int = 10,
+        weightCol: Optional[str] = None,
+    ) -> DataFrame:
+        """Louvain modularity communities (Blondel et al. 2008) via
+        synchronized parity-gated local moving + contraction passes;
+        DF[id, community] with community = smallest member id (stable,
+        deterministic). Beyond-reference — the reference's community
+        operators stop at label propagation."""
+        from graphframes_spark.lib.louvain import louvain
+
+        return louvain(self, maxPasses, maxRoundsPerPass, weightCol)
+
     def katzCentrality(
         self, alpha: float = 0.1, maxIter: int = 10, normalized: bool = False
     ) -> DataFrame:

@@ -1,0 +1,262 @@
+"""Louvain community detection (Blondel et al. 2008), Spark-first.
+
+Beyond-reference: the reference's only community operators are label
+propagation (CDLP) and connected components; Louvain is the standard
+modularity-maximizing upgrade a graph-analytics user expects next.
+
+Distributed design (synchronous local moving + contraction):
+
+- **Local moving** runs in synchronized rounds. Every vertex scores all
+  candidate communities (its neighbors' plus its own) with the standard
+  Louvain gain ``k_{i,c} − k_i·Σ_tot(c∖i)/(2m)`` and picks the best by
+  one hash aggregation — ``min(struct(-gain, stay-bit, community))``
+  gives the argmax with deterministic stay-on-tie then smallest-id
+  tie-breaks, no window, fully partial-aggregatable (hub vertices never
+  materialize a candidate list). To avoid the classic synchronous-swap
+  oscillation (two vertices exchanging communities forever) moves are
+  direction-gated per round — even rounds may only move to a lower
+  community id, odd rounds to a higher one (the Sotera DGA distributed
+  Louvain rule), so a would-be swapping pair is split across rounds and
+  settles after the first one-sided move.
+- **Contraction** collapses each community to a supervertex: one
+  aggregation of the canonical undirected edge list keyed on the
+  endpoint communities; intra-community weight becomes a self-loop.
+  Passes repeat on the contracted graph until it stops shrinking.
+- **Labels** are finally re-anchored to ``min(original member id)`` per
+  community, so the output is stable across runs and platforms.
+
+Scale posture: each round is one edge⋈assignment join (shuffle on the
+edge key — the same shape as a Pregel superstep), one (vertex,
+candidate-community) aggregation, and one vertex-sized join; each pass
+shrinks the graph, so later passes are near-free. State is
+local-checkpointed per round to keep lineage flat. No driver-side data
+beyond the 1-row convergence counter.
+
+Weighted-graph semantics: ``2m = Σ_i k_i`` with ``k_i`` the weighted
+degree (self-loops counting twice, the standard convention), so the
+contracted passes optimize exactly the original graph's modularity.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphframes_spark.util import DST, ID, SRC, GraphFramesError
+
+if TYPE_CHECKING:
+    from graphframes_spark.graphframe import GraphFrame
+
+COMMUNITY = "community"
+
+
+def _canonical_edges(graph: "GraphFrame", weight_col: Optional[str]) -> DataFrame:
+    """DF[a, b, w] with a <= b: undirected weight per vertex pair.
+
+    Parallel directed edges (u->v and v->u, and duplicates) sum their
+    weights into the single canonical row; self-loops are kept (they
+    carry intra-community weight for contracted passes and count twice
+    in the degree, per convention).
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = graph.edges.select(
+        F.least(F.col(SRC), F.col(DST)).alias("a"),
+        F.greatest(F.col(SRC), F.col(DST)).alias("b"),
+        w.alias("w"),
+    )
+    return e.groupBy("a", "b").agg(F.sum("w").alias("w"))
+
+
+def _weighted_degrees(cedges: DataFrame) -> DataFrame:
+    """DF[id, k]: k_i = Σ_{j≠i} w_ij + 2·w_ii (self-loops twice)."""
+    ends = cedges.select(
+        F.explode(F.array("a", "b")).alias(ID), F.col("w")
+    )
+    return ends.groupBy(ID).agg(F.sum("w").alias("k"))
+
+
+def _local_moving(
+    cedges: DataFrame,
+    vertices: DataFrame,
+    m: float,
+    max_rounds: int,
+) -> tuple[DataFrame, int]:
+    """One Louvain phase-1 on the canonical edge list.
+
+    Returns (assignment DF[id, community], rounds_with_moves). Community
+    ids are vertex ids (each vertex starts in its own singleton).
+    """
+    two_m = 2.0 * m
+    k = _weighted_degrees(cedges).localCheckpoint(eager=True)
+    # adjacency without self-loops, both orientations — k_{i,c} sums
+    # links to *other* members only
+    adj = (
+        cedges.filter(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"), "w")
+        .unionByName(
+            cedges.filter(F.col("a") != F.col("b")).select(
+                F.col("b").alias("u"), F.col("a").alias("v"), "w"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    asg = vertices.select(F.col(ID), F.col(ID).alias(COMMUNITY))
+    moves_happened = 0
+    for rnd in range(max_rounds):
+        # neighbor-community attachment k_{u,c}
+        nbr_comm = (
+            adj.join(
+                asg.select(
+                    F.col(ID).alias("v"), F.col(COMMUNITY).alias("c")
+                ),
+                on="v",
+            )
+            .groupBy("u", "c")
+            .agg(F.sum("w").alias("k_uc"))
+        )
+        # candidate set = neighbor communities ∪ own (own may be absent
+        # from nbr_comm when no neighbor shares it -> k_uc = 0)
+        own = asg.select(
+            F.col(ID).alias("u"), F.col(COMMUNITY).alias("c"), F.lit(0.0).alias("k_uc")
+        )
+        cands = nbr_comm.unionByName(own).groupBy("u", "c").agg(
+            F.max("k_uc").alias("k_uc")
+        )
+        sigma = (
+            k.join(asg, on=ID)
+            .groupBy(COMMUNITY)
+            .agg(F.sum("k").alias("tot"))
+            .withColumnRenamed(COMMUNITY, "c")
+        )
+        ku = k.select(F.col(ID).alias("u"), F.col("k").alias("k_u"))
+        own_c = asg.select(F.col(ID).alias("u"), F.col(COMMUNITY).alias("own"))
+        scored = (
+            cands.join(sigma, on="c")
+            .join(ku, on="u")
+            .join(own_c, on="u")
+            .withColumn(
+                "tot_excl",
+                F.col("tot")
+                - F.when(F.col("c") == F.col("own"), F.col("k_u")).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+            .withColumn(
+                "gain",
+                F.col("k_uc") - F.col("k_u") * F.col("tot_excl") / F.lit(two_m),
+            )
+        )
+        # argmax gain with ties broken toward staying put (kills
+        # zero-gain label drift), then toward the smallest community id
+        best = scored.groupBy("u", "own").agg(
+            F.min(
+                F.struct(
+                    (-F.col("gain")).alias("ng"),
+                    (F.col("c") != F.col("own")).cast("int").alias("mv"),
+                    F.col("c").alias("c"),
+                )
+            ).alias("_best")
+        )
+        # oscillation guard (Sotera DGA rule): even rounds only allow
+        # moves to a LOWER community id, odd rounds to a HIGHER one — a
+        # pair of vertices that would swap communities is split across
+        # rounds and settles after the first one-sided move
+        if rnd % 2 == 0:
+            allowed = F.col("_best.c") < F.col("own")
+        else:
+            allowed = F.col("_best.c") > F.col("own")
+        new_comm = F.when(
+            allowed & (F.col("_best.c") != F.col("own")), F.col("_best.c")
+        ).otherwise(F.col("own"))
+        decided = best.select(
+            F.col("u").alias(ID),
+            new_comm.alias(COMMUNITY),
+            (new_comm != F.col("own")).alias("_moved"),
+        )
+        decided = decided.localCheckpoint(eager=True)
+        moved = decided.agg(F.count_if(F.col("_moved")).alias("n")).collect()[0]["n"]
+        asg = decided.drop("_moved")
+        if moved == 0:
+            break
+        moves_happened += 1
+    return asg, moves_happened
+
+
+def louvain(
+    graph: "GraphFrame",
+    max_passes: int = 3,
+    max_rounds_per_pass: int = 10,
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Louvain modularity communities — DF[id, community] over every
+    vertex, ``community`` = the smallest member id (stable labels).
+
+    ``max_passes`` bounds the contraction hierarchy depth;
+    ``max_rounds_per_pass`` bounds the synchronized local-moving rounds.
+    ``weight_col`` selects an edge weight column (default: every edge
+    weighs 1; parallel edges sum).
+    """
+    if max_passes < 1:
+        raise GraphFramesError(f"louvain maxPasses must be >= 1, got {max_passes}")
+    if max_rounds_per_pass < 1:
+        raise GraphFramesError(
+            f"louvain maxRoundsPerPass must be >= 1, got {max_rounds_per_pass}"
+        )
+    if weight_col is not None and weight_col not in graph.edges.columns:
+        raise GraphFramesError(f"edges have no weight column {weight_col!r}")
+
+    cedges = _canonical_edges(graph, weight_col).localCheckpoint(eager=True)
+    m = cedges.agg(F.sum("w")).collect()[0][0]
+    vertices = graph.vertices.select(ID)
+    if m is None or m <= 0.0:
+        # edge-free graph: every vertex is its own community
+        return vertices.select(F.col(ID), F.col(ID).alias(COMMUNITY))
+
+    # total: original id -> current supervertex id
+    total = vertices.select(F.col(ID), F.col(ID).alias("_sv"))
+    level_vertices = vertices
+    for _ in range(max_passes):
+        asg, moves = _local_moving(
+            cedges, level_vertices, m, max_rounds_per_pass
+        )
+        total = (
+            total.join(
+                asg.select(F.col(ID).alias("_sv"), F.col(COMMUNITY)), on="_sv"
+            )
+            .select(F.col(ID), F.col(COMMUNITY).alias("_sv"))
+            .localCheckpoint(eager=True)
+        )
+        if moves == 0:
+            break
+        # contract: communities become vertices; weights aggregate;
+        # intra-community mass becomes a self-loop
+        a_map = asg.select(F.col(ID).alias("a"), F.col(COMMUNITY).alias("ca"))
+        b_map = asg.select(F.col(ID).alias("b"), F.col(COMMUNITY).alias("cb"))
+        contracted = (
+            cedges.join(a_map, on="a")
+            .join(b_map, on="b")
+            .select(
+                F.least(F.col("ca"), F.col("cb")).alias("a"),
+                F.greatest(F.col("ca"), F.col("cb")).alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        new_vertices = asg.select(F.col(COMMUNITY).alias(ID)).distinct()
+        shrunk = new_vertices.count() < level_vertices.count()
+        cedges, level_vertices = contracted, new_vertices
+        if not shrunk:
+            break
+
+    # stable labels: min original member id per final supervertex
+    stable = total.groupBy("_sv").agg(F.min(ID).alias(COMMUNITY))
+    return total.join(stable, on="_sv").select(F.col(ID), F.col(COMMUNITY))

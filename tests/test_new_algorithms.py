@@ -711,6 +711,73 @@ def test_modularity_requires_community_col(spark):
         g.modularity(g.vertices.select("id"), "community")
 
 
+def test_louvain_two_triangles_bridge(spark):
+    # two triangles joined by one bridge: optimal split, Q = 5/14
+    v = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)], ["src", "dst"]
+    )
+    g = GraphFrame(v, e)
+    r = g.louvain()
+    got = {row["id"]: row["community"] for row in r.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+    q = g.modularity(r).collect()[0]["modularity"]
+    assert abs(q - 5.0 / 14.0) < 1e-9
+
+
+def test_louvain_disjoint_cliques_exact(spark):
+    v = spark.createDataFrame([(i,) for i in range(15)], ["id"])
+    e = spark.createDataFrame(
+        [
+            (c * 5 + i, c * 5 + j)
+            for c in range(3)
+            for i in range(5)
+            for j in range(5)
+            if i != j
+        ],
+        ["src", "dst"],
+    )
+    got = {
+        row["id"]: row["community"]
+        for row in GraphFrame(v, e).louvain().collect()
+    }
+    assert got == {i: (i // 5) * 5 for i in range(15)}
+
+
+def test_louvain_weighted_overrides_topology(spark):
+    # path 0-1-2-3; heavy middle edge pulls {1,2} together
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 10.0), (2, 3, 1.0)], ["src", "dst", "weight"]
+    )
+    r = GraphFrame(v, e).louvain(weightCol="weight")
+    got = {row["id"]: row["community"] for row in r.collect()}
+    assert got[1] == got[2]
+
+
+def test_louvain_edge_free_and_validation(spark):
+    v = spark.createDataFrame([(0,), (1,)], ["id"])
+    e = spark.createDataFrame([], "src long, dst long")
+    got = {
+        row["id"]: row["community"]
+        for row in GraphFrame(v, e).louvain().collect()
+    }
+    assert got == {0: 0, 1: 1}
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e).louvain(maxPasses=0)
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e).louvain(weightCol="nope")
+
+
+def test_louvain_beats_naive_split_on_blobs(spark):
+    g = two_blobs(spark, 5)
+    r = g.louvain()
+    q_louvain = g.modularity(r).collect()[0]["modularity"]
+    odd_even = g.vertices.select("id", (F.col("id") % 2).alias("community"))
+    q_naive = g.modularity(odd_even).collect()[0]["modularity"]
+    assert q_louvain > q_naive
+
+
 def test_katz_two_cycle_geometric(spark):
     # 0<->1: katz after K iters = sum_{k=1..K} alpha^k (one walk per length)
     v = spark.createDataFrame([(0,), (1,)], ["id"])

@@ -1109,6 +1109,19 @@ def q_dp_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source size-distribution profile: exact interpolated
+    percentiles of token count and char length (datapipe/sampling.py
+    corpus_profile); DuckDB replays them with quantile_cont."""
+    from graphframes_spark.datapipe import corpus_profile
+
+    prof = corpus_profile(_docs(spark, sf_dir))
+    keep = [c for c in prof.columns if c not in ("source", "n_docs")]
+    return prof.select(
+        "source", "n_docs", *[F.round(F.col(c), 6).alias(c) for c in keep]
+    )
+
+
 def q_dp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN — no SQL oracle (bucket recall is by design < 1);
     driver records a rows-only check."""
@@ -1621,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "katz": q_katz,
         "louvain_regions": q_louvain_regions,
+        "dp_profile": q_dp_profile,
     }
 
 
@@ -2730,6 +2744,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT round(3.0 * t / w, 6) AS transitivity
             FROM tri CROSS JOIN wedges
+        """,
+        # interpolated percentiles replayed with quantile_cont
+        "dp_profile": """
+            WITH t AS (
+                SELECT source,
+                       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> len(x) > 0)) AS DOUBLE) AS tok,
+                       CAST(len(text) AS DOUBLE) AS ch
+                FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   round(quantile_cont(tok, 0.25), 6) AS tokens_p25,
+                   round(quantile_cont(tok, 0.50), 6) AS tokens_p50,
+                   round(quantile_cont(tok, 0.75), 6) AS tokens_p75,
+                   round(quantile_cont(tok, 0.95), 6) AS tokens_p95,
+                   round(quantile_cont(ch, 0.25), 6) AS chars_p25,
+                   round(quantile_cont(ch, 0.50), 6) AS chars_p50,
+                   round(quantile_cont(ch, 0.75), 6) AS chars_p75,
+                   round(quantile_cont(ch, 0.95), 6) AS chars_p95
+            FROM t GROUP BY source
         """,
         # disjoint cliques: Louvain = one community per region, labeled
         # by its smallest member

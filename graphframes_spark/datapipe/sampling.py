@@ -146,6 +146,47 @@ def source_rollup(
     )
 
 
+def corpus_profile(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("source",),
+    text_col: str = "text",
+    percentiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group size-distribution profile: ``n_docs`` plus exact (or
+    sketched) percentiles of the whitespace token count and character
+    length — ``tokens_p25 … tokens_p95, chars_p25 … chars_p95``.
+
+    The shape question a mix designer asks before setting context-window
+    and chunking policy: "how long are documents from this source,
+    really?" — means hide bimodality, percentiles don't.
+
+    ``exact=True`` uses ``percentile`` (interpolated, matches SQL
+    ``percentile_cont``/``quantile_cont`` — oracle-checkable);
+    ``exact=False`` swaps in ``percentile_approx`` (t-digest sketch,
+    fully partial-aggregatable) — the right call at 100 TB where a
+    per-group exact percentile must buffer the group's values.
+    One hash-aggregate shuffle on the low-cardinality group key either
+    way; the token count stays inside whole-stage codegen.
+    """
+    from graphframes_spark.datapipe.text import token_count
+
+    fn = F.percentile if exact else F.percentile_approx
+    rows = df.select(
+        *group_cols,
+        token_count(F.col(text_col)).cast("double").alias("_cp_tokens"),
+        F.length(F.col(text_col)).cast("double").alias("_cp_chars"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for p in percentiles:
+        tag = f"p{int(round(p * 100)):02d}"
+        aggs.append(fn(F.col("_cp_tokens"), F.lit(p)).alias(f"tokens_{tag}"))
+    for p in percentiles:
+        tag = f"p{int(round(p * 100)):02d}"
+        aggs.append(fn(F.col("_cp_chars"), F.lit(p)).alias(f"chars_{tag}"))
+    return rows.groupBy(*group_cols).agg(*aggs)
+
+
 def split_corpus(
     df: DataFrame,
     key_col: str,

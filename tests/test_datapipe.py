@@ -300,6 +300,33 @@ def test_source_rollup(spark):
     assert approx["s1"]["n_docs"] == 3
 
 
+def test_corpus_profile(spark):
+    rows = [
+        (1, "s1", "a b"),          # 2 tokens, 3 chars
+        (2, "s1", "a b c d"),      # 4 tokens, 7 chars
+        (3, "s1", "a b c d e f"),  # 6 tokens, 11 chars
+        (4, "s2", "one"),          # 1 token, 3 chars
+    ]
+    df = spark.createDataFrame(rows, ["id", "source", "text"])
+    out = {
+        r["source"]: r
+        for r in dp.corpus_profile(df, percentiles=(0.5,)).collect()
+    }
+    assert out["s1"]["n_docs"] == 3
+    assert abs(out["s1"]["tokens_p50"] - 4.0) < 1e-9
+    assert abs(out["s1"]["chars_p50"] - 7.0) < 1e-9
+    assert abs(out["s2"]["tokens_p50"] - 1.0) < 1e-9
+    # interpolation between order stats: p75 of [2,4,6] = 5
+    out2 = {
+        r["source"]: r
+        for r in dp.corpus_profile(df, percentiles=(0.75,)).collect()
+    }
+    assert abs(out2["s1"]["tokens_p75"] - 5.0) < 1e-9
+    # sketched variant keeps the schema
+    approx = dp.corpus_profile(df, percentiles=(0.5,), exact=False)
+    assert approx.columns == ["source", "n_docs", "tokens_p50", "chars_p50"]
+
+
 def test_chunk_documents(spark):
     rows = [
         (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens

@@ -16,6 +16,10 @@ bounded centroid table:
                          broadcast onto every (doc, term) row — the
                          bounded scalar-join shape, not a data x data
                          cartesian
+- transitivity/reciprocity  two 1-row aggregates (triangle count x
+                         wedge count; mutual count x total count)
+                         cross-joined into the final ratio — a 1x1
+                         scalar join, not a data x data cartesian
 """
 
 import pytest
@@ -26,6 +30,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 ALLOWED_QUADRATIC = {
     "dp_ann_topk", "dp_lsh_exact", "dp_ivf_exact", "dp_ivf_topk", "dp_tfidf",
+    "transitivity", "reciprocity",
 }
 
 

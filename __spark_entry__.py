@@ -519,6 +519,37 @@ def q_louvain_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.louvain().select("id", "community")
 
 
+def q_louvain_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain at data scale — no SQL oracle (the contraction hierarchy
+    is not SQL-expressible; driver records a rows-only check, and
+    louvain_regions carries the exact-oracle evidence). Weighted
+    co-purchase graph: parts linked by #distinct co-ordering orders
+    (>= 2), communities from 2 passes; returns per-community sizes."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_orderkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_partkey").alias("src"), F.col("l_orderkey").alias("o"))
+    b = li.select(F.col("l_partkey").alias("dst"), F.col("l_orderkey").alias("o"))
+    pairs = (
+        a.join(b, on="o")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= 2)
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    v = part.select(F.col("p_partkey").alias("id"))
+    g = GraphFrame(v, pairs)
+    asg = g.louvain(maxPasses=2, maxRoundsPerPass=6, weightCol="weight")
+    return (
+        asg.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), "community")
+    )
+
+
 def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated Katz centrality (alpha=0.1, 3 supersteps) on the
     per-user event chains; the oracle recomputes walk counts of length
@@ -1634,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "katz": q_katz,
         "louvain_regions": q_louvain_regions,
+        "louvain_copurchase": q_louvain_copurchase,
         "dp_profile": q_dp_profile,
     }
 

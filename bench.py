@@ -71,6 +71,11 @@ HEADLINE = [
     "assortativity",
     "dp_tfidf",
     "dp_quantize",
+    # round-4 late additions
+    "katz",
+    "transitivity",
+    "louvain_copurchase",
+    "dp_profile",
 ]
 
 

@@ -550,6 +550,20 @@ def q_louvain_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contract_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotient graph of the nation cliques under the region partition
+    (GraphFrame.contractBy): 5 supervertices, each with a self-loop
+    aggregating its clique's undirected weight — replayed in SQL with
+    the same canonicalize + 2-join + aggregate shape."""
+    g = _nation_graph(spark, sf_dir)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    asg = nation.select(
+        F.col("n_nationkey").alias("id"), F.col("n_regionkey").alias("community")
+    )
+    q = g.contractBy(asg)
+    return q.edges.select("src", "dst", F.round(F.col("weight"), 6).alias("weight"))
+
+
 def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated Katz centrality (alpha=0.1, 3 supersteps) on the
     per-user event chains; the oracle recomputes walk counts of length
@@ -1153,6 +1167,19 @@ def q_dp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent segment removal (datapipe/text.py
+    remove_boilerplate) in token mode (delimiter=' '): tokens present in
+    >= 50% of documents are stripped — corpus-adaptive stopword removal.
+    The oracle replays split/threshold/rebuild with string_agg."""
+    from graphframes_spark.datapipe import remove_boilerplate
+
+    out = remove_boilerplate(
+        _docs(spark, sf_dir), delimiter=" ", min_doc_frac=0.5, min_doc_count=2
+    )
+    return out.select("doc_id", "text", "n_segments", "n_removed")
+
+
 def q_dp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN — no SQL oracle (bucket recall is by design < 1);
     driver records a rows-only check."""
@@ -1554,7 +1581,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "triplets": q_triplets,
         "motif_negation": q_motif_negation,
-        "motif_var_length": q_motif_var_length,
+        # louvain_regions holds the in-window slot motif_var_length used
+        # to occupy: motif `find` keeps motif_negation here (plus three
+        # companions after position 50), while Louvain — a whole new
+        # algorithm — gets a driver-verified row
+        "louvain_regions": q_louvain_regions,
         "filter_vertices": q_filter_vertices,
         "filter_edges": q_filter_edges,
         "drop_isolated": q_drop_isolated,
@@ -1664,9 +1695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": q_transitivity,
         "reciprocity": q_reciprocity,
         "katz": q_katz,
-        "louvain_regions": q_louvain_regions,
+        "motif_var_length": q_motif_var_length,
         "louvain_copurchase": q_louvain_copurchase,
         "dp_profile": q_dp_profile,
+        "dp_boilerplate": q_dp_boilerplate,
+        "contract_regions": q_contract_regions,
     }
 
 
@@ -2777,6 +2810,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(3.0 * t / w, 6) AS transitivity
             FROM tri CROSS JOIN wedges
         """,
+        # split/threshold/rebuild replay; string_agg skips the
+        # boilerplate rows exactly like collect_list skips nulls
+        "dp_boilerplate": """
+            WITH segs AS (
+                SELECT doc_id, unnest(l) AS seg,
+                       unnest(range(1, len(l) + 1)) AS pos
+                FROM (SELECT doc_id, string_split(text, ' ') AS l
+                      FROM documents)
+            ),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            boiler AS (
+                SELECT trim(seg) AS segment
+                FROM segs WHERE len(trim(seg)) > 0
+                GROUP BY trim(seg)
+                HAVING count(DISTINCT doc_id) >= 2
+                   AND count(DISTINCT doc_id) >= 0.5 * (SELECT n_docs FROM n)
+            ),
+            marked AS (
+                SELECT s.doc_id, s.pos, s.seg,
+                       b.segment IS NOT NULL AS is_boiler
+                FROM segs s LEFT JOIN boiler b ON trim(s.seg) = b.segment
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg END,
+                                       ' ' ORDER BY pos), '') AS text,
+                   count(*) AS n_segments,
+                   count(*) FILTER (WHERE is_boiler) AS n_removed
+            FROM marked GROUP BY doc_id
+        """,
         # interpolated percentiles replayed with quantile_cont
         "dp_profile": """
             WITH t AS (
@@ -2796,6 +2858,22 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(ch, 0.75), 6) AS chars_p75,
                    round(quantile_cont(ch, 0.95), 6) AS chars_p95
             FROM t GROUP BY source
+        """,
+        # canonicalize + community joins + aggregate, replayed verbatim
+        "contract_regions": f"""
+            WITH adj AS ({_NATION_EDGES_SQL}),
+            ce AS (
+                SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                       CAST(count(*) AS DOUBLE) AS w
+                FROM adj GROUP BY 1, 2
+            ),
+            asg AS (SELECT n_nationkey AS id, n_regionkey AS c FROM nation)
+            SELECT least(ma.c, mb.c) AS src, greatest(ma.c, mb.c) AS dst,
+                   round(sum(ce.w), 6) AS weight
+            FROM ce
+            JOIN asg ma ON ce.a = ma.id
+            JOIN asg mb ON ce.b = mb.id
+            GROUP BY 1, 2
         """,
         # disjoint cliques: Louvain = one community per region, labeled
         # by its smallest member

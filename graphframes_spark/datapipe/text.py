@@ -385,3 +385,103 @@ def tfidf_top_terms(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def boilerplate_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_doc_frac: float = 0.5,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """DF[segment, doc_freq] — the corpus's boilerplate segments.
+
+    A segment (text split on the literal ``delimiter``; lines by
+    default) is boilerplate when its trimmed form is non-empty and
+    appears in at least ``min_doc_count`` documents AND at least
+    ``min_doc_frac`` of all documents — the CCNet-style headers /
+    footers / nav-bars signal (with ``delimiter=" "`` it degenerates to
+    corpus-adaptive stopword discovery).
+
+    Scale posture: one posexplode (narrow), one distinct-doc count per
+    segment key (two-phase hash aggregate), and a driver-side 1-row doc
+    count for the threshold — no window, no per-doc state.
+    """
+    import re as _re
+
+    segs = df.select(
+        F.col(id_col).alias("_bp_id"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(delimiter), -1)
+        ).alias("_bp_pos", "_bp_seg"),
+    )
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    threshold = max(min_doc_count, 1)
+    key = F.trim(F.col("_bp_seg"))
+    return (
+        segs.filter(F.length(key) > 0)
+        .groupBy(key.alias("segment"))
+        .agg(F.count_distinct(F.col("_bp_id")).alias("doc_freq"))
+        .filter(
+            (F.col("doc_freq") >= F.lit(threshold))
+            & (
+                F.col("doc_freq").cast("double")
+                >= F.lit(float(min_doc_frac)) * F.lit(float(n_docs))
+            )
+        )
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_doc_frac: float = 0.5,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """DF[<id_col>, <text_col>, n_segments, n_removed] — documents with
+    corpus-frequent segments stripped (see :func:`boilerplate_segments`
+    for the boilerplate definition; whitespace-only segments are never
+    boilerplate and are preserved verbatim).
+
+    Rebuild is one left join of the exploded segments against the
+    (small, broadcastable) boilerplate table plus one per-document
+    aggregation: ``collect_list`` skips the nulled-out boilerplate rows
+    and is bounded by a single document's segment count — per-doc state,
+    never corpus- or hub-sized. Order is restored by ``array_sort`` on
+    the (pos, segment) structs, so the operator is deterministic under
+    any shuffle/AQE placement.
+    """
+    import re as _re
+
+    boiler = boilerplate_segments(
+        df, id_col, text_col, delimiter, min_doc_frac, min_doc_count
+    )
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(delimiter), -1)
+        ).alias("_bp_pos", "_bp_seg"),
+    )
+    joined = segs.join(
+        F.broadcast(boiler.withColumn("_bp_is_boiler", F.lit(True))),
+        on=F.trim(segs["_bp_seg"]) == boiler["segment"],
+        how="left",
+    )
+    kept_struct = F.when(
+        F.col("_bp_is_boiler").isNull(),
+        F.struct(F.col("_bp_pos"), F.col("_bp_seg")),
+    )
+    return joined.groupBy(id_col).agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["_bp_seg"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count_if(F.col("_bp_is_boiler").isNotNull()).alias("n_removed"),
+    )

@@ -531,6 +531,20 @@ class GraphFrame:
 
         return louvain(self, maxPasses, maxRoundsPerPass, weightCol)
 
+    def contractBy(
+        self,
+        assignment: DataFrame,
+        communityCol: str = "community",
+        weightCol: Optional[str] = None,
+    ) -> "GraphFrame":
+        """Quotient graph: one supervertex per community of
+        ``assignment`` (DF[id, <communityCol>]) with member counts,
+        edges aggregated by endpoint communities (canonical src<=dst,
+        intra-community mass as self-loops). Beyond-reference."""
+        from graphframes_spark.lib.louvain import contract
+
+        return contract(self, assignment, communityCol, weightCol)
+
     def katzCentrality(
         self, alpha: float = 0.1, maxIter: int = 10, normalized: bool = False
     ) -> DataFrame:

@@ -93,7 +93,14 @@ def _local_moving(
     ids are vertex ids (each vertex starts in its own singleton).
     """
     two_m = 2.0 * m
-    k = _weighted_degrees(cedges).localCheckpoint(eager=True)
+    # complete over ALL vertices (zero-degree fill): the inner joins
+    # below must not drop isolated vertices from the assignment
+    k = (
+        vertices.select(ID)
+        .join(_weighted_degrees(cedges), on=ID, how="left")
+        .select(ID, F.coalesce(F.col("k"), F.lit(0.0)).alias("k"))
+        .localCheckpoint(eager=True)
+    )
     # adjacency without self-loops, both orientations — k_{i,c} sums
     # links to *other* members only
     adj = (
@@ -187,6 +194,61 @@ def _local_moving(
             break
         moves_happened += 1
     return asg, moves_happened
+
+
+def contract(
+    graph: "GraphFrame",
+    assignment: DataFrame,
+    community_col: str = COMMUNITY,
+    weight_col: Optional[str] = None,
+) -> "GraphFrame":
+    """Quotient graph under a partition — one supervertex per community,
+    edges aggregated by endpoint communities.
+
+    ``assignment`` is DF[id, <community_col>] (connectedComponents,
+    labelPropagation, or louvain output). Returns a GraphFrame whose
+    vertices are DF[id, n_members] (id = the community label) and whose
+    edges are DF[src, dst, weight] with ``src <= dst`` canonical
+    orientation; intra-community mass appears as a self-loop. The
+    summary a 100 TB pipeline renders instead of the raw graph: two
+    edge-keyed joins + one aggregation, all partial-aggregatable.
+    """
+    from graphframes_spark.graphframe import GraphFrame
+
+    if community_col not in assignment.columns:
+        raise GraphFramesError(
+            f"assignment is missing community column {community_col!r}"
+        )
+    cedges = _canonical_edges(graph, weight_col)
+    a_map = assignment.select(
+        F.col(ID).alias("a"), F.col(community_col).alias("ca")
+    )
+    b_map = assignment.select(
+        F.col(ID).alias("b"), F.col(community_col).alias("cb")
+    )
+    # left joins + coalesce: an endpoint absent from the assignment
+    # keeps its own id as a singleton community (mirrors the vertex side)
+    ca = F.coalesce(F.col("ca"), F.col("a"))
+    cb = F.coalesce(F.col("cb"), F.col("b"))
+    edges = (
+        cedges.join(a_map, on="a", how="left")
+        .join(b_map, on="b", how="left")
+        .select(
+            F.least(ca, cb).alias(SRC),
+            F.greatest(ca, cb).alias(DST),
+            "w",
+        )
+        .groupBy(SRC, DST)
+        .agg(F.sum("w").alias("weight"))
+    )
+    vertices = (
+        graph.vertices.select(ID)
+        .join(assignment.select(ID, community_col), on=ID, how="left")
+        .select(F.coalesce(F.col(community_col), F.col(ID)).alias(ID))
+        .groupBy(ID)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    return GraphFrame(vertices, edges)
 
 
 def louvain(

@@ -300,6 +300,52 @@ def test_source_rollup(spark):
     assert approx["s1"]["n_docs"] == 3
 
 
+def test_remove_boilerplate_lines(spark):
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, f"unique alpha\n{footer}\ncontent one"),
+        (2, f"{footer}\ncontent two"),
+        (3, f"content three\n{footer}"),
+        (4, "no footer here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    boiler = dp.boilerplate_segments(df, min_doc_frac=0.5)
+    assert [r["segment"] for r in boiler.collect()] == [footer]
+    out = {r["doc_id"]: r for r in dp.remove_boilerplate(df, min_doc_frac=0.5).collect()}
+    assert out[1]["text"] == "unique alpha\ncontent one"
+    assert out[2]["text"] == "content two"
+    assert out[3]["text"] == "content three"
+    assert out[4]["text"] == "no footer here"
+    assert out[1]["n_segments"] == 3 and out[1]["n_removed"] == 1
+    assert out[4]["n_removed"] == 0
+
+
+def test_remove_boilerplate_whitespace_and_empty(spark):
+    # whitespace-only segments are never boilerplate; a doc that is all
+    # boilerplate collapses to ""
+    rows = [(1, "x\n\nx"), (2, "x"), (3, "x\nkeep")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dp.remove_boilerplate(df, min_doc_frac=0.9, min_doc_count=2).collect()
+    }
+    assert out[1]["text"] == "" and out[1]["n_removed"] == 2
+    assert out[1]["n_segments"] == 3  # the empty middle line is kept
+    assert out[2]["text"] == ""
+    assert out[3]["text"] == "keep"
+
+
+def test_remove_boilerplate_min_doc_count_guard(spark):
+    # 1 of 2 docs = 50% but below min_doc_count=3 -> kept
+    rows = [(1, "hello\nworld"), (2, "hello\nthere")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dp.remove_boilerplate(df, min_doc_frac=0.5, min_doc_count=3).collect()
+    }
+    assert out == {1: "hello\nworld", 2: "hello\nthere"}
+
+
 def test_corpus_profile(spark):
     rows = [
         (1, "s1", "a b"),          # 2 tokens, 3 chars

@@ -778,6 +778,38 @@ def test_louvain_beats_naive_split_on_blobs(spark):
     assert q_louvain > q_naive
 
 
+def test_contract_by_partition(spark):
+    # two triangles + bridge, contracted by the triangle split
+    v = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)], ["src", "dst"]
+    )
+    asg = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], ["id", "community"]
+    )
+    q = GraphFrame(v, e).contractBy(asg)
+    verts = {r["id"]: r["n_members"] for r in q.vertices.collect()}
+    assert verts == {0: 3, 1: 3}
+    edges = {(r["src"], r["dst"]): r["weight"] for r in q.edges.collect()}
+    assert edges == {(0, 0): 3.0, (1, 1): 3.0, (0, 1): 1.0}
+
+
+def test_contract_by_unassigned_and_weights(spark):
+    # vertex 2 missing from the assignment keeps its own id; weights sum
+    v = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 0, 3.0), (1, 2, 1.0)], ["src", "dst", "weight"]
+    )
+    asg = spark.createDataFrame([(0, 9), (1, 9)], ["id", "community"])
+    q = GraphFrame(v, e).contractBy(asg, weightCol="weight")
+    verts = {r["id"]: r["n_members"] for r in q.vertices.collect()}
+    assert verts == {9: 2, 2: 1}
+    edges = {(r["src"], r["dst"]): r["weight"] for r in q.edges.collect()}
+    assert edges == {(9, 9): 5.0, (2, 9): 1.0}
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e).contractBy(asg.select("id"))
+
+
 def test_katz_two_cycle_geometric(spark):
     # 0<->1: katz after K iters = sum_{k=1..K} alpha^k (one walk per length)
     v = spark.createDataFrame([(0,), (1,)], ["id"])

@@ -261,3 +261,68 @@ def test_coloring_proper_on_random_graphs(spark, edges):
         deg[s] += 1
         deg[d] += 1
     assert all(0 <= c <= max(deg.values()) for c in cols.values())
+
+
+def _katz_oracle(edges, alpha, iters):
+    # c <- alpha * A^T (1 + c), c0 = 0, edge multiplicity via the set
+    c = [0.0] * MAX_V
+    for _ in range(iters):
+        nxt = [0.0] * MAX_V
+        for s, d in edges:
+            nxt[d] += alpha * (1.0 + c[s])
+        c = nxt
+    return c
+
+
+@pytest.mark.slow
+@given(edges=edge_sets, iters=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_katz_matches_bruteforce(spark, edges, iters):
+    g = _graph(spark, edges)
+    got = {
+        r["id"]: r["katz"]
+        for r in g.katzCentrality(alpha=0.2, maxIter=iters).collect()
+    }
+    want = _katz_oracle(edges, 0.2, iters)
+    for i in range(MAX_V):
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i], sorted(edges))
+
+
+def _modularity_oracle(edges, asg):
+    und = {frozenset(e) for e in edges}
+    m = len(und)
+    if m == 0:
+        return None
+    deg = {i: 0 for i in range(MAX_V)}
+    for e in und:
+        a, b = sorted(e)
+        deg[a] += 1
+        deg[b] += 1
+    q = 0.0
+    comms = set(asg.values())
+    for c in comms:
+        members = {v for v, cc in asg.items() if cc == c}
+        lc = sum(1 for e in und if e <= members)
+        dc = sum(deg[v] for v in members)
+        q += lc / m - (dc / (2.0 * m)) ** 2
+    return q
+
+
+@pytest.mark.slow
+@given(edges=edge_sets)
+@settings(**SETTINGS)
+def test_louvain_valid_and_not_worse_than_singletons(spark, edges):
+    g = _graph(spark, edges)
+    rows = g.louvain().collect()
+    asg = {r["id"]: r["community"] for r in rows}
+    # total assignment: every vertex labeled, labels are member ids
+    assert set(asg) == set(range(MAX_V))
+    for vid, c in asg.items():
+        assert c in asg and asg[c] == c, (vid, c, asg)
+        assert c == min(v for v, cc in asg.items() if cc == c)
+    # modularity >= the all-singletons baseline (louvain only ever
+    # accepts non-negative-gain moves from the singleton start)
+    q_louvain = _modularity_oracle(edges, asg)
+    q_single = _modularity_oracle(edges, {i: i for i in range(MAX_V)})
+    assert q_louvain is not None
+    assert q_louvain >= q_single - 1e-9, (asg, q_louvain, q_single, sorted(edges))

@@ -550,6 +550,37 @@ def q_louvain_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seeded_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading down the region->nation->customer
+    out-tree from region seeds (directed, 3 supersteps): every vertex
+    ends with its ancestor region's key — closed-form in SQL."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    v = (
+        region.select((F.col("r_regionkey") + REG_OFF).alias("id"))
+        .unionByName(nation.select((F.col("n_nationkey") + NAT_OFF).alias("id")))
+        .unionByName(customer.select(F.col("c_custkey").alias("id")))
+    )
+    e = nation.select(
+        (F.col("n_regionkey") + REG_OFF).alias("src"),
+        (F.col("n_nationkey") + NAT_OFF).alias("dst"),
+    ).unionByName(
+        customer.select(
+            (F.col("c_nationkey") + NAT_OFF).alias("src"),
+            F.col("c_custkey").alias("dst"),
+        )
+    )
+    seeds = region.select(
+        (F.col("r_regionkey") + REG_OFF).alias("id"),
+        F.col("r_regionkey").alias("label"),
+    )
+    g = GraphFrame(v, e)
+    return g.seededLabelPropagation(seeds, maxIter=3, isDirected=True).select(
+        "id", "label"
+    )
+
+
 def q_contract_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quotient graph of the nation cliques under the region partition
     (GraphFrame.contractBy): 5 supervertices, each with a self-loop
@@ -1700,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_profile": q_dp_profile,
         "dp_boilerplate": q_dp_boilerplate,
         "contract_regions": q_contract_regions,
+        "seeded_lpa": q_seeded_lpa,
     }
 
 
@@ -2858,6 +2890,17 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(ch, 0.75), 6) AS chars_p75,
                    round(quantile_cont(ch, 0.95), 6) AS chars_p95
             FROM t GROUP BY source
+        """,
+        # out-tree spreading: label = ancestor region key, closed form
+        "seeded_lpa": f"""
+            SELECT r_regionkey + {REG_OFF} AS id, r_regionkey AS label
+            FROM region
+            UNION ALL
+            SELECT n_nationkey + {NAT_OFF} AS id, n_regionkey AS label
+            FROM nation
+            UNION ALL
+            SELECT c.c_custkey AS id, n.n_regionkey AS label
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         """,
         # canonicalize + community joins + aggregate, replayed verbatim
         "contract_regions": f"""

@@ -735,6 +735,24 @@ class GraphFrame:
 
         return label_propagation(self, maxIter)
 
+    def seededLabelPropagation(
+        self,
+        seeds: DataFrame,
+        labelCol: str = "label",
+        maxIter: int = 5,
+        isDirected: bool = False,
+    ) -> DataFrame:
+        """Semi-supervised label spreading: ``seeds`` (DF[id,
+        <labelCol>]) hold fixed labels; other vertices permanently take
+        the deterministic mode of labeled neighbors when first reached
+        (nearest-seed labeling; NULL if never reached).
+        Beyond-reference."""
+        from graphframes_spark.lib.label_propagation import (
+            seeded_label_propagation,
+        )
+
+        return seeded_label_propagation(self, seeds, labelCol, maxIter, isDirected)
+
     def triangleCount(
         self, algorithm: str = "exact", lgNomEntries: int = 12
     ) -> DataFrame:

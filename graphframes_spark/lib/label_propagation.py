@@ -66,3 +66,68 @@ def label_propagation(
 
     labels = pregel.run().select(ID, LABEL_ID)
     return graph.vertices.join(labels, on=ID, how="inner")
+
+
+def seeded_label_propagation(
+    graph: "GraphFrame",
+    seeds: DataFrame,
+    label_col: str = LABEL_ID,
+    max_iter: int = 5,
+    is_directed: bool = False,
+) -> DataFrame:
+    """Semi-supervised label spreading — beyond-reference (the
+    reference's CDLP has no seed support).
+
+    ``seeds`` is DF[id, <label_col>]: those vertices hold their label
+    FIXED; every other vertex starts unlabeled (NULL) and — first-touch
+    finality — permanently adopts the most frequent label among its
+    labeled neighbors in the superstep it is first reached
+    (``mode(deterministic=true)``, ties to the lowest label — the same
+    bounded partial-aggregatable combine as labelPropagation, never a
+    degree-sized array on a hub). The result is nearest-seed labeling
+    with majority/lowest tie-breaks; unreached vertices keep NULL. The
+    classic label-a-million-docs-from-a-thousand-labels primitive.
+    First-touch (rather than re-voting every superstep) keeps boundary
+    vertices from drifting on ties and converges in
+    max-distance-to-a-seed supersteps.
+
+    Same per-superstep plan shape as labelPropagation: one src-keyed
+    join against the pre-shuffled edges + one dst-keyed mode aggregate;
+    voting stops early once every reachable vertex is labeled.
+    """
+    from graphframes_spark.graphframe import GraphFrame
+    from graphframes_spark.util import GraphFramesError
+
+    if label_col not in seeds.columns:
+        raise GraphFramesError(f"seeds is missing label column {label_col!r}")
+
+    seed_map = seeds.select(F.col(ID), F.col(label_col).alias("_slp_seed"))
+    prepared_v = graph.vertices.select(ID).join(seed_map, on=ID, how="left")
+    prepared = GraphFrame(prepared_v, graph.edges.select(SRC, DST))
+
+    # first-touch finality: a labeled vertex (seed or already reached)
+    # never changes; unlabeled vertices take the message mode (mode
+    # skips NULLs, so an all-unlabeled neighborhood leaves NULL behind)
+    new_label = F.coalesce(F.col(LABEL_ID), Pregel.msg())
+
+    pregel = (
+        prepared.pregel.withVertexColumn(
+            LABEL_ID, F.col("_slp_seed"), new_label
+        )
+        .setMaxIter(max_iter)
+        .setCheckpointInterval(1)
+        .setStopIfAllNonActiveVertices(True)
+        .setUpdateActiveVertexExpression(
+            ~(F.col(LABEL_ID).eqNullSafe(new_label))
+        )
+        .requiredSrcColumns(LABEL_ID)
+        .sendMsgToDst(Pregel.src(LABEL_ID))
+    )
+    if not is_directed:
+        pregel = pregel.requiredDstColumns(LABEL_ID).sendMsgToSrc(
+            Pregel.dst(LABEL_ID)
+        )
+    pregel = pregel.aggMsgs(F.mode(Pregel.msg(), deterministic=True))
+
+    labels = pregel.run().select(ID, F.col(LABEL_ID).alias(label_col))
+    return graph.vertices.join(labels, on=ID, how="inner")

@@ -778,6 +778,63 @@ def test_louvain_beats_naive_split_on_blobs(spark):
     assert q_louvain > q_naive
 
 
+def test_seeded_lpa_spreads_and_pins_seeds(spark):
+    # path 0-1-2-3-4 with seeds at the ends; middle splits by distance,
+    # the exact tie at 2 resolves to the lower label
+    v = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0, 10), (4, 20)], ["id", "label"])
+    out = {
+        r["id"]: r["label"]
+        for r in GraphFrame(v, e)
+        .seededLabelPropagation(seeds, maxIter=10)
+        .collect()
+    }
+    assert out[0] == 10 and out[4] == 20  # seeds never move
+    assert out[1] == 10 and out[3] == 20
+    assert out[2] == 10  # equidistant tie -> lowest label
+
+
+def test_seeded_lpa_unreached_stays_null(spark):
+    v = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
+    e = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0, 7)], ["id", "label"])
+    out = {
+        r["id"]: r["label"]
+        for r in GraphFrame(v, e).seededLabelPropagation(seeds, maxIter=5).collect()
+    }
+    assert out == {0: 7, 1: 7, 2: None}
+
+
+def test_seeded_lpa_directed_flows_one_way(spark):
+    v = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
+    e = spark.createDataFrame([(0, 1), (2, 1)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1, 5)], ["id", "label"])
+    out = {
+        r["id"]: r["label"]
+        for r in GraphFrame(v, e)
+        .seededLabelPropagation(seeds, maxIter=5, isDirected=True)
+        .collect()
+    }
+    # label only flows along edge direction: 0 and 2 feed 1, never receive
+    assert out == {0: None, 1: 5, 2: None}
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e).seededLabelPropagation(seeds.select("id"))
+
+
+def test_seeded_lpa_majority_wins(spark):
+    # vertex 4 has three labeled neighbors: 2x label 9, 1x label 1 ->
+    # majority 9 despite 1 being smaller
+    v = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    e = spark.createDataFrame([(0, 4), (1, 4), (2, 4)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0, 9), (1, 9), (2, 1)], ["id", "label"])
+    out = {
+        r["id"]: r["label"]
+        for r in GraphFrame(v, e).seededLabelPropagation(seeds, maxIter=2).collect()
+    }
+    assert out[4] == 9
+
+
 def test_contract_by_partition(spark):
     # two triangles + bridge, contracted by the triangle split
     v = spark.createDataFrame([(i,) for i in range(6)], ["id"])

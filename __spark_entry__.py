@@ -550,6 +550,15 @@ def q_louvain_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wl_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Weisfeiler-Leman refinement round on the nation-clique +
+    customer-spoke graph (lib/wl.py): md5 degree-pair colors refined by
+    (hash-sum, count) per direction — replayed verbatim in SQL via
+    DuckDB's 0x-hex cast."""
+    g = _nation_customer_graph(spark, sf_dir)
+    return g.wlLabels(iterations=1)
+
+
 def q_seeded_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label spreading down the region->nation->customer
     out-tree from region seeds (directed, 3 supersteps): every vertex
@@ -1732,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_boilerplate": q_dp_boilerplate,
         "contract_regions": q_contract_regions,
         "seeded_lpa": q_seeded_lpa,
+        "wl_labels": q_wl_labels,
     }
 
 
@@ -2890,6 +2900,54 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(ch, 0.75), 6) AS chars_p75,
                    round(quantile_cont(ch, 0.95), 6) AS chars_p95
             FROM t GROUP BY source
+        """,
+        # degree-pair md5 colors + one (hash-sum, count) refinement,
+        # replayed with DuckDB's 0x-hex BIGINT cast
+        "wl_labels": f"""
+            WITH v AS (
+                SELECT n_nationkey + {NAT_OFF} AS id FROM nation
+                UNION ALL SELECT c_custkey FROM customer
+            ),
+            e AS (
+                SELECT a.n_nationkey + {NAT_OFF} AS src,
+                       b.n_nationkey + {NAT_OFF} AS dst
+                FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+                WHERE a.n_nationkey <> b.n_nationkey
+                UNION ALL
+                SELECT c_nationkey + {NAT_OFF} AS src, c_custkey AS dst
+                FROM customer
+            ),
+            ind AS (SELECT dst AS id, count(*) AS i FROM e GROUP BY dst),
+            outd AS (SELECT src AS id, count(*) AS o FROM e GROUP BY src),
+            c0 AS (
+                SELECT v.id, md5(coalesce(i, 0) || ':' || coalesce(o, 0)) AS c
+                FROM v
+                LEFT JOIN ind ON v.id = ind.id
+                LEFT JOIN outd ON v.id = outd.id
+            ),
+            h0 AS (
+                SELECT id, c, ('0x' || substr(c, 1, 12))::BIGINT AS h FROM c0
+            ),
+            m AS (
+                SELECT e.dst AS id, h0.h, 'i' AS d
+                FROM e JOIN h0 ON h0.id = e.src
+                UNION ALL
+                SELECT e.src AS id, h0.h, 'o' AS d
+                FROM e JOIN h0 ON h0.id = e.dst
+            ),
+            a AS (
+                SELECT id,
+                       coalesce(sum(CASE WHEN d = 'i' THEN h END), 0) AS isum,
+                       count(CASE WHEN d = 'i' THEN 1 END) AS icnt,
+                       coalesce(sum(CASE WHEN d = 'o' THEN h END), 0) AS osum,
+                       count(CASE WHEN d = 'o' THEN 1 END) AS ocnt
+                FROM m GROUP BY id
+            )
+            SELECT c0.id,
+                   md5(c0.c || '|' || coalesce(a.isum, 0) || ':'
+                       || coalesce(a.icnt, 0) || '|' || coalesce(a.osum, 0)
+                       || ':' || coalesce(a.ocnt, 0)) AS wl_label
+            FROM c0 LEFT JOIN a ON c0.id = a.id
         """,
         # out-tree spreading: label = ancestor region key, closed form
         "seeded_lpa": f"""

@@ -531,6 +531,16 @@ class GraphFrame:
 
         return louvain(self, maxPasses, maxRoundsPerPass, weightCol)
 
+    def wlLabels(self, iterations: int = 2) -> DataFrame:
+        """Weisfeiler-Leman refinement labels — DF[id, wl_label: hex];
+        vertices with identical ``iterations``-hop neighborhood
+        structure share a label (md5-based, engine-portable; neighbor
+        multisets summarized by partial-aggregatable hash sums).
+        Beyond-reference."""
+        from graphframes_spark.lib.wl import wl_labels
+
+        return wl_labels(self, iterations)
+
     def contractBy(
         self,
         assignment: DataFrame,

@@ -778,6 +778,41 @@ def test_louvain_beats_naive_split_on_blobs(spark):
     assert q_louvain > q_naive
 
 
+def test_wl_labels_distinguish_positions(spark):
+    # directed chain 0->1->2->3: middle vertices share the degree-pair
+    # color at iteration 0 but separate after one refinement
+    g = chain_graph(spark, 4)
+    l0 = {r["id"]: r["wl_label"] for r in g.wlLabels(iterations=0).collect()}
+    assert l0[1] == l0[2] and l0[0] != l0[1] and l0[3] != l0[1]
+    l1 = {r["id"]: r["wl_label"] for r in g.wlLabels(iterations=1).collect()}
+    assert len(set(l1.values())) == 4
+
+
+def test_wl_labels_isomorphic_components_agree(spark):
+    # two disjoint directed triangles: corresponding vertices share
+    # labels at every refinement depth
+    v = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)], ["src", "dst"]
+    )
+    labels = {
+        r["id"]: r["wl_label"]
+        for r in GraphFrame(v, e).wlLabels(iterations=3).collect()
+    }
+    assert len(set(labels.values())) == 1  # vertex-transitive + isomorphic
+
+
+def test_wl_labels_validation_and_isolated(spark):
+    v = spark.createDataFrame([(0,), (1,)], ["id"])
+    e = spark.createDataFrame([], "src long, dst long")
+    labels = {
+        r["id"]: r["wl_label"] for r in GraphFrame(v, e).wlLabels(2).collect()
+    }
+    assert labels[0] == labels[1]  # both isolated -> same structure
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e).wlLabels(-1)
+
+
 def test_seeded_lpa_spreads_and_pins_seeds(spark):
     # path 0-1-2-3-4 with seeds at the ends; middle splits by distance,
     # the exact tie at 2 resolves to the lower label

@@ -53,6 +53,8 @@ PRUNING_CASES = {
     "dp_normalize": {"doc_id", "text"},
     "dp_fingerprint": {"doc_id", "text"},
     "dp_split": {"doc_id"},
+    "dp_profile": {"source", "text"},
+    "dp_boilerplate": {"doc_id", "text"},
 }
 
 

@@ -97,6 +97,53 @@ def stream_token_stats(
     )
 
 
+def stream_edge_degrees(
+    stream: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "ts",
+    window_duration: str = "1 minute",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Windowed vertex degrees over an edge stream — the hot-vertex
+    monitor for a continuously-ingesting graph (identity resolution,
+    fraud): per event-time window and vertex, ``outDegree``/
+    ``inDegree``/``degree`` of the edges that arrived in the window.
+
+    One explode (each edge contributes its two endpoints, tagged) + one
+    windowed hash aggregation keyed on (window, vertex) — state is one
+    counter row per active (window, vertex), bounded by the watermark.
+    Works identically on a batch edge DataFrame (the same plan minus the
+    state store), so batch/stream parity is testable row-for-row.
+    """
+    ends = stream.withWatermark(ts_col, watermark_delay).select(
+        F.col(ts_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src_col).alias("id"),
+                    F.lit(1).alias("_o"),
+                    F.lit(0).alias("_i"),
+                ),
+                F.struct(
+                    F.col(dst_col).alias("id"),
+                    F.lit(0).alias("_o"),
+                    F.lit(1).alias("_i"),
+                ),
+            )
+        ).alias("_end"),
+    )
+    return (
+        ends.select(ts_col, "_end.id", "_end._o", "_end._i")
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col("id"))
+        .agg(
+            F.sum("_o").alias("outDegree"),
+            F.sum("_i").alias("inDegree"),
+            F.count(F.lit(1)).alias("degree"),
+        )
+    )
+
+
 def sessionize_batch(
     df: DataFrame,
     user_col: str = "user_id",

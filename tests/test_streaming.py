@@ -140,3 +140,58 @@ def test_sessionize_batch_on_events_table(spark):
     # session event counts partition each user's events exactly
     assert joined.filter(F.col("total") != F.col("count")).count() == 0
     assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+EDGE_SCHEMA = "src long, dst long, ts timestamp"
+
+
+def test_stream_edge_degrees_matches_batch(spark, tmp_path):
+    from graphframes_spark.datapipe.streaming import stream_edge_degrees
+
+    src = tmp_path / "edges"
+    src.mkdir()
+    rows = [
+        (1, 2, "2026-01-01T00:00:00"),
+        (1, 3, "2026-01-01T00:00:10"),
+        (3, 1, "2026-01-01T00:00:20"),
+        (2, 3, "2026-01-01T00:01:30"),  # second window
+    ]
+    with open(src / "edges.json", "w") as f:
+        for s, d, ts in rows:
+            f.write(json.dumps({"src": s, "dst": d, "ts": ts}) + "\n")
+
+    stream = spark.readStream.schema(EDGE_SCHEMA).json(str(src))
+    q = (
+        stream_edge_degrees(stream, window_duration="1 minute")
+        .writeStream.format("memory")
+        .queryName("deg_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"].minute, r["id"]): (
+            r["outDegree"],
+            r["inDegree"],
+            r["degree"],
+        )
+        for r in spark.sql("SELECT * FROM deg_sink").collect()
+    }
+    assert got[(0, 1)] == (2, 1, 3)
+    assert got[(0, 3)] == (1, 1, 2)
+    assert got[(0, 2)] == (0, 1, 1)
+    assert got[(1, 2)] == (1, 0, 1)
+    assert got[(1, 3)] == (0, 1, 1)
+
+    # batch twin: identical plan on the static frame, identical rows
+    batch = spark.read.schema(EDGE_SCHEMA).json(str(src))
+    batch_rows = {
+        (r["window"]["start"].minute, r["id"]): (
+            r["outDegree"],
+            r["inDegree"],
+            r["degree"],
+        )
+        for r in stream_edge_degrees(batch, window_duration="1 minute").collect()
+    }
+    assert batch_rows == got

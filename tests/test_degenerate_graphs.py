@@ -35,10 +35,14 @@ def single_vertex(spark):
         lambda g: g.shortestPaths(landmarks=[1]),
         lambda g: g.pageRank(maxIter=2).vertices,
         lambda g: g.connectedComponents(),
+        lambda g: g.louvain(),
+        lambda g: g.katzCentrality(maxIter=2),
+        lambda g: g.wlLabels(2),
     ],
     ids=[
         "kcore", "scc", "cycles", "mis", "triangle_count", "pic",
         "lpa", "shortest_paths", "pagerank", "cc",
+        "louvain", "katz", "wl",
     ],
 )
 def test_empty_graph_returns_empty(empty_graph, run):
@@ -55,3 +59,10 @@ def test_single_vertex_no_edges(single_vertex):
     assert single_vertex.detectingCycles().count() == 0
     mis = single_vertex.maximalIndependentSet().collect()
     assert [r["id"] for r in mis] == [1]
+    louvain = single_vertex.louvain().collect()
+    assert len(louvain) == 1 and louvain[0]["community"] == 1
+    assert single_vertex.katzCentrality(maxIter=2).collect()[0]["katz"] == 0.0
+    assert single_vertex.wlLabels(1).count() == 1
+    # 1-row metric ops return NULL (no wedges / no edges), never crash
+    assert single_vertex.transitivity().collect()[0]["transitivity"] is None
+    assert single_vertex.reciprocity().collect()[0]["reciprocity"] is None

@@ -932,3 +932,13 @@ class GraphFrame:
     power_iteration_clustering = powerIterationClustering
     svd_plus_plus = svdPlusPlus
     aggregate_messages = aggregateMessages
+    katz_centrality = katzCentrality
+    seeded_label_propagation = seededLabelPropagation
+    contract_by = contractBy
+    wl_labels = wlLabels
+    harmonic_centrality = harmonicCentrality
+    betweenness_centrality = betweennessCentrality
+    degree_assortativity = degreeAssortativity
+    enumerate_triangles = enumerateTriangles
+    node2vec_walks = node2vecWalks
+    greedy_coloring = greedyColoring

@@ -326,3 +326,53 @@ def test_louvain_valid_and_not_worse_than_singletons(spark, edges):
     q_single = _modularity_oracle(edges, {i: i for i in range(MAX_V)})
     assert q_louvain is not None
     assert q_louvain >= q_single - 1e-9, (asg, q_louvain, q_single, sorted(edges))
+
+
+@pytest.mark.slow
+@given(edges=edge_sets)
+@settings(**SETTINGS)
+def test_wl_labels_isomorphism_invariant(spark, edges):
+    # relabeling vertices by a fixed permutation must permute labels,
+    # leaving the label multiset identical
+    perm = [(i * 5 + 3) % MAX_V for i in range(MAX_V)]  # bijection mod 9
+    assert len(set(perm)) == MAX_V
+    g1 = _graph(spark, edges)
+    g2 = _graph(spark, {(perm[s], perm[d]) for s, d in edges})
+    l1 = {r["id"]: r["wl_label"] for r in g1.wlLabels(2).collect()}
+    l2 = {r["id"]: r["wl_label"] for r in g2.wlLabels(2).collect()}
+    assert sorted(l1.values()) == sorted(l2.values())
+    for i in range(MAX_V):
+        assert l1[i] == l2[perm[i]], (i, perm[i], sorted(edges))
+
+
+def _reachable_from(edges, seeds_ids):
+    # undirected reachability
+    nbrs = {i: set() for i in range(MAX_V)}
+    for s, d in edges:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    seen = set(seeds_ids)
+    frontier = set(seeds_ids)
+    while frontier:
+        frontier = {n for v in frontier for n in nbrs[v]} - seen
+        seen |= frontier
+    return seen
+
+
+@pytest.mark.slow
+@given(edges=edge_sets)
+@settings(**SETTINGS)
+def test_seeded_lpa_labels_exactly_the_reachable(spark, edges):
+    g = _graph(spark, edges)
+    seeds = spark.createDataFrame([(0, 100), (5, 200)], ["id", "label"])
+    out = {
+        r["id"]: r["label"]
+        for r in g.seededLabelPropagation(seeds, maxIter=MAX_V + 1).collect()
+    }
+    reachable = _reachable_from(edges, {0, 5})
+    for i in range(MAX_V):
+        if i in reachable:
+            assert out[i] in (100, 200), (i, out[i], sorted(edges))
+        else:
+            assert out[i] is None, (i, out[i], sorted(edges))
+    assert out[0] == 100 and out[5] == 200

@@ -187,8 +187,15 @@ def _local_moving(
             new_comm.alias(COMMUNITY),
             (new_comm != F.col("own")).alias("_moved"),
         )
+        # piggyback the mover count on the checkpoint materialization —
+        # one action per round, not two (same trick as pregel.py's
+        # Observation-folded probes)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        decided = decided.observe(obs, F.count_if(F.col("_moved")).alias("n"))
         decided = decided.localCheckpoint(eager=True)
-        moved = decided.agg(F.count_if(F.col("_moved")).alias("n")).collect()[0]["n"]
+        moved = obs.get.get("n", 0)
         asg = decided.drop("_moved")
         if moved == 0:
             break

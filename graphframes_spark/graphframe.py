@@ -637,15 +637,19 @@ class GraphFrame:
         return degree_assortativity(self, mode)
 
     def modularity(
-        self, assignment: DataFrame, communityCol: str = "community"
+        self,
+        assignment: DataFrame,
+        communityCol: str = "community",
+        weightCol: Optional[str] = None,
     ) -> DataFrame:
         """Newman–Girvan modularity of a partition (undirected
-        semantics); 1-row DF[modularity: double]. ``assignment`` is
-        DF[id, <communityCol>] — e.g. labelPropagation output.
-        Beyond-reference."""
+        semantics; ``weightCol`` switches to weighted modularity — the
+        quantity ``louvain(weightCol=...)`` optimizes); 1-row
+        DF[modularity: double]. ``assignment`` is DF[id, <communityCol>]
+        — e.g. labelPropagation or louvain output. Beyond-reference."""
         from graphframes_spark.lib.metrics import modularity
 
-        return modularity(self, assignment, communityCol)
+        return modularity(self, assignment, communityCol, weightCol)
 
     def transitivity(self) -> DataFrame:
         """Global clustering coefficient 3·triangles/wedges on the

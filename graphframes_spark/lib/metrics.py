@@ -17,7 +17,7 @@ aggregate is a 1-row partial-aggregatable reduction.
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -81,37 +81,67 @@ def degree_assortativity(graph: "GraphFrame", mode: str = "total") -> DataFrame:
 
 
 def modularity(
-    graph: "GraphFrame", assignment: DataFrame, community_col: str = "community"
+    graph: "GraphFrame",
+    assignment: DataFrame,
+    community_col: str = "community",
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """DF[modularity: double] — Newman–Girvan modularity of a partition.
 
-    ``assignment`` is DF[id, <community_col>] (e.g. labelPropagation or
-    connectedComponents output). Undirected semantics: the graph is
-    symmetrized and de-duplicated; self-loops are dropped.
+    ``assignment`` is DF[id, <community_col>] (e.g. labelPropagation,
+    connectedComponents, or louvain output). Undirected semantics: the
+    graph is symmetrized and de-duplicated; self-loops are dropped.
+    ``weight_col`` switches to weighted modularity (parallel edges sum;
+    the quantity louvain(weightCol=...) optimizes):
 
-        Q = Σ_c ( L_c / m  −  (d_c / 2m)² )
+        Q = Σ_c ( W_c / m  −  (s_c / 2m)² )
 
-    with m = undirected edge count, L_c = edges inside community c,
-    d_c = total degree in c. Computed as two aggregates over the
-    degree-annotated symmetrized edges — the per-community terms are
-    partial-aggregatable, and the community count is bounded by the
-    vertex count, never materialized on the driver.
+    with m = total undirected weight, W_c = weight inside community c,
+    s_c = total weighted degree (strength) in c. Computed as two
+    aggregates over the strength-annotated symmetrized edges — the
+    per-community terms are partial-aggregatable, and the community
+    count is bounded by the vertex count, never materialized on the
+    driver.
     """
     if community_col not in assignment.columns:
         raise GraphFramesError(
             f"assignment is missing community column {community_col!r}"
         )
-    und = _symmetrized(graph)
-    # canonical one-row-per-undirected-edge view for m and L_c
-    canon = und.filter(F.col(SRC) < F.col(DST))
+    if weight_col is not None and weight_col not in graph.edges.columns:
+        raise GraphFramesError(f"edges have no weight column {weight_col!r}")
+    # canonical one-row-per-undirected-pair view for m and W_c.
+    # Unweighted: distinct pairs at weight 1 (orientation multiplicity
+    # ignored — the original contract). Weighted: parallel edges and
+    # both orientations SUM (louvain's _canonical_edges semantics).
+    if weight_col is None:
+        canon = (
+            graph.edges.select(
+                F.least(F.col(SRC), F.col(DST)).alias(SRC),
+                F.greatest(F.col(SRC), F.col(DST)).alias(DST),
+            )
+            .filter(F.col(SRC) != F.col(DST))
+            .distinct()
+            .withColumn("_w", F.lit(1.0))
+        )
+    else:
+        canon = (
+            graph.edges.select(
+                F.least(F.col(SRC), F.col(DST)).alias(SRC),
+                F.greatest(F.col(SRC), F.col(DST)).alias(DST),
+                F.col(weight_col).cast("double").alias("_w"),
+            )
+            .filter(F.col(SRC) != F.col(DST))
+            .groupBy(SRC, DST)
+            .agg(F.sum("_w").alias("_w"))
+        )
     a_src = assignment.select(
         F.col(ID).alias(SRC), F.col(community_col).alias("_csrc")
     )
     a_dst = assignment.select(
         F.col(ID).alias(DST), F.col(community_col).alias("_cdst")
     )
-    m = canon.count()
-    if m == 0:
+    m = canon.agg(F.sum("_w")).collect()[0][0]
+    if m is None or m <= 0.0:
         spark = graph.spark
         return spark.createDataFrame([(float("nan"),)], "modularity double")
     intra = (
@@ -119,9 +149,12 @@ def modularity(
         .join(a_dst, on=DST)
         .filter(F.col("_csrc") == F.col("_cdst"))
         .groupBy("_csrc")
-        .agg(F.count(F.lit(1)).alias("_lc"))
+        .agg(F.sum("_w").alias("_lc"))
     )
-    deg = und.groupBy(SRC).agg(F.count(F.lit(1)).alias("_deg"))
+    und = canon.select(SRC, "_w").unionByName(
+        canon.select(F.col(DST).alias(SRC), "_w")
+    )
+    deg = und.groupBy(SRC).agg(F.sum("_w").alias("_deg"))
     comm_deg = (
         deg.join(a_src, on=SRC)
         .groupBy("_csrc")
@@ -129,7 +162,7 @@ def modularity(
     )
     per_comm = comm_deg.join(intra, on="_csrc", how="left_outer").select(
         (
-            F.coalesce(F.col("_lc"), F.lit(0)) / F.lit(float(m))
+            F.coalesce(F.col("_lc"), F.lit(0.0)) / F.lit(float(m))
             - (F.col("_dc") / F.lit(2.0 * m)) * (F.col("_dc") / F.lit(2.0 * m))
         ).alias("_q")
     )

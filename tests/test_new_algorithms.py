@@ -705,6 +705,34 @@ def test_modularity_matches_lpa_communities(spark):
     assert q_lpa > q_rand
 
 
+def test_modularity_weighted(spark):
+    # heavy intra edges, light bridge: Q_w for the {0,1},{2,3} split:
+    # m=12, W_c=5+5, strengths [5,7,7,5] -> s_c=12 each ->
+    # Q = 10/12 - 2*(12/24)^2 = 1/3
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 2.0), (2, 3, 5.0)], ["src", "dst", "weight"]
+    )
+    g = GraphFrame(v, e)
+    asg = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 2)], ["id", "community"]
+    )
+    q = g.modularity(asg, weightCol="weight").collect()[0]["modularity"]
+    expected = 10.0 / 12.0 - 2 * (12.0 / 24.0) ** 2
+    assert abs(q - expected) < 1e-9
+    # parallel/reverse edges sum in weighted mode
+    e2 = spark.createDataFrame(
+        [(0, 1, 3.0), (1, 0, 2.0), (1, 2, 2.0), (2, 3, 5.0)],
+        ["src", "dst", "weight"],
+    )
+    q2 = GraphFrame(v, e2).modularity(asg, weightCol="weight").collect()[0][
+        "modularity"
+    ]
+    assert abs(q2 - expected) < 1e-9
+    with pytest.raises(GraphFramesError):
+        g.modularity(asg, weightCol="nope")
+
+
 def test_modularity_requires_community_col(spark):
     g = chain_graph(spark, 3)
     with pytest.raises(GraphFramesError):

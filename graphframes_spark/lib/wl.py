@@ -27,8 +27,10 @@ scale-safe substitution.
 Per round: two edge⋈state joins (in- and out-gather as one tagged
 union) + one hash aggregate + one vertex-sized left join — the same
 shape as a Pregel superstep; state is local-checkpointed per round.
-Sums of 48-bit values stay far from long overflow until degree ~3e4 ×
-1e14 — beyond any real hub at 2^63.
+The per-direction sums run in decimal(38,0): 48-bit labels overflow a
+long at hub degree ~3×10^4 (ANSI mode raises), while decimal-128 holds
+to degree ~10^23 and renders digit-identically to the DuckDB oracle's
+hugeint.
 """
 
 from __future__ import annotations
@@ -87,13 +89,22 @@ def wl_labels(graph: "GraphFrame", iterations: int = 2) -> DataFrame:
         gather_out = e.join(
             hashed.select(F.col(ID).alias(DST), F.col("_hh")), on=DST
         ).select(F.col(SRC).alias(ID), "_hh", F.lit("o").alias("_d"))
+        # decimal(38,0) sums: a 10^5-degree hub already overflows a long
+        # at 48 bits/label (caught by test_skew.py); decimal is still a
+        # partial-aggregatable sum and renders digit-identically to the
+        # oracle's hugeint
+        dec = "decimal(38,0)"
         agg = (
             gather_in.unionByName(gather_out)
             .groupBy(ID)
             .agg(
-                F.sum(F.when(F.col("_d") == "i", F.col("_hh"))).alias("_is"),
+                F.sum(
+                    F.when(F.col("_d") == "i", F.col("_hh")).cast(dec)
+                ).alias("_is"),
                 F.count_if(F.col("_d") == "i").alias("_ic"),
-                F.sum(F.when(F.col("_d") == "o", F.col("_hh"))).alias("_os"),
+                F.sum(
+                    F.when(F.col("_d") == "o", F.col("_hh")).cast(dec)
+                ).alias("_os"),
                 F.count_if(F.col("_d") == "o").alias("_oc"),
             )
         )

@@ -60,3 +60,34 @@ def test_parallel_ppr_hub(hub_graph):
     ranks = {r["id"]: r["pageranks"] for r in res.vertices.filter(F.col("id") <= 2).collect()}
     assert ranks[0][0] > 0  # source 0 keeps mass on itself
     assert ranks[2][1] > 0  # 1 -> 2 via triangle edge
+
+
+def test_louvain_hub(hub_graph):
+    # 100k-leaf star: the candidate aggregation must stay bounded per
+    # row (min(struct) hash agg, no per-vertex candidate arrays); the
+    # star is one community and the hub's min-id label wins
+    asg = hub_graph.louvain(maxPasses=1, maxRoundsPerPass=4)
+    communities = asg.select("community").distinct().count()
+    assert communities < 10
+    hub = asg.filter("id = 0").collect()[0]["community"]
+    assert hub == 0
+
+
+def test_katz_hub(hub_graph):
+    # hub out-fans to 100k leaves; katz must aggregate partial sums,
+    # never collect neighbor lists
+    r = hub_graph.katzCentrality(alpha=0.1, maxIter=2)
+    vals = {x["id"]: x["katz"] for x in r.filter("id <= 2").collect()}
+    # leaf 1: in-edge from hub only -> alpha*(1+hub_prev) with
+    # hub_prev = 0 after iter1... value must be bounded and positive
+    assert vals[1] > 0.0
+    assert r.count() == N + 1
+
+
+def test_wl_labels_hub(hub_graph):
+    # all leaves except 1,2 share the same structural label; the hub is
+    # unique; labels computed via bounded hash sums
+    labels = hub_graph.wlLabels(iterations=1)
+    n_distinct = labels.select("wl_label").distinct().count()
+    assert n_distinct <= 4  # hub, leaf-in-triangle(1), leaf(2), plain leaves
+    assert labels.count() == N + 1

@@ -1,6 +1,8 @@
 """Reference-python-client API parity: snake_case aliases, nodes,
 kwargs-style aggregate_neighbors, approx triangle count, validate flag."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -146,3 +148,48 @@ def test_pg_reference_client_aliases(spark):
 def test_rw_embeddings_property_exists(friends):
     b = friends.rw_embeddings
     assert hasattr(b, "set_rw_model") and hasattr(b, "set_hash2vec")
+
+
+REF_PY = "/root/reference/python/graphframes"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_PY), reason="reference not present")
+def test_full_reference_client_surface_present():
+    """Every public method of the reference python client's GraphFrame
+    and Pregel exists here (AST-walked, class-scoped). Known exception:
+    Pregel.plan — Spark Connect protobuf plumbing obviated by the pure
+    PySpark design (README 'Deviations')."""
+    import ast
+    import pathlib
+
+    gf_methods, pregel_methods = set(), set()
+    for f in pathlib.Path(REF_PY).rglob("*.py"):
+        try:
+            tree = ast.parse(f.read_text(errors="ignore"))
+        except SyntaxError:
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ClassDef):
+                names = {
+                    n.name
+                    for n in node.body
+                    if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+                }
+                if node.name == "GraphFrame":
+                    gf_methods |= names
+                if node.name == "Pregel":
+                    pregel_methods |= names
+
+    from graphframes_spark import GraphFrame
+    from graphframes_spark.pregel import Pregel
+
+    missing_gf = sorted(
+        m for m in gf_methods if not m.startswith("_") and not hasattr(GraphFrame, m)
+    )
+    missing_pregel = sorted(
+        m
+        for m in pregel_methods
+        if not m.startswith("_") and not hasattr(Pregel, m) and m != "plan"
+    )
+    assert missing_gf == [], missing_gf
+    assert missing_pregel == [], missing_pregel

@@ -550,6 +550,44 @@ def q_louvain_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_describe_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph summary (GraphFrame.describe) of the customer-order
+    bipartite graph — counts, density, degree extremes; every statistic
+    restated as plain SQL aggregates."""
+    g = _customer_order_graph(spark, sf_dir)
+    d = g.describe()
+    return d.select(
+        "n_vertices",
+        "n_edges",
+        "n_distinct_edges",
+        "n_self_loops",
+        "n_isolated",
+        F.round(F.col("density"), 9).alias("density"),
+        F.round(F.col("avg_out_degree"), 6).alias("avg_out_degree"),
+        "max_out_degree",
+        "max_in_degree",
+    )
+
+
+def q_attr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nominal assortativity by vertex type on the nation-clique +
+    customer-spoke graph: clique ends are (n,n) but every spoke is
+    (n,c)/(c,n), so type mixing is strongly disassortative (~-0.94).
+    The mixing-matrix trace and marginal squares replay in SQL."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    g0 = _nation_customer_graph(spark, sf_dir)
+    v = nation.select(
+        (F.col("n_nationkey") + NAT_OFF).alias("id"), F.lit("n").alias("vtype")
+    ).unionByName(
+        customer.select(F.col("c_custkey").alias("id"), F.lit("c").alias("vtype"))
+    )
+    g = GraphFrame(v, g0.edges)
+    return g.attributeAssortativity("vtype").select(
+        F.round(F.col("assortativity"), 6).alias("assortativity")
+    )
+
+
 def q_wl_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Weisfeiler-Leman refinement round on the nation-clique +
     customer-spoke graph (lib/wl.py): md5 degree-pair colors refined by
@@ -1742,6 +1780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_regions": q_contract_regions,
         "seeded_lpa": q_seeded_lpa,
         "wl_labels": q_wl_labels,
+        "attr_assortativity": q_attr_assortativity,
+        "describe_graph": q_describe_graph,
     }
 
 
@@ -2900,6 +2940,94 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(ch, 0.75), 6) AS chars_p75,
                    round(quantile_cont(ch, 0.95), 6) AS chars_p95
             FROM t GROUP BY source
+        """,
+        # every describe() statistic as a plain SQL aggregate
+        "describe_graph": f"""
+            WITH v AS (
+                SELECT c_custkey AS id FROM customer
+                UNION ALL
+                SELECT o_orderkey + {ORDER_OFFSET} AS id FROM orders
+            ),
+            e AS (
+                SELECT o_custkey AS src, o_orderkey + {ORDER_OFFSET} AS dst
+                FROM orders
+            ),
+            nv AS (SELECT count(*) AS n_vertices FROM v),
+            ne AS (
+                SELECT count(*) AS n_edges,
+                       count(*) FILTER (WHERE src = dst) AS n_self_loops
+                FROM e
+            ),
+            de AS (
+                SELECT count(*) AS n_distinct_edges
+                FROM (SELECT DISTINCT src, dst FROM e WHERE src <> dst)
+            ),
+            iso AS (
+                SELECT count(*) AS n_isolated FROM v
+                WHERE v.id NOT IN (SELECT src FROM e)
+                  AND v.id NOT IN (SELECT dst FROM e)
+            ),
+            od AS (
+                SELECT coalesce(max(d), 0) AS max_out_degree
+                FROM (SELECT count(*) AS d FROM e GROUP BY src)
+            ),
+            idg AS (
+                SELECT coalesce(max(d), 0) AS max_in_degree
+                FROM (SELECT count(*) AS d FROM e GROUP BY dst)
+            )
+            SELECT n_vertices, n_edges, n_distinct_edges, n_self_loops,
+                   n_isolated,
+                   round(n_distinct_edges * 1.0
+                         / (n_vertices * 1.0 * (n_vertices - 1)), 9) AS density,
+                   round(n_edges * 1.0 / n_vertices, 6) AS avg_out_degree,
+                   max_out_degree, max_in_degree
+            FROM nv CROSS JOIN ne CROSS JOIN de CROSS JOIN iso
+            CROSS JOIN od CROSS JOIN idg
+        """,
+        # mixing-matrix trace + marginal squares over symmetrized ends
+        "attr_assortativity": f"""
+            WITH alledges AS (
+                SELECT a.n_nationkey + {NAT_OFF} AS src,
+                       b.n_nationkey + {NAT_OFF} AS dst
+                FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+                WHERE a.n_nationkey <> b.n_nationkey
+                UNION ALL
+                SELECT c_nationkey + {NAT_OFF} AS src, c_custkey AS dst
+                FROM customer
+            ),
+            und AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM alledges WHERE src <> dst
+                    UNION ALL
+                    SELECT dst AS src, src AS dst FROM alledges
+                    WHERE src <> dst
+                )
+            ),
+            attr AS (
+                SELECT n_nationkey + {NAT_OFF} AS id, 'n' AS a FROM nation
+                UNION ALL
+                SELECT c_custkey AS id, 'c' AS a FROM customer
+            ),
+            ann AS (
+                SELECT s.a AS asrc, d.a AS adst
+                FROM und u
+                JOIN attr s ON u.src = s.id
+                JOIN attr d ON u.dst = d.id
+            ),
+            tot AS (
+                SELECT count(*) AS n,
+                       count(*) FILTER (WHERE asrc = adst) AS tr
+                FROM ann
+            ),
+            ss AS (
+                SELECT sum(c * c) AS ss FROM (
+                    SELECT CAST(count(*) AS DOUBLE) AS c
+                    FROM ann GROUP BY asrc
+                )
+            )
+            SELECT round((tr * 1.0 / n - ss / (n * 1.0 * n))
+                         / (1 - ss / (n * 1.0 * n)), 6) AS assortativity
+            FROM tot CROSS JOIN ss
         """,
         # degree-pair md5 colors + one (hash-sum, count) refinement,
         # replayed with DuckDB's 0x-hex BIGINT cast

@@ -636,6 +636,23 @@ class GraphFrame:
 
         return degree_assortativity(self, mode)
 
+    def describe(self) -> DataFrame:
+        """1-row graph summary: vertex/edge counts, distinct edges,
+        self-loops, isolated vertices, density, avg/max degrees.
+        Beyond-reference."""
+        from graphframes_spark.lib.metrics import describe
+
+        return describe(self)
+
+    def attributeAssortativity(self, attrCol: str) -> DataFrame:
+        """Newman nominal assortativity by a categorical vertex
+        attribute; 1-row DF[assortativity: double] (1 = perfectly
+        within-category, <0 = disassortative, NULL when degenerate).
+        Beyond-reference."""
+        from graphframes_spark.lib.metrics import attribute_assortativity
+
+        return attribute_assortativity(self, attrCol)
+
     def modularity(
         self,
         assignment: DataFrame,
@@ -943,6 +960,7 @@ class GraphFrame:
     harmonic_centrality = harmonicCentrality
     betweenness_centrality = betweennessCentrality
     degree_assortativity = degreeAssortativity
+    attribute_assortativity = attributeAssortativity
     enumerate_triangles = enumerateTriangles
     node2vec_walks = node2vecWalks
     greedy_coloring = greedyColoring

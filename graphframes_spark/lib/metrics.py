@@ -36,6 +36,71 @@ def _symmetrized(graph: "GraphFrame") -> DataFrame:
     ).distinct()
 
 
+def describe(graph: "GraphFrame") -> DataFrame:
+    """1-row graph summary — the numbers a pipeline logs before and
+    after every transformation:
+
+    ``n_vertices, n_edges, n_distinct_edges, n_self_loops, n_isolated,
+    density, avg_out_degree, max_out_degree, max_in_degree``
+
+    ``density`` = distinct non-loop directed edges / (n·(n−1)); NULL on
+    graphs with < 2 vertices. Everything reduces to one pass over the
+    edge list (degree aggregation + 1-row rollups) and one vertex
+    anti-join for the isolated count — no iteration, partial-
+    aggregatable throughout.
+    """
+    v_cnt = graph.vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
+    e = graph.edges.select(SRC, DST)
+    e_stats = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.count_if(F.col(SRC) == F.col(DST)).alias("n_self_loops"),
+    )
+    distinct_e = (
+        e.filter(F.col(SRC) != F.col(DST))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_distinct_edges"))
+    )
+    ends = e.select(F.explode(F.array(SRC, DST)).alias(ID)).distinct()
+    isolated = (
+        graph.vertices.select(ID)
+        .join(ends, on=ID, how="left_anti")
+        .agg(F.count(F.lit(1)).alias("n_isolated"))
+    )
+    out_deg = (
+        e.groupBy(SRC)
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.max("_d").alias("max_out_degree"))
+    )
+    in_deg = (
+        e.groupBy(DST)
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.max("_d").alias("max_in_degree"))
+    )
+    n = F.col("n_vertices").cast("double")
+    return (
+        v_cnt.crossJoin(e_stats)
+        .crossJoin(distinct_e)
+        .crossJoin(isolated)
+        .crossJoin(out_deg)
+        .crossJoin(in_deg)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_distinct_edges",
+            "n_self_loops",
+            "n_isolated",
+            F.try_divide(
+                F.col("n_distinct_edges").cast("double"), n * (n - 1)
+            ).alias("density"),
+            F.try_divide(F.col("n_edges").cast("double"), n).alias(
+                "avg_out_degree"
+            ),
+            F.coalesce(F.col("max_out_degree"), F.lit(0)).alias("max_out_degree"),
+            F.coalesce(F.col("max_in_degree"), F.lit(0)).alias("max_in_degree"),
+        )
+    )
+
+
 def degree_assortativity(graph: "GraphFrame", mode: str = "total") -> DataFrame:
     """DF[assortativity: double] — Newman (2002) degree correlation.
 
@@ -167,6 +232,54 @@ def modularity(
         ).alias("_q")
     )
     return per_comm.agg(F.sum("_q").alias("modularity"))
+
+
+def attribute_assortativity(
+    graph: "GraphFrame", attr_col: str
+) -> DataFrame:
+    """DF[assortativity: double] — Newman (2003) nominal assortativity
+    by a categorical vertex attribute (language, community, type...).
+
+        r = (tr(e) − Σ_i a_i²) / (1 − Σ_i a_i²)
+
+    over the symmetrized edge mixing matrix e (e_ij = fraction of edge
+    ends joining category i to j, a = row marginals). r=1: edges only
+    within categories; r=0: random mixing; r<0: disassortative
+    (cross-category) mixing. NULL when every edge end falls in one
+    category (denominator 0).
+
+    Two hash aggregations over the attribute-annotated symmetrized
+    edges (trace fraction + marginal squares) cross-joined as 1-row
+    scalars — no iteration, no per-category state beyond the aggregate.
+    """
+    if attr_col not in graph.vertices.columns:
+        raise GraphFramesError(f"vertices have no attribute column {attr_col!r}")
+    und = _symmetrized(graph)
+    attr = graph.vertices.select(F.col(ID), F.col(attr_col).alias("_attr"))
+    annotated = und.join(
+        attr.select(F.col(ID).alias(SRC), F.col("_attr").alias("_asrc")), on=SRC
+    ).join(
+        attr.select(F.col(ID).alias(DST), F.col("_attr").alias("_adst")), on=DST
+    )
+    totals = annotated.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_if(F.col("_asrc").eqNullSafe(F.col("_adst"))).alias("_tr"),
+    )
+    # squares in double: category counts can reach 10^12 ends at 100 TB,
+    # whose square overflows a long
+    cnt_d = F.count(F.lit(1)).cast("double")
+    sum_sq = (
+        annotated.groupBy("_asrc")
+        .agg(cnt_d.alias("_cnt"))
+        .agg(F.sum(F.col("_cnt") * F.col("_cnt")).alias("_ss"))
+    )
+    n_d = F.col("_n").cast("double")
+    return totals.crossJoin(sum_sq).select(
+        F.try_divide(
+            F.col("_tr") / n_d - F.col("_ss") / (n_d * n_d),
+            F.lit(1.0) - F.col("_ss") / (n_d * n_d),
+        ).alias("assortativity")
+    )
 
 
 def transitivity(graph: "GraphFrame") -> DataFrame:

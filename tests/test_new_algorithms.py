@@ -705,6 +705,49 @@ def test_modularity_matches_lpa_communities(spark):
     assert q_lpa > q_rand
 
 
+def test_describe_graph_summary(spark):
+    # 4 vertices (3 isolated? no: 0,1,2 touched; 3 isolated), a dup
+    # edge, a self-loop
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 2), (2, 2)], ["src", "dst"]
+    )
+    d = GraphFrame(v, e).describe().collect()[0]
+    assert d["n_vertices"] == 4 and d["n_edges"] == 4
+    assert d["n_distinct_edges"] == 2  # (0,1) deduped, loop excluded
+    assert d["n_self_loops"] == 1 and d["n_isolated"] == 1
+    assert abs(d["density"] - 2.0 / 12.0) < 1e-12
+    assert abs(d["avg_out_degree"] - 1.0) < 1e-12
+    assert d["max_out_degree"] == 2 and d["max_in_degree"] == 2
+    # edge-free graph: degrees 0, density NULL only when < 2 vertices
+    v1 = spark.createDataFrame([(0,)], ["id"])
+    e0 = spark.createDataFrame([], "src long, dst long")
+    d1 = GraphFrame(v1, e0).describe().collect()[0]
+    assert d1["max_out_degree"] == 0 and d1["density"] is None
+
+
+def test_attribute_assortativity_perfect_and_disassortative(spark):
+    v = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b")], ["id", "grp"]
+    )
+    # within-group edges only -> r = 1
+    e1 = spark.createDataFrame([(0, 1), (2, 3)], ["src", "dst"])
+    r1 = GraphFrame(v, e1).attributeAssortativity("grp").collect()[0]
+    assert abs(r1["assortativity"] - 1.0) < 1e-9
+    # cross-group edges only (complete bipartite): r = -1
+    e2 = spark.createDataFrame(
+        [(0, 2), (0, 3), (1, 2), (1, 3)], ["src", "dst"]
+    )
+    r2 = GraphFrame(v, e2).attributeAssortativity("grp").collect()[0]
+    assert abs(r2["assortativity"] - (-1.0)) < 1e-9
+    # single-category graph degenerates to NULL
+    v1 = spark.createDataFrame([(0, "a"), (1, "a")], ["id", "grp"])
+    r3 = GraphFrame(v1, e1.filter("src = 0")).attributeAssortativity("grp")
+    assert r3.collect()[0]["assortativity"] is None
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e1).attributeAssortativity("nope")
+
+
 def test_modularity_weighted(spark):
     # heavy intra edges, light bridge: Q_w for the {0,1},{2,3} split:
     # m=12, W_c=5+5, strengths [5,7,7,5] -> s_c=12 each ->

@@ -16,10 +16,10 @@ bounded centroid table:
                          broadcast onto every (doc, term) row — the
                          bounded scalar-join shape, not a data x data
                          cartesian
-- transitivity/reciprocity  two 1-row aggregates (triangle count x
-                         wedge count; mutual count x total count)
-                         cross-joined into the final ratio — a 1x1
-                         scalar join, not a data x data cartesian
+- transitivity/reciprocity/attr_assortativity/describe_graph —
+                         1-row aggregates cross-joined into a final
+                         scalar expression — 1x1 scalar joins, not
+                         data x data cartesians
 """
 
 import pytest
@@ -30,7 +30,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 ALLOWED_QUADRATIC = {
     "dp_ann_topk", "dp_lsh_exact", "dp_ivf_exact", "dp_ivf_topk", "dp_tfidf",
-    "transitivity", "reciprocity",
+    "transitivity", "reciprocity", "attr_assortativity", "describe_graph",
 }
 
 

@@ -550,6 +550,32 @@ def q_louvain_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: offset clears any event_id range so user and event vertices never collide
+USER_OFF = 90_000_000
+
+
+def q_dp_stream_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed vertex degrees of the user->event edge stream — the
+    batch twin of datapipe/streaming.py stream_edge_degrees (identical
+    plan minus the state store); hourly buckets replayed with DuckDB
+    time_bucket."""
+    from graphframes_spark.datapipe import stream_edge_degrees
+
+    edges = _read_events(spark, sf_dir).select(
+        (F.col("user_id") + USER_OFF).alias("src"),
+        F.col("event_id").alias("dst"),
+        F.col("ts"),
+    )
+    out = stream_edge_degrees(edges, window_duration="1 hour")
+    return out.select(
+        F.col("window.start").alias("w_start"),
+        "id",
+        F.col("outDegree").cast("long").alias("out_degree"),
+        F.col("inDegree").cast("long").alias("in_degree"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+
+
 def q_describe_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row graph summary (GraphFrame.describe) of the customer-order
     bipartite graph — counts, density, degree extremes; every statistic
@@ -1782,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_labels": q_wl_labels,
         "attr_assortativity": q_attr_assortativity,
         "describe_graph": q_describe_graph,
+        "dp_stream_degrees": q_dp_stream_degrees,
     }
 
 
@@ -2940,6 +2967,23 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(ch, 0.75), 6) AS chars_p75,
                    round(quantile_cont(ch, 0.95), 6) AS chars_p95
             FROM t GROUP BY source
+        """,
+        # hourly buckets + endpoint explode replayed with time_bucket
+        "dp_stream_degrees": f"""
+            WITH e AS (
+                SELECT user_id + {USER_OFF} AS src, event_id AS dst, ts
+                FROM events
+            ),
+            ends AS (
+                SELECT ts, src AS id, 1 AS o, 0 AS i FROM e
+                UNION ALL
+                SELECT ts, dst AS id, 0 AS o, 1 AS i FROM e
+            )
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, id,
+                   CAST(sum(o) AS BIGINT) AS out_degree,
+                   CAST(sum(i) AS BIGINT) AS in_degree,
+                   count(*) AS degree
+            FROM ends GROUP BY 1, 2
         """,
         # every describe() statistic as a plain SQL aggregate
         "describe_graph": f"""

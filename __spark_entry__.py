@@ -1271,6 +1271,17 @@ def q_dp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call dedup capstone in exact mode: normalized-content
+    fingerprint groups + keep-the-longest resolution (datapipe/dedup.py
+    dedup_corpus); fingerprint, token quality, and the keep window all
+    replay in SQL."""
+    from graphframes_spark.datapipe import dedup_corpus
+
+    out = dedup_corpus(_docs(spark, sf_dir), method="exact")
+    return out.select("doc_id", "dedup_group", "keep")
+
+
 def q_dp_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequent segment removal (datapipe/text.py
     remove_boilerplate) in token mode (delimiter=' '): tokens present in
@@ -1809,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_assortativity": q_attr_assortativity,
         "describe_graph": q_describe_graph,
         "dp_stream_degrees": q_dp_stream_degrees,
+        "dp_dedup_corpus": q_dp_dedup_corpus,
     }
 
 
@@ -2918,6 +2930,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT round(3.0 * t / w, 6) AS transitivity
             FROM tri CROSS JOIN wedges
+        """,
+        # fingerprint + token-count quality + keep window, replayed
+        "dp_dedup_corpus": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> len(x) > 0) AS tok
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       md5(array_to_string(tok, ' ')) AS dedup_group,
+                       len(tok) AS q
+                FROM t
+            )
+            SELECT doc_id, dedup_group,
+                   row_number() OVER (PARTITION BY dedup_group
+                                      ORDER BY q DESC, doc_id ASC) = 1 AS keep
+            FROM g
         """,
         # split/threshold/rebuild replay; string_agg skips the
         # boilerplate rows exactly like collect_list skips nulls

@@ -571,3 +571,66 @@ def embedding_dedup(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).localCheckpoint(eager=True)
     return GraphFrame(v, e).connectedComponents().select(ID, COMPONENT)
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "exact",
+    quality_col: Optional[str] = None,
+    shingle_len: int = 3,
+    num_perm: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """One-call corpus dedup capstone: group duplicates, keep the best
+    copy. Returns the input columns plus ``dedup_group`` (string for
+    ``method="exact"`` — the normalized-content fingerprint; the
+    component id for ``method="minhash"``) and ``keep: boolean``
+    (exactly one True per group: highest quality, ties to smallest id).
+
+    ``method="exact"``: duplicates = identical whitespace-normalized
+    lower-cased content (the :func:`~graphframes_spark.datapipe.text.
+    fingerprint` key — one hash-aggregation shuffle).
+    ``method="minhash"``: near-duplicates via MinHash-LSH banding +
+    exact-Jaccard verification + connected components
+    (:func:`minhash_lsh_dedup`).
+
+    ``quality_col`` ranks copies within a group (default: whitespace
+    token count — keep the longest). The final selection is
+    :func:`~graphframes_spark.datapipe.sampling.dedup_keep_best`'s
+    single group-keyed window.
+    """
+    from graphframes_spark.datapipe.sampling import dedup_keep_best
+    from graphframes_spark.datapipe.text import fingerprint, token_count
+    from graphframes_spark.util import GraphFramesError
+
+    if method == "exact":
+        grouped = df.withColumn("dedup_group", fingerprint(F.col(text_col)))
+    elif method == "minhash":
+        comps = minhash_lsh_dedup(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_len=shingle_len,
+            num_perm=num_perm,
+            num_bands=num_bands,
+            threshold=threshold,
+        )
+        grouped = df.join(
+            comps.select(
+                F.col(ID).alias(id_col), F.col(COMPONENT).alias("dedup_group")
+            ),
+            on=id_col,
+        )
+    else:
+        raise GraphFramesError(
+            f"dedup_corpus method must be 'exact' or 'minhash', got {method!r}"
+        )
+    if quality_col is None:
+        grouped = grouped.withColumn("_dq", token_count(F.col(text_col)))
+        out = dedup_keep_best(grouped, "dedup_group", "_dq", id_col).drop("_dq")
+    else:
+        out = dedup_keep_best(grouped, "dedup_group", quality_col, id_col)
+    return out

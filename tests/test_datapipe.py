@@ -300,6 +300,52 @@ def test_source_rollup(spark):
     assert approx["s1"]["n_docs"] == 3
 
 
+def test_dedup_corpus_exact(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "The  QUICK brown fox"),   # same normalized content
+        (3, "the quick brown fox !!"), # different content (extra token)
+        (4, "totally different"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dp.dedup_corpus(df, method="exact").collect()}
+    assert out[1]["dedup_group"] == out[2]["dedup_group"]
+    assert out[3]["dedup_group"] != out[1]["dedup_group"]
+    # tie on quality (4 tokens each) -> smallest id kept
+    assert out[1]["keep"] is True and out[2]["keep"] is False
+    assert out[3]["keep"] is True and out[4]["keep"] is True
+    # explicit quality column wins over token count
+    df2 = df.withColumn("score", F.col("doc_id").cast("double"))
+    out2 = {
+        r["doc_id"]: r["keep"]
+        for r in dp.dedup_corpus(df2, method="exact", quality_col="score").collect()
+    }
+    assert out2[2] is True and out2[1] is False
+
+
+def test_dedup_corpus_minhash_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " ok"),  # near-dup of 1
+        (3, "completely unrelated text about spark dataframes and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dp.dedup_corpus(df, method="minhash", threshold=0.5).collect()
+    }
+    assert out[1]["dedup_group"] == out[2]["dedup_group"]
+    assert out[3]["dedup_group"] != out[1]["dedup_group"]
+    # doc 2 is one token longer -> kept
+    assert out[2]["keep"] is True and out[1]["keep"] is False
+    assert out[3]["keep"] is True
+    from graphframes_spark.util import GraphFramesError
+
+    with pytest.raises(GraphFramesError):
+        dp.dedup_corpus(df, method="bogus")
+
+
 def test_remove_boilerplate_lines(spark):
     footer = "subscribe to our newsletter"
     rows = [

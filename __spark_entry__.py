@@ -510,6 +510,16 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling on the nation graph (3 proposals
+    per vertex, 4 hash buckets): the bucketed md5 tournament and the
+    existing-edge anti-join replay row-for-row in SQL."""
+    g = _nation_graph(spark, sf_dir)
+    return g.sampleNegativeEdges(numPerVertex=3, seed="neg", numBuckets=4).select(
+        "src", "dst"
+    )
+
+
 def q_louvain_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain communities of the nation graph (5 disjoint 5-cliques):
     phase-1 merges each clique, contraction leaves 5 isolated
@@ -1821,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_graph": q_describe_graph,
         "dp_stream_degrees": q_dp_stream_degrees,
         "dp_dedup_corpus": q_dp_dedup_corpus,
+        "negative_edges": q_negative_edges,
     }
 
 
@@ -3178,6 +3189,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN asg ma ON ce.a = ma.id
             JOIN asg mb ON ce.b = mb.id
             GROUP BY 1, 2
+        """,
+        # bucketed md5 tournament + anti-join, replayed row-for-row
+        "negative_edges": f"""
+            WITH v AS (SELECT n_nationkey AS id FROM nation),
+            edges AS ({_NATION_EDGES_SQL}),
+            pool AS (
+                SELECT id AS cand,
+                       ('0x' || substr(md5('neg:' || id), 1, 12))::BIGINT % 4
+                       AS b
+                FROM v
+            ),
+            props AS (
+                SELECT v.id AS src, s.slot,
+                       ('0x' || substr(md5('neg:' || v.id || ':' || s.slot),
+                                       1, 12))::BIGINT % 4 AS b
+                FROM v, (SELECT unnest([0, 1, 2]) AS slot) s
+            ),
+            ranked AS (
+                SELECT p.src, p.slot, pool.cand,
+                       row_number() OVER (
+                           PARTITION BY p.src, p.slot
+                           ORDER BY ('0x' || substr(md5('neg:' || p.src || ':'
+                                     || p.slot || ':' || pool.cand), 1, 12)
+                                     )::BIGINT,
+                                    pool.cand
+                       ) AS rn
+                FROM props p JOIN pool ON p.b = pool.b
+                WHERE pool.cand <> p.src
+            )
+            SELECT DISTINCT r.src, r.cand AS dst
+            FROM ranked r
+            WHERE r.rn = 1
+              AND NOT EXISTS (
+                  SELECT 1 FROM edges e
+                  WHERE e.src = r.src AND e.dst = r.cand
+              )
         """,
         # disjoint cliques: Louvain = one community per region, labeled
         # by its smallest member

@@ -531,6 +531,22 @@ class GraphFrame:
 
         return louvain(self, maxPasses, maxRoundsPerPass, weightCol)
 
+    def sampleNegativeEdges(
+        self,
+        numPerVertex: int = 1,
+        seed: str = "neg",
+        numBuckets: Optional[int] = None,
+    ) -> DataFrame:
+        """Up to ``numPerVertex`` deterministic non-edges per source
+        vertex (bucketed md5 hash-tournament — no rand(), no global
+        index; bit-stable across reruns/retries/engines); DF[src, dst].
+        Link-prediction / GNN training negatives. Beyond-reference."""
+        from graphframes_spark.lib.negative_sampling import (
+            sample_negative_edges,
+        )
+
+        return sample_negative_edges(self, numPerVertex, seed, numBuckets)
+
     def wlLabels(self, iterations: int = 2) -> DataFrame:
         """Weisfeiler-Leman refinement labels — DF[id, wl_label: hex];
         vertices with identical ``iterations``-hop neighborhood
@@ -961,6 +977,7 @@ class GraphFrame:
     betweenness_centrality = betweennessCentrality
     degree_assortativity = degreeAssortativity
     attribute_assortativity = attributeAssortativity
+    sample_negative_edges = sampleNegativeEdges
     enumerate_triangles = enumerateTriangles
     node2vec_walks = node2vecWalks
     greedy_coloring = greedyColoring

@@ -849,6 +849,28 @@ def test_louvain_beats_naive_split_on_blobs(spark):
     assert q_louvain > q_naive
 
 
+def test_negative_edges_are_nonedges_and_deterministic(spark):
+    v = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], ["src", "dst"]
+    )
+    g = GraphFrame(v, e)
+    neg1 = {(r["src"], r["dst"]) for r in g.sampleNegativeEdges(3).collect()}
+    neg2 = {(r["src"], r["dst"]) for r in g.sampleNegativeEdges(3).collect()}
+    assert neg1 == neg2  # bit-stable
+    real = {(i, (i + 1) % 10) for i in range(10)}
+    assert neg1 and neg1.isdisjoint(real)
+    assert all(s != d for s, d in neg1)
+    # different seed -> (almost surely) different draw
+    neg3 = {(r["src"], r["dst"]) for r in g.sampleNegativeEdges(3, seed="x").collect()}
+    assert neg3 != neg1
+    # more slots -> at least as many negatives per source
+    n1 = len({r["src"] for r in g.sampleNegativeEdges(1).collect()})
+    assert len({s for s, _ in neg1}) >= n1
+    with pytest.raises(GraphFramesError):
+        g.sampleNegativeEdges(0)
+
+
 def test_wl_labels_distinguish_positions(spark):
     # directed chain 0->1->2->3: middle vertices share the degree-pair
     # color at iteration 0 but separate after one refinement

@@ -510,6 +510,15 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/test edge split of the customer-order
+    graph keyed on the (src, dst) pair (GraphFrame.splitEdges); the md5
+    threshold chain replays verbatim."""
+    g = _customer_order_graph(spark, sf_dir)
+    out = g.splitEdges(weights={"train": 0.8, "test": 0.2}, seed="r4")
+    return out.select("src", "dst", "split")
+
+
 def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling on the nation graph (3 proposals
     per vertex, 4 hash buckets): the bucketed md5 tournament and the
@@ -1832,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_stream_degrees": q_dp_stream_degrees,
         "dp_dedup_corpus": q_dp_dedup_corpus,
         "negative_edges": q_negative_edges,
+        "split_edges": q_split_edges,
     }
 
 
@@ -3189,6 +3199,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN asg ma ON ce.a = ma.id
             JOIN asg mb ON ce.b = mb.id
             GROUP BY 1, 2
+        """,
+        # md5 threshold on the src:dst pair key, replayed verbatim
+        "split_edges": f"""
+            SELECT o_custkey AS src, o_orderkey + {ORDER_OFFSET} AS dst,
+                   CASE
+                       WHEN md5(concat_ws(chr(31), 'r4',
+                                CAST(o_custkey AS VARCHAR) || ':' ||
+                                CAST(o_orderkey + {ORDER_OFFSET} AS VARCHAR)))
+                            < 'ccccccccccccd0000000000000000000' THEN 'train'
+                       ELSE 'test'
+                   END AS split
+            FROM orders
         """,
         # bucketed md5 tournament + anti-join, replayed row-for-row
         "negative_edges": f"""

@@ -531,6 +531,26 @@ class GraphFrame:
 
         return louvain(self, maxPasses, maxRoundsPerPass, weightCol)
 
+    def splitEdges(
+        self,
+        weights: Optional[dict] = None,
+        seed: str = "",
+    ) -> DataFrame:
+        """Deterministic edge split for link-prediction training —
+        edges plus ``split: string`` (default train/val/test =
+        .98/.01/.01), keyed on the (src, dst) pair hash so assignment is
+        stable under reruns, retries, and graph growth (an edge never
+        migrates between splits). Beyond-reference."""
+        from graphframes_spark.datapipe.sampling import split_corpus
+
+        e = self._edges.withColumn(
+            "_ekey",
+            F.concat_ws(
+                ":", F.col("src").cast("string"), F.col("dst").cast("string")
+            ),
+        )
+        return split_corpus(e, "_ekey", weights, seed).drop("_ekey")
+
     def sampleNegativeEdges(
         self,
         numPerVertex: int = 1,
@@ -978,6 +998,7 @@ class GraphFrame:
     degree_assortativity = degreeAssortativity
     attribute_assortativity = attributeAssortativity
     sample_negative_edges = sampleNegativeEdges
+    split_edges = splitEdges
     enumerate_triangles = enumerateTriangles
     node2vec_walks = node2vecWalks
     greedy_coloring = greedyColoring

@@ -849,6 +849,27 @@ def test_louvain_beats_naive_split_on_blobs(spark):
     assert q_louvain > q_naive
 
 
+def test_split_edges_stable_partition(spark):
+    v = spark.createDataFrame([(i,) for i in range(20)], ["id"])
+    e = spark.createDataFrame(
+        [(i, j) for i in range(20) for j in range(20) if i != j], ["src", "dst"]
+    )
+    g = GraphFrame(v, e)
+    out = g.splitEdges(weights={"train": 0.8, "test": 0.2}, seed="s")
+    rows = out.collect()
+    assert len(rows) == 380 and all(r["split"] in ("train", "test") for r in rows)
+    frac = sum(1 for r in rows if r["split"] == "train") / len(rows)
+    assert 0.7 < frac < 0.9  # deterministic, roughly proportional
+    # growth stability: a subgraph's edges keep their assignment
+    sub = GraphFrame(v, e.filter("src < 10 and dst < 10"))
+    sub_rows = {
+        (r["src"], r["dst"]): r["split"]
+        for r in sub.splitEdges(weights={"train": 0.8, "test": 0.2}, seed="s").collect()
+    }
+    full = {(r["src"], r["dst"]): r["split"] for r in rows}
+    assert all(full[k] == v2 for k, v2 in sub_rows.items())
+
+
 def test_negative_edges_are_nonedges_and_deterministic(spark):
     v = spark.createDataFrame([(i,) for i in range(10)], ["id"])
     e = spark.createDataFrame(

@@ -1290,6 +1290,20 @@ def q_dp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (datapipe/text.py pack_documents): 4 sharded
+    token streams chopped every 256 tokens; the md5 order, shard hash,
+    and cumulative-sum window replay verbatim."""
+    from graphframes_spark.datapipe import pack_documents
+
+    out = pack_documents(
+        _docs(spark, sf_dir), max_tokens=256, num_shards=4, seed="pack"
+    )
+    return out.select(
+        "doc_id", "shard", "bin", "bin_pos", "n_tokens", "straddles"
+    )
+
+
 def q_dp_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call dedup capstone in exact mode: normalized-content
     fingerprint groups + keep-the-longest resolution (datapipe/dedup.py
@@ -1842,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_dedup_corpus": q_dp_dedup_corpus,
         "negative_edges": q_negative_edges,
         "split_edges": q_split_edges,
+        "dp_pack": q_dp_pack,
     }
 
 
@@ -2951,6 +2966,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT round(3.0 * t / w, 6) AS transitivity
             FROM tri CROSS JOIN wedges
+        """,
+        # md5 order, shard hash, cumulative-sum window — replayed
+        "dp_pack": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split_regex(lower(text),
+                            '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+                       md5(concat_ws(chr(31), 'pack',
+                           CAST(doc_id AS VARCHAR))) AS r
+                FROM documents
+            ),
+            s AS (
+                SELECT *, ('0x' || substr(r, 1, 12))::BIGINT % 4 AS shard
+                FROM t
+            ),
+            c AS (
+                SELECT doc_id, shard, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY shard
+                                           ORDER BY r, doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM s
+            )
+            SELECT doc_id, shard,
+                   CAST(floor((cum - n_tokens) * 1.0 / 256) AS BIGINT) AS bin,
+                   (cum - n_tokens) % 256 AS bin_pos,
+                   n_tokens,
+                   floor((cum - 1) * 1.0 / 256)
+                       > floor((cum - n_tokens) * 1.0 / 256) AS straddles
+            FROM c
         """,
         # fingerprint + token-count quality + keep window, replayed
         "dp_dedup_corpus": """

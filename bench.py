@@ -76,6 +76,13 @@ HEADLINE = [
     "transitivity",
     "louvain_copurchase",
     "dp_profile",
+    "seeded_lpa",
+    "wl_labels",
+    "dp_stream_degrees",
+    "dp_dedup_corpus",
+    "dp_boilerplate",
+    "negative_edges",
+    "split_edges",
 ]
 
 

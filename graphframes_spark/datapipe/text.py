@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small per-language stopword lists for the n-gram/stopword heuristic
@@ -484,4 +484,61 @@ def remove_boilerplate(
         ).alias(text_col),
         F.count(F.lit(1)).alias("n_segments"),
         F.count_if(F.col("_bp_is_boiler").isNotNull()).alias("n_removed"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_shards: int = 64,
+    seed: str = "pack",
+) -> DataFrame:
+    """Sequence packing for pretraining batches — input columns plus
+    ``shard, bin, bin_pos, n_tokens, straddles``.
+
+    The cut-at-boundary model: documents are laid out in a deterministic
+    md5 order into a continuous token stream per shard, and the stream
+    is chopped every ``max_tokens`` tokens. ``bin`` is the chunk where
+    the document STARTS, ``bin_pos`` its token offset there, and
+    ``straddles`` flags documents crossing a boundary (the consumer
+    splits or drops those — both standard policies).
+
+    Scale posture: a global packing order would need a single-partition
+    window; instead documents are hashed into ``num_shards`` independent
+    streams and each shard packs under its own window partition — the
+    same sharding a distributed loader consumes anyway (shard ->
+    worker). Deterministic: order is ``md5(seed, id)``, so reruns,
+    retries, and the DuckDB oracle reproduce the exact layout.
+    """
+    from graphframes_spark.datapipe.sampling import sample_rank
+
+    toks = token_count(F.col(text_col)).cast("long")
+    ranked = df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        sample_rank(F.col(id_col), seed).alias("_rank"),
+    ).withColumn(
+        "shard",
+        F.conv(F.substring(F.col("_rank"), 1, 12), 16, 10).cast("long")
+        % F.lit(num_shards),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_rank", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return ranked.select(
+        id_col,
+        "shard",
+        F.floor(start / F.lit(max_tokens)).alias("bin"),
+        (start % F.lit(max_tokens)).alias("bin_pos"),
+        "n_tokens",
+        (
+            (F.floor((cum - F.lit(1)) / F.lit(max_tokens)))
+            > F.floor(start / F.lit(max_tokens))
+        ).alias("straddles"),
     )

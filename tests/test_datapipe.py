@@ -300,6 +300,37 @@ def test_source_rollup(spark):
     assert approx["s1"]["n_docs"] == 3
 
 
+def test_pack_documents_single_shard_layout(spark):
+    rows = [(i, " ".join(["w"] * 10)) for i in range(1, 8)]  # 10 tokens each
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dp.pack_documents(df, max_tokens=25, num_shards=1).collect()
+    assert len(out) == 7
+    by_id = {r["doc_id"]: r for r in out}
+    # one continuous 70-token stream cut every 25: starts at 0,10,...,60
+    starts = sorted((r["bin"] * 25 + r["bin_pos"]) for r in out)
+    assert starts == [0, 10, 20, 30, 40, 50, 60]
+    # straddles iff floor((end-1)/25) > floor(start/25): of the starts
+    # {0..60 step 10} only [20,30) crosses a 25-boundary mid-doc ([40,50)
+    # and [60,70) end exactly at/before the next cut)
+    straddlers = sorted(
+        r["bin"] * 25 + r["bin_pos"] for r in out if r["straddles"]
+    )
+    assert straddlers == [20]
+
+
+def test_pack_documents_determinism_and_shards(spark):
+    rows = [(i, " ".join(["t"] * (i % 5 + 1))) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r["doc_id"]: (r["shard"], r["bin"], r["bin_pos"])
+         for r in dp.pack_documents(df, 16, num_shards=4).collect()}
+    b = {r["doc_id"]: (r["shard"], r["bin"], r["bin_pos"])
+         for r in dp.pack_documents(df, 16, num_shards=4).collect()}
+    assert a == b
+    assert len({s for s, _, _ in a.values()}) > 1  # really sharded
+    # every bin_pos is within the budget
+    assert all(0 <= p < 16 for _, _, p in a.values())
+
+
 def test_dedup_corpus_exact(spark):
     rows = [
         (1, "the quick brown fox"),

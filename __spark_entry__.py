@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from graphframes_spark import GraphFrame
 
 ORDER_OFFSET = 10_000_000
+PART_OFFSET = 20_000_000
 CYCLE_CAP = 8
 
 NUM_PERM = 32
@@ -1713,6 +1714,67 @@ def q_sampling_convolution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated eigenvector centrality (3 power-iteration supersteps,
+    L2-normalized once at the end) on the functional graph c -> c % 97
+    + 1 over customers — in-degrees vary with the residue distribution,
+    so the walk counts are non-uniform; the oracle recomputes length-3
+    walk counts with three cascaded joins and normalizes by the L2
+    norm."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    v = customer.select(F.col("c_custkey").alias("id"))
+    e = customer.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") % 97 + 1).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    g = GraphFrame(v, e)
+    return g.eigenvectorCentrality(maxIter=3).select(
+        "id", F.round(F.col("eigenvector"), 6).alias("eigenvector")
+    )
+
+
+def q_group_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupEdges on the supplier->part multigraph from lineitem (each
+    (suppkey, partkey) pair recurs across lineitems): collapse parallel
+    edges into count + quantity-sum attributes."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    v = (
+        lineitem.select(F.col("l_suppkey").alias("id"))
+        .unionByName(lineitem.select((F.col("l_partkey") + PART_OFFSET).alias("id")))
+        .distinct()
+    )
+    e = lineitem.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + PART_OFFSET).alias("dst"),
+        F.col("l_quantity"),
+    )
+    g = GraphFrame(v, e).groupEdges(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        dropSelfLoops=True,
+    )
+    return g.edges.select("src", "dst", "n_lineitems", "sum_qty")
+
+
+def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyad/triad census on the partially-directed nation cliques: keep
+    intra-region edge (a, b) when a < b or (a + b) % 3 == 0 — a
+    deterministic mix of mutual and one-way dyads with both cyclic and
+    transitive triangles."""
+    g = _nation_graph(spark, sf_dir)
+    g = g.filterEdges((F.col("src") < F.col("dst")) | ((F.col("src") + F.col("dst")) % 3 == 0))
+    return g.triadCensus()
+
+
+def q_dp_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 3-token spans over the documents corpus
+    (substring-dedup signal, Lee et al. ACL 2022): grams in >= 2
+    distinct documents with corpus-wide occurrence counts."""
+    from graphframes_spark.datapipe import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), n=3, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
     verifies the FIRST 50 entries against ``oracle_sql()``. The first 50
@@ -1857,6 +1919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_edges": q_negative_edges,
         "split_edges": q_split_edges,
         "dp_pack": q_dp_pack,
+        "eigenvector": q_eigenvector,
+        "group_edges": q_group_edges,
+        "triad_census": q_triad_census,
+        "dp_dup_spans": q_dp_dup_spans,
     }
 
 
@@ -3526,6 +3592,99 @@ def oracle_sql() -> dict[str, str]:
                          AND a.n_nationkey < b.n_nationkey
             JOIN nation c ON a.n_regionkey = c.n_regionkey
                          AND b.n_nationkey < c.n_nationkey
+        """,
+        # 3-step power iteration replayed as cascaded walk-count joins,
+        # L2-normalized once at the end (mirrors the Spark plan exactly)
+        "eigenvector": """
+            WITH chain AS (
+                SELECT c_custkey AS src, c_custkey % 97 + 1 AS dst
+                FROM customer WHERE c_custkey <> c_custkey % 97 + 1
+            ),
+            w1 AS (SELECT dst AS id, count(*) AS w FROM chain GROUP BY dst),
+            w2 AS (
+                SELECT c.dst AS id, sum(w1.w) AS w
+                FROM chain c JOIN w1 ON w1.id = c.src GROUP BY c.dst
+            ),
+            w3 AS (
+                SELECT c.dst AS id, sum(w2.w) AS w
+                FROM chain c JOIN w2 ON w2.id = c.src GROUP BY c.dst
+            ),
+            x AS (
+                SELECT c.c_custkey AS id,
+                       CAST(coalesce(w3.w, 0) AS DOUBLE) AS x
+                FROM customer c LEFT JOIN w3 ON w3.id = c.c_custkey
+            ),
+            nrm AS (SELECT sqrt(sum(x.x * x.x)) AS n FROM x)
+            SELECT x.id, round(x.x / nrm.n, 6) AS eigenvector
+            FROM x CROSS JOIN nrm
+        """,
+        "group_edges": f"""
+            SELECT l_suppkey AS src, l_partkey + {PART_OFFSET} AS dst,
+                   CAST(count(*) AS BIGINT) AS n_lineitems,
+                   round(sum(l_quantity), 6) AS sum_qty
+            FROM lineitem
+            GROUP BY 1, 2
+        """,
+        # dyad census + labeled triangles on the partially-directed
+        # nation cliques (edge kept iff a < b or (a + b) % 3 = 0)
+        "triad_census": """
+            WITH e AS (
+                SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey <> b.n_nationkey
+                WHERE a.n_nationkey < b.n_nationkey
+                   OR (a.n_nationkey + b.n_nationkey) % 3 = 0
+            ),
+            n AS (SELECT count(*) AS nv FROM nation),
+            m AS (
+                SELECT count(*) / 2 AS mutual FROM e a
+                WHERE EXISTS (
+                    SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src
+                )
+            ),
+            t AS (SELECT count(*) AS edges FROM e),
+            cyc AS (
+                SELECT count(*) / 3 AS c FROM e ab
+                JOIN e bc ON bc.src = ab.dst
+                JOIN e ca ON ca.src = bc.dst AND ca.dst = ab.src
+                WHERE ab.src <> bc.dst
+            ),
+            tr AS (
+                SELECT count(*) AS c FROM e ab
+                JOIN e bc ON bc.src = ab.dst
+                JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+                WHERE ab.src <> bc.dst
+            )
+            SELECT CAST(m.mutual AS BIGINT) AS mutual_dyads,
+                   CAST(t.edges - 2 * m.mutual AS BIGINT) AS asym_dyads,
+                   CAST(n.nv * (n.nv - 1) / 2
+                        - (t.edges - m.mutual) AS BIGINT) AS null_dyads,
+                   CAST(cyc.c AS BIGINT) AS cyclic_triangles,
+                   CAST(tr.c AS BIGINT) AS transitive_triangles
+            FROM n CROSS JOIN m CROSS JOIN t CROSS JOIN cyc CROSS JOIN tr
+        """,
+        "dp_dup_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> len(x) > 0) AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               FOR i IN range(1, len(t) - 1)]) AS gram
+                FROM toks WHERE len(t) >= 3
+            ),
+            per_doc AS (
+                SELECT gram, doc_id, count(*) AS occ
+                FROM grams GROUP BY gram, doc_id
+            )
+            SELECT gram,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(occ) AS BIGINT) AS n_occurrences
+            FROM per_doc GROUP BY gram HAVING count(*) >= 2
         """,
     }
 

@@ -542,3 +542,47 @@ def pack_documents(
             > F.floor(start / F.lit(max_tokens))
         ).alias("straddles"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate n-token spans — the core signal of
+    substring-level training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022: repeated
+    >= 50-token substrings across a corpus; expressed here at n-gram
+    granularity). DF[gram, n_docs, n_occurrences], one row per n-token
+    gram appearing in at least ``min_docs`` distinct documents, with
+    ``n_occurrences`` counting every occurrence (within-document repeats
+    included).
+
+    Plan: per-row gram expansion (pure column algebra at scan speed) →
+    explode → two-level hash aggregate, first on (gram, doc) then on
+    gram — both partial-aggregatable, so map-side combine collapses
+    within-partition repeats before either shuffle and no
+    ``countDistinct`` expansion ever materializes. The ``min_docs``
+    filter runs inside the final aggregate (HAVING), so the full gram
+    table is never persisted. At 100 TB this is the canonical
+    shuffle-bound corpus scan; shard by gram hash (the groupBy key
+    already is one) and raise ``n`` to shrink the collision space.
+    Memory per row is O(tokens × n) for the expansion — chunk giant
+    documents first (``chunk_documents``) if rows are unbounded.
+    """
+    grams = ngrams(tokenize(F.col(text_col)), n)
+    per_doc = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy("gram", id_col)
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_occ").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= F.lit(min_docs))
+    )

@@ -163,8 +163,12 @@ class GraphFrame:
         return self
 
     def persist(
-        self, storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK
+        self, storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK_DESER
     ) -> "GraphFrame":
+        # default is MEMORY_AND_DISK_DESER, the PySpark spelling of the
+        # JVM's deserialized MEMORY_AND_DISK — the level the reference's
+        # persist() resolves to (PySpark's plain MEMORY_AND_DISK constant
+        # is the *serialized* variant; see util.py storage-level table)
         self._vertices.persist(storageLevel)
         self._edges.persist(storageLevel)
         return self
@@ -299,6 +303,26 @@ class GraphFrame:
     def filterEdges(self, condition: Union[str, Column]) -> "GraphFrame":
         """Keep matching edges; all vertices (GraphFrame.scala:771-781)."""
         return GraphFrame(self._vertices, self._edges.filter(condition))
+
+    def groupEdges(self, *aggExprs: Column, dropSelfLoops: bool = False) -> "GraphFrame":
+        """Collapse parallel edges: one edge per (src, dst) pair, with
+        attribute columns produced by the given aggregate expressions
+        (e.g. ``F.count("*").alias("n")``, ``F.sum("weight").alias("w")``);
+        no expressions → plain dedup. ``dropSelfLoops`` also removes
+        src == dst edges. The multigraph analogue of GraphX
+        ``Graph.groupEdges`` (the reference inherits multigraph edges,
+        user-guide 03-graphframe.md parity); a single partial-aggregatable
+        hash aggregate on the edge key — map-side combine collapses
+        duplicates before the shuffle, so the shuffle volume is the
+        *distinct* edge count, bucketing-friendly at 100 TB."""
+        e = self._edges
+        if dropSelfLoops:
+            e = e.filter(F.col(SRC) != F.col(DST))
+        if aggExprs:
+            e = e.groupBy(SRC, DST).agg(*aggExprs)
+        else:
+            e = e.select(SRC, DST).distinct()
+        return GraphFrame(self._vertices, e)
 
     def dropIsolatedVertices(self) -> "GraphFrame":
         """Remove vertices participating in no edge (GraphFrame.scala:787-792)."""
@@ -602,6 +626,17 @@ class GraphFrame:
 
         return katz_centrality(self, alpha, maxIter, normalized)
 
+    def eigenvectorCentrality(
+        self, maxIter: int = 10, normalized: bool = True
+    ) -> DataFrame:
+        """Truncated eigenvector centrality (power iteration x ← Aᵀx from
+        x₀=1, L2-normalized once at the end); DF[<vertex columns>,
+        eigenvector: double]. Beyond-reference — the reference's only
+        walk-based centrality is PageRank."""
+        from graphframes_spark.lib.centrality import eigenvector_centrality
+
+        return eigenvector_centrality(self, maxIter, normalized)
+
     def harmonicCentrality(
         self, landmarks: Sequence[Any], isDirected: bool = True
     ) -> DataFrame:
@@ -719,6 +754,15 @@ class GraphFrame:
         from graphframes_spark.lib.metrics import reciprocity
 
         return reciprocity(self)
+
+    def triadCensus(self) -> DataFrame:
+        """Directed dyad census (Holland–Leinhardt MAN counts) plus
+        cyclic / transitive triangle counts on the deduplicated loop-free
+        edge set; 1-row DF[mutual_dyads, asym_dyads, null_dyads,
+        cyclic_triangles, transitive_triangles]. Beyond-reference."""
+        from graphframes_spark.lib.metrics import triad_census
+
+        return triad_census(self)
 
     def kTruss(self, k: int) -> DataFrame:
         """Edges of the k-truss (every edge in >= k-2 triangles within
@@ -990,6 +1034,9 @@ class GraphFrame:
     svd_plus_plus = svdPlusPlus
     aggregate_messages = aggregateMessages
     katz_centrality = katzCentrality
+    eigenvector_centrality = eigenvectorCentrality
+    group_edges = groupEdges
+    triad_census = triadCensus
     seeded_label_propagation = seededLabelPropagation
     contract_by = contractBy
     wl_labels = wlLabels

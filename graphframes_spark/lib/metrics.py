@@ -345,3 +345,70 @@ def reciprocity(graph: "GraphFrame") -> DataFrame:
             "reciprocity"
         )
     )
+
+
+def triad_census(graph: "GraphFrame") -> DataFrame:
+    """DF one row [mutual_dyads, asym_dyads, null_dyads, cyclic_triangles,
+    transitive_triangles] — the directed dyad census (Holland–Leinhardt
+    MAN counts) plus the two classic labeled-triangle counts:
+
+    - ``cyclic_triangles``: distinct directed 3-cycles a→b→c→a (each
+      cycle counted once, not 3× per rotation; a fully reciprocal
+      triangle contains two — one per direction).
+    - ``transitive_triangles``: ordered triples (a, b, c) with a→b, b→c
+      and the shortcut a→c — the transitivity configurations.
+
+    Works on the deduplicated loop-free directed edge set (multigraph
+    edge multiplicity is intentionally ignored, as in the dyad/triad
+    census literature). Dyads: one reversed self-semi-join (same shape
+    as :func:`reciprocity`); triangles: one two-hop path join closed
+    against the edge list — the same cost class as triangleCount, with
+    the smaller side of each join broadcast-eligible under AQE. All
+    reductions are 1-row partial aggregates cross-joined at the end
+    (1×1 broadcasts), so the 100 TB posture equals triangle counting.
+    Null dyads are derived as C(n,2) − mutual − asym from the vertex
+    count, not enumerated.
+    """
+    v_total = graph.vertices.select(ID).distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    e = graph.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
+    rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    # directed edge pair counts: mutual dyads have both orientations
+    mutual = e.join(rev, on=[SRC, DST], how="left_semi").agg(
+        F.floor(F.count(F.lit(1)) / 2).alias("_mutual")
+    )
+    total_e = e.agg(F.count(F.lit(1)).alias("_edges"))
+
+    ab = e.select(F.col(SRC).alias("_a"), F.col(DST).alias("_b"))
+    bc = e.select(F.col(SRC).alias("_b"), F.col(DST).alias("_c"))
+    ca = e.select(F.col(SRC).alias("_c"), F.col(DST).alias("_a"))
+    ac = e.select(F.col(SRC).alias("_a"), F.col(DST).alias("_c"))
+    two_hop = ab.join(bc, "_b").filter(F.col("_a") != F.col("_c"))
+    cyclic = two_hop.join(ca, ["_c", "_a"]).agg(
+        F.floor(F.count(F.lit(1)) / 3).alias("_cyclic")
+    )
+    transitive = two_hop.join(ac, ["_a", "_c"]).agg(
+        F.count(F.lit(1)).alias("_transitive")
+    )
+
+    return (
+        v_total.crossJoin(mutual)
+        .crossJoin(total_e)
+        .crossJoin(cyclic)
+        .crossJoin(transitive)
+        .select(
+            F.col("_mutual").cast("long").alias("mutual_dyads"),
+            (F.col("_edges") - F.lit(2) * F.col("_mutual"))
+            .cast("long")
+            .alias("asym_dyads"),
+            (
+                F.col("_n") * (F.col("_n") - 1) / 2
+                - (F.col("_edges") - F.col("_mutual"))
+            )
+            .cast("long")
+            .alias("null_dyads"),
+            F.col("_cyclic").cast("long").alias("cyclic_triangles"),
+            F.col("_transitive").cast("long").alias("transitive_triangles"),
+        )
+    )

@@ -606,3 +606,41 @@ def test_dedup_keep_best(spark):
     df = spark.createDataFrame(rows, ["doc_id", "grp", "q"])
     out = {r["doc_id"]: r["keep"] for r in dp.dedup_keep_best(df, "grp", "q", "doc_id").collect()}
     assert out == {1: False, 2: True, 3: False, 4: True}
+
+
+# ------------------------------------------------------ duplicate spans
+
+
+def test_duplicate_spans_cross_doc(spark):
+    from graphframes_spark.datapipe import duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a quick brown fox runs"),
+            (3, "the quick brown fox jumps quick brown fox jumps"),
+            (4, "totally different text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["gram"]: (r["n_docs"], r["n_occurrences"])
+        for r in duplicate_spans(df, n=3, min_docs=2).collect()
+    }
+    # "quick brown fox" in docs 1, 2, 3 (twice in 3) -> 3 docs, 4 occurrences
+    assert rows["quick brown fox"] == (3, 4)
+    # "brown fox jumps" in docs 1 and 3 (twice in 3) -> 2 docs, 3 occurrences
+    assert rows["brown fox jumps"] == (2, 3)
+    # single-doc grams are filtered out
+    assert "totally different text" not in rows
+    assert "brown fox runs" not in rows
+
+
+def test_duplicate_spans_short_docs_no_grams(spark):
+    from graphframes_spark.datapipe import duplicate_spans
+
+    df = spark.createDataFrame([(1, "one two"), (2, "one two")], ["doc_id", "text"])
+    assert duplicate_spans(df, n=3, min_docs=2).count() == 0
+    # at n=2 the shared bigram is found
+    rows = duplicate_spans(df, n=2, min_docs=2).collect()
+    assert len(rows) == 1 and rows[0]["gram"] == "one two"

@@ -1232,3 +1232,107 @@ def test_enumerate_triangles(spark):
         for r in GraphFrame(v, e2).enumerateTriangles().collect()
     )
     assert tr2 == tr
+
+
+# ------------------------------------------------------- eigenvector
+
+
+def test_eigenvector_star_walk_counts(spark):
+    # star: leaves 1..4 -> hub 0, hub -> 5.  Walk counts (x0 = 1):
+    # x1 = indeg: hub 4, 5: 1, leaves 0; x2: hub 0, 5: 4, leaves 0;
+    # x3: 5: 0 (hub's x2 = 0) -> everything 0 at k=3, so use k=2.
+    v = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    e = spark.createDataFrame([(i, 0) for i in range(1, 5)] + [(0, 5)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    res = {r["id"]: r["eigenvector"] for r in g.eigenvectorCentrality(maxIter=2).collect()}
+    assert res[5] == pytest.approx(1.0)  # only nonzero entry -> L2 puts it at 1
+    assert all(res[i] == 0.0 for i in range(5))
+
+
+def test_eigenvector_cycle_uniform(spark):
+    # directed 4-cycle: regular, so the normalized vector is uniform 1/2
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame([(i, (i + 1) % 4) for i in range(4)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    res = [r["eigenvector"] for r in g.eigenvectorCentrality(maxIter=7).collect()]
+    assert all(x == pytest.approx(0.5) for x in res)
+
+
+def test_eigenvector_unnormalized_counts_multiedges(spark):
+    # parallel edges count as walk multiplicity: two a->b edges, one b->c
+    v = spark.createDataFrame([("a",), ("b",), ("c",)], ["id"])
+    e = spark.createDataFrame([("a", "b"), ("a", "b"), ("b", "c")], ["src", "dst"])
+    g = GraphFrame(v, e)
+    res = {
+        r["id"]: r["eigenvector"]
+        for r in g.eigenvectorCentrality(maxIter=2, normalized=False).collect()
+    }
+    # x2(c) = walks of length 2 ending at c = 2 (via either a->b edge)
+    assert res == {"a": 0.0, "b": 0.0, "c": 2.0}
+
+
+def test_eigenvector_validation(spark):
+    with pytest.raises(GraphFramesError):
+        chain_graph(spark, 3).eigenvectorCentrality(maxIter=0)
+
+
+# -------------------------------------------------------- groupEdges
+
+
+def test_group_edges_counts_and_sums(spark):
+    v = spark.createDataFrame([(i,) for i in range(3)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 1, 3.0), (1, 2, 1.0), (2, 2, 9.0)],
+        ["src", "dst", "w"],
+    )
+    g = GraphFrame(v, e).groupEdges(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("w")
+    )
+    rows = {(r["src"], r["dst"]): (r["n"], r["w"]) for r in g.edges.collect()}
+    assert rows == {(0, 1): (2, 5.0), (1, 2): (1, 1.0), (2, 2): (1, 9.0)}
+
+
+def test_group_edges_drop_self_loops_and_dedup(spark):
+    v = spark.createDataFrame([(i,) for i in range(3)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 1, 2.0), (2, 2, 9.0)], ["src", "dst", "w"]
+    )
+    g = GraphFrame(v, e).groupEdges(dropSelfLoops=True)
+    assert sorted(map(tuple, g.edges.collect())) == [(0, 1)]
+    # vertices pass through untouched
+    assert g.vertices.count() == 3
+
+
+# ------------------------------------------------------- triadCensus
+
+
+def test_triad_census_known_counts(spark):
+    # 0<->1 mutual; 1->2 asym; triangle 2->3->4->2 cyclic;
+    # transitive triple 5->6, 6->7, 5->7
+    v = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 3), (3, 4), (4, 2), (5, 6), (6, 7), (5, 7)],
+        ["src", "dst"],
+    )
+    g = GraphFrame(v, e)
+    row = g.triadCensus().collect()[0]
+    assert row["mutual_dyads"] == 1
+    assert row["asym_dyads"] == 7
+    assert row["null_dyads"] == 28 - 8
+    assert row["cyclic_triangles"] == 1
+    assert row["transitive_triangles"] == 1
+
+
+def test_triad_census_reciprocal_triangle(spark):
+    # fully mutual triangle: 3 mutual dyads, 2 directed 3-cycles,
+    # 6 transitive orderings (every ordered pair of edges closes)
+    v = spark.createDataFrame([(i,) for i in range(3)], ["id"])
+    e = spark.createDataFrame(
+        [(a, b) for a in range(3) for b in range(3) if a != b], ["src", "dst"]
+    )
+    row = GraphFrame(v, e).triadCensus().collect()[0]
+    assert row["mutual_dyads"] == 3
+    assert row["asym_dyads"] == 0
+    assert row["null_dyads"] == 0
+    assert row["cyclic_triangles"] == 2
+    assert row["transitive_triangles"] == 6

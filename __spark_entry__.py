@@ -1775,6 +1775,36 @@ def q_dp_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir), n=3, min_docs=2)
 
 
+def q_dp_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table with Zipf ranks (count >= 2) — the
+    tokenizer-training / vocab-pruning input; the oracle replays the
+    explode + aggregate + deterministic rank window in SQL."""
+    from graphframes_spark.datapipe import word_frequencies
+
+    wf = word_frequencies(_docs(spark, sf_dir), min_count=2)
+    return wf.select(
+        "token", "count", "rank", F.round("frequency", 9).alias("frequency")
+    )
+
+
+def q_dp_temp_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (tau = 0.5, target half the
+    corpus): per-source keep rates realize the flattened w^tau mix,
+    membership decided by seeded md5 over doc_id — the oracle replays
+    rates and hash thresholds bit-for-bit."""
+    from graphframes_spark.datapipe import temperature_sample
+
+    kept = temperature_sample(
+        _docs(spark, sf_dir),
+        source_col="source",
+        temperature=0.5,
+        target_frac=0.5,
+        key_col="doc_id",
+        seed="mix",
+    )
+    return kept.select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
     verifies the FIRST 50 entries against ``oracle_sql()``. The first 50
@@ -1923,6 +1953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_edges": q_group_edges,
         "triad_census": q_triad_census,
         "dp_dup_spans": q_dp_dup_spans,
+        "dp_word_freq": q_dp_word_freq,
+        "dp_temp_sample": q_dp_temp_sample,
     }
 
 
@@ -3685,6 +3717,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(occ) AS BIGINT) AS n_occurrences
             FROM per_doc GROUP BY gram HAVING count(*) >= 2
+        """,
+        "dp_word_freq": """
+            WITH toks AS (
+                SELECT unnest(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> len(x) > 0)) AS token
+                FROM documents
+            ),
+            counts AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS count
+                FROM toks GROUP BY token HAVING count(*) >= 2
+            ),
+            tot AS (SELECT sum(count) AS t FROM counts)
+            SELECT token, count,
+                   CAST(row_number() OVER (ORDER BY count DESC, token ASC)
+                        AS INTEGER) AS rank,
+                   round(count * 1.0 / tot.t, 9) AS frequency
+            FROM counts CROSS JOIN tot
+        """,
+        # per-source keep rates w^tau / sum(w^tau) * target * N / n_s
+        # (capped at 1), membership by the seeded md5 12-hex-digit unit
+        "dp_temp_sample": """
+            WITH c AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY source
+            ),
+            a AS (SELECT source, n, pow(n * 1.0, 0.5) AS w FROM c),
+            t AS (SELECT sum(w) AS tw, sum(n) AS tn FROM a),
+            r AS (
+                SELECT a.source,
+                       least(1.0, (a.w / t.tw) * 0.5 * t.tn / a.n) AS rate
+                FROM a CROSS JOIN t
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON r.source = d.source
+            WHERE ('0x' || substr(md5(concat_ws(chr(31), 'mix',
+                       CAST(d.doc_id AS VARCHAR))), 1, 12))::BIGINT
+                  / CAST(281474976710656 AS DOUBLE) < r.rate
         """,
     }
 

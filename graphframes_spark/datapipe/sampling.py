@@ -245,3 +245,72 @@ def dedup_keep_best(
         F.desc(quality_col), F.asc(key_col)
     )
     return df.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    temperature: float = 0.7,
+    target_frac: float = 0.5,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-based mixture sampling over sources — the standard
+    training-mix reweighting (multilingual/multi-source LM recipes:
+    sample source s proportionally to ``w_s^τ``, τ < 1 flattens the
+    mix toward small sources, τ = 1 keeps natural proportions).
+
+    Keeps a deterministic hash-selected subset whose per-source keep
+    rates realize the temperature-adjusted mixture at overall size
+    ``target_frac * |df|`` (rates are capped at 1.0 — a small source
+    whose adjusted share exceeds its size keeps everything; the
+    shortfall is NOT rebalanced onto other sources, so the realized
+    total can undershoot when τ is extreme — stated contract, no
+    silent reflow). Selection is by seeded md5 over ``key_col``, so
+    membership is stable as the corpus grows (same key, same verdict)
+    and identical across engines.
+
+    DF = input rows that survive, all columns preserved.
+
+    Plan: one small groupBy over sources (broadcast back), then a
+    scan-speed hash filter — no global sort, no rand(), no shuffle of
+    the data rows themselves. 100 TB posture: the only shuffle is the
+    |sources|-row aggregate.
+    """
+    from graphframes_spark.util import GraphFramesError
+
+    if not 0.0 < temperature:
+        raise GraphFramesError(f"temperature must be > 0, got {temperature}")
+    if not 0.0 < target_frac <= 1.0:
+        raise GraphFramesError(f"target_frac must be in (0, 1], got {target_frac}")
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    adjusted = counts.select(
+        source_col,
+        "_n",
+        F.pow(F.col("_n").cast("double"), F.lit(float(temperature))).alias("_w"),
+    )
+    total_w = adjusted.agg(
+        F.sum("_w").alias("_tw"), F.sum("_n").alias("_tn")
+    )
+    rates = (
+        adjusted.crossJoin(F.broadcast(total_w))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                (F.col("_w") / F.col("_tw"))
+                * F.lit(float(target_frac))
+                * F.col("_tn")
+                / F.col("_n"),
+            ).alias("_keep_rate"),
+        )
+    )
+    keyed = df.join(F.broadcast(rates), on=source_col, how="inner")
+    # hash-unit in [0, 1): first 12 md5 hex chars as an integer over 16^12
+    # — column-valued twin of sample_keep (whose threshold is a Python
+    # float); DuckDB replays it as ('0x'||substr(md5(..),1,12))::BIGINT
+    unit = F.conv(F.substring(sample_rank(F.col(key_col), seed), 1, 12), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**12))
+    return keyed.filter(unit < F.col("_keep_rate")).drop("_keep_rate")

@@ -586,3 +586,45 @@ def duplicate_spans(
         )
         .filter(F.col("n_docs") >= F.lit(min_docs))
     )
+
+
+def word_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary table — DF[token, count, rank, frequency],
+    ordered nowhere (rank is a column, not a sort): ``rank`` is the
+    1-based dense position by descending count (ties broken by token for
+    engine-stable output) and ``frequency`` the corpus-relative share.
+    The input to Zipf diagnostics, vocab pruning, and tokenizer-training
+    corpus studies.
+
+    Plan: per-row tokenize (scan speed) → explode → one
+    partial-aggregatable hash aggregate → a single window over the
+    *vocabulary* table (orders of magnitude smaller than the corpus;
+    the one global sort this op needs) + a 1-row total broadcast. At
+    100 TB the explode+agg dominates and shuffles exactly the distinct
+    vocabulary per partition after map-side combine; raise ``min_count``
+    to cut the long hapax tail before the window.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= F.lit(min_count))
+    )
+    total = counts.agg(F.sum("count").alias("_total"))
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "count",
+            "rank",
+            (F.col("count") / F.col("_total")).alias("frequency"),
+        )
+    )

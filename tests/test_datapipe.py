@@ -644,3 +644,72 @@ def test_duplicate_spans_short_docs_no_grams(spark):
     # at n=2 the shared bigram is found
     rows = duplicate_spans(df, n=2, min_docs=2).collect()
     assert len(rows) == 1 and rows[0]["gram"] == "one two"
+
+
+# --------------------------------------------------- word frequencies
+
+
+def test_word_frequencies_zipf_table(spark):
+    from graphframes_spark.datapipe import word_frequencies
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z")], ["doc_id", "text"]
+    )
+    rows = {r["token"]: r for r in word_frequencies(df).collect()}
+    assert rows["a"]["count"] == 4 and rows["a"]["rank"] == 1
+    assert rows["b"]["count"] == 3 and rows["b"]["rank"] == 2
+    # ties (c, z both 1) break alphabetically for stable ranks
+    assert rows["c"]["rank"] == 3 and rows["z"]["rank"] == 4
+    assert rows["a"]["frequency"] == pytest.approx(4 / 9)
+    # min_count prunes the hapax tail
+    from graphframes_spark.datapipe import word_frequencies as wf
+
+    assert {r["token"] for r in wf(df, min_count=2).collect()} == {"a", "b"}
+
+
+# ------------------------------------------------- temperature sampling
+
+
+def test_temperature_sample_flattens_mix(spark):
+    from graphframes_spark.datapipe import temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = temperature_sample(
+        df, temperature=0.5, target_frac=0.5, key_col="doc_id", seed="t"
+    )
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # tau=0.5 weights: sqrt(900)=30, sqrt(100)=10 -> shares 3/4, 1/4 of
+    # the 500-doc target => ~375 big, ~125 capped at 100 for small
+    assert by_src["small"] == 100  # rate capped at 1.0 -> keeps all
+    assert 300 <= by_src["big"] <= 450  # hash noise around 375
+    # determinism: same seed, same rows
+    again = temperature_sample(
+        df, temperature=0.5, target_frac=0.5, key_col="doc_id", seed="t"
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_temperature_sample_tau_one_is_uniform_rate(spark):
+    from graphframes_spark.datapipe import temperature_sample
+
+    rows = [(i, "x") for i in range(200)] + [(i + 500, "y") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = temperature_sample(df, temperature=1.0, target_frac=0.4, key_col="doc_id")
+    # tau=1: natural proportions -> every source keeps ~target_frac
+    n = kept.count()
+    assert 120 <= n <= 200
+
+
+def test_temperature_sample_validation(spark):
+    from graphframes_spark.datapipe import temperature_sample
+    from graphframes_spark.util import GraphFramesError
+
+    df = spark.createDataFrame([(1, "s")], ["doc_id", "source"])
+    with pytest.raises(GraphFramesError):
+        temperature_sample(df, temperature=0.0)
+    with pytest.raises(GraphFramesError):
+        temperature_sample(df, target_frac=1.5)

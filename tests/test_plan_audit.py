@@ -16,9 +16,11 @@ bounded centroid table:
                          broadcast onto every (doc, term) row — the
                          bounded scalar-join shape, not a data x data
                          cartesian
-- transitivity/reciprocity/attr_assortativity/describe_graph —
-                         1-row aggregates cross-joined into a final
-                         scalar expression — 1x1 scalar joins, not
+- transitivity/reciprocity/attr_assortativity/describe_graph/
+  eigenvector/triad_census — 1-row aggregates cross-joined into a
+                         final scalar expression (triad census) or
+                         broadcast back as a normalizer (eigenvector
+                         L2 norm) — 1x1/1xN scalar joins, not
                          data x data cartesians
 """
 
@@ -31,6 +33,11 @@ SF_DIR = "/root/testdata/sf0.001"
 ALLOWED_QUADRATIC = {
     "dp_ann_topk", "dp_lsh_exact", "dp_ivf_exact", "dp_ivf_topk", "dp_tfidf",
     "transitivity", "reciprocity", "attr_assortativity", "describe_graph",
+    "eigenvector", "triad_census",
+    # dp_word_freq: 1-row corpus-total broadcast onto the vocab table;
+    # dp_temp_sample: 1-row weight-total broadcast onto the |sources|-row
+    # rate table (the data rows themselves join hash-broadcast on source)
+    "dp_word_freq", "dp_temp_sample",
 }
 
 
@@ -55,6 +62,9 @@ PRUNING_CASES = {
     "dp_split": {"doc_id"},
     "dp_profile": {"source", "text"},
     "dp_boilerplate": {"doc_id", "text"},
+    "dp_dup_spans": {"doc_id", "text"},
+    "dp_word_freq": {"text"},
+    "dp_temp_sample": {"doc_id", "source"},
 }
 
 

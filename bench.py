@@ -83,6 +83,13 @@ HEADLINE = [
     "dp_boilerplate",
     "negative_edges",
     "split_edges",
+    # round-4 final additions
+    "eigenvector",
+    "group_edges",
+    "triad_census",
+    "dp_dup_spans",
+    "dp_word_freq",
+    "dp_temp_sample",
 ]
 
 

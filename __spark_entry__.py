@@ -1805,6 +1805,22 @@ def q_dp_temp_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source")
 
 
+def q_dp_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-span coverage (3-grams shared with >= 1
+    other document) — the doc-level dedup-filter signal; the oracle
+    replays the gram table, the duplicated-gram HAVING filter, and the
+    per-doc rollup."""
+    from graphframes_spark.datapipe import dup_span_coverage
+
+    cov = dup_span_coverage(_docs(spark, sf_dir), n=3, min_docs=2)
+    return cov.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.round("dup_coverage", 9).alias("dup_coverage"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
     verifies the FIRST 50 entries against ``oracle_sql()``. The first 50
@@ -1955,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_dup_spans": q_dp_dup_spans,
         "dp_word_freq": q_dp_word_freq,
         "dp_temp_sample": q_dp_temp_sample,
+        "dp_dup_coverage": q_dp_dup_coverage,
     }
 
 
@@ -3753,6 +3770,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(concat_ws(chr(31), 'mix',
                        CAST(d.doc_id AS VARCHAR))), 1, 12))::BIGINT
                   / CAST(281474976710656 AS DOUBLE) < r.rate
+        """,
+        "dp_dup_coverage": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> len(x) > 0) AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t) - 1)]
+                            ELSE [] END AS g
+                FROM toks
+            ),
+            per_doc AS (
+                SELECT doc_id, unnest(g) AS gram FROM grams
+            ),
+            doc_gram AS (
+                SELECT doc_id, gram, count(*) AS occ
+                FROM per_doc GROUP BY doc_id, gram
+            ),
+            dup AS (
+                SELECT gram FROM doc_gram GROUP BY gram
+                HAVING count(*) >= 2
+            ),
+            dup_per_doc AS (
+                SELECT dg.doc_id, sum(dg.occ) AS nd
+                FROM doc_gram dg JOIN dup ON dup.gram = dg.gram
+                GROUP BY dg.doc_id
+            )
+            SELECT g.doc_id,
+                   CAST(len(g.g) AS INTEGER) AS n_grams,
+                   CAST(coalesce(d.nd, 0) AS BIGINT) AS n_dup_grams,
+                   round(CASE WHEN len(g.g) > 0
+                              THEN coalesce(d.nd, 0) * 1.0 / len(g.g)
+                              ELSE 0.0 END, 9) AS dup_coverage
+            FROM grams g LEFT JOIN dup_per_doc d ON d.doc_id = g.doc_id
         """,
     }
 

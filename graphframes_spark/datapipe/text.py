@@ -628,3 +628,63 @@ def word_frequencies(
             (F.col("count") / F.col("_total")).alias("frequency"),
         )
     )
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicate-span coverage — DF[<id>, n_grams,
+    n_dup_grams, dup_coverage]: how much of each document consists of
+    n-token spans that also occur in at least ``min_docs - 1`` OTHER
+    documents. The doc-level filter signal derived from
+    :func:`duplicate_spans` (RefinedWeb/FineWeb-style: drop or down-
+    weight documents whose coverage exceeds a threshold).
+
+    A gram counts as duplicated for a document only when it appears in
+    >= ``min_docs`` distinct documents — a gram repeated many times
+    inside ONE document does not mark that document (within-doc
+    repetition is :func:`repetition_stats`' job).
+
+    Plan: the corpus-level gram table (two partial-aggregatable
+    aggregates, HAVING-filtered to duplicated grams only) left-semi-ish
+    joined back onto each document's distinct grams, then one doc-keyed
+    count — three hash aggregates and one join, all on the gram hash
+    key; the duplicated-gram table is typically orders of magnitude
+    smaller than the corpus, so the join's build side stays compact.
+    Documents shorter than ``n`` tokens report 0 grams, coverage 0.0.
+    """
+    grams = ngrams(tokenize(F.col(text_col)), n)
+    doc_grams = df.select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    ).groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("_occ"))
+    dup_grams = (
+        doc_grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= F.lit(min_docs))
+        .select("gram")
+    )
+    flagged = doc_grams.join(dup_grams, on="gram", how="left_semi")
+    per_doc_dup = flagged.groupBy(id_col).agg(
+        F.sum("_occ").alias("n_dup_grams")
+    )
+    totals = df.select(
+        F.col(id_col), F.greatest(F.size(grams), F.lit(0)).alias("n_grams")
+    )
+    return (
+        totals.join(per_doc_dup, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce(F.col("n_dup_grams"), F.lit(0)) / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_coverage"),
+        )
+    )

@@ -713,3 +713,36 @@ def test_temperature_sample_validation(spark):
         temperature_sample(df, temperature=0.0)
     with pytest.raises(GraphFramesError):
         temperature_sample(df, target_frac=1.5)
+
+
+def test_dup_span_coverage(spark):
+    from graphframes_spark.datapipe import dup_span_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),       # 3 grams, 2 duplicated
+            (2, "a quick brown fox runs"),          # 3 grams, 1 duplicated
+            (3, "the quick brown fox jumps again"), # 4 grams, 3 duplicated
+            (4, "nothing shared at all here"),      # 3 grams, 0 duplicated
+            (5, "xx"),                              # < n tokens -> 0 grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dup_span_coverage(df, n=3, min_docs=2).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 3
+    assert out[2]["n_grams"] == 3 and out[2]["n_dup_grams"] == 1
+    assert out[3]["n_grams"] == 4 and out[3]["n_dup_grams"] == 3
+    assert out[4]["n_dup_grams"] == 0 and out[4]["dup_coverage"] == 0.0
+    assert out[5]["n_grams"] == 0 and out[5]["dup_coverage"] == 0.0
+    assert out[1]["dup_coverage"] == pytest.approx(1.0)
+
+
+def test_dup_span_coverage_within_doc_repeat_not_flagged(spark):
+    from graphframes_spark.datapipe import dup_span_coverage
+
+    # "b c d" repeats inside doc 1 only -> not duplicated across docs
+    df = spark.createDataFrame(
+        [(1, "b c d x b c d"), (2, "u v w z")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dup_span_coverage(df, n=3, min_docs=2).collect()}
+    assert out[1]["n_dup_grams"] == 0

@@ -65,6 +65,7 @@ PRUNING_CASES = {
     "dp_dup_spans": {"doc_id", "text"},
     "dp_word_freq": {"text"},
     "dp_temp_sample": {"doc_id", "source"},
+    "dp_dup_coverage": {"doc_id", "text"},
 }
 
 

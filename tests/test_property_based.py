@@ -376,3 +376,69 @@ def test_seeded_lpa_labels_exactly_the_reachable(spark, edges):
         else:
             assert out[i] is None, (i, out[i], sorted(edges))
     assert out[0] == 100 and out[5] == 200
+
+
+def _eigenvector_oracle(edges, iters):
+    x = [1.0] * MAX_V
+    for _ in range(iters):
+        nxt = [0.0] * MAX_V
+        for s, d in edges:
+            nxt[d] += x[s]
+        x = nxt
+    norm = sum(v * v for v in x) ** 0.5
+    if norm == 0:
+        return x  # implementation divides by 0 -> NULL; handled by caller
+    return [v / norm for v in x]
+
+
+@pytest.mark.slow
+@given(edges=edge_sets, iters=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_eigenvector_matches_power_iteration(spark, edges, iters):
+    g = _graph(spark, edges)
+    got = {
+        r["id"]: r["eigenvector"]
+        for r in g.eigenvectorCentrality(maxIter=iters).collect()
+    }
+    want = _eigenvector_oracle(edges, iters)
+    zero_norm = all(v == 0.0 for v in want)
+    for i in range(MAX_V):
+        if zero_norm:
+            assert got[i] is None  # try_divide by zero norm
+        else:
+            assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i], sorted(edges))
+
+
+def _triad_oracle(edges):
+    es = set(edges)
+    mutual = sum(1 for (a, b) in es if (b, a) in es) // 2
+    asym = len(es) - 2 * mutual
+    null = MAX_V * (MAX_V - 1) // 2 - mutual - asym
+    cyclic = 0
+    transitive = 0
+    for a in range(MAX_V):
+        for b in range(MAX_V):
+            for c in range(MAX_V):
+                if len({a, b, c}) < 3:
+                    continue
+                if (a, b) in es and (b, c) in es and (c, a) in es:
+                    cyclic += 1
+                if (a, b) in es and (b, c) in es and (a, c) in es:
+                    transitive += 1
+    return mutual, asym, null, cyclic // 3, transitive
+
+
+@pytest.mark.slow
+@given(edges=edge_sets)
+@settings(**SETTINGS)
+def test_triad_census_matches_bruteforce(spark, edges):
+    g = _graph(spark, edges)
+    row = g.triadCensus().collect()[0]
+    mu, asym, null, cyc, tr = _triad_oracle(edges)
+    assert (
+        row["mutual_dyads"],
+        row["asym_dyads"],
+        row["null_dyads"],
+        row["cyclic_triangles"],
+        row["transitive_triangles"],
+    ) == (mu, asym, null, cyc, tr), sorted(edges)

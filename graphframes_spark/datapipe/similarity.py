@@ -132,22 +132,28 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
+def build_ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     num_cells: int = 16,
-    nprobe: int = 2,
     id_col: str = "id",
     vec_col: str = "embedding",
     seed: int = 42,
-) -> DataFrame:
-    """IVF two-stage ANN: KMeans coarse cells + exact rerank in the
-    ``nprobe`` closest cells. Output schema matches ``brute_force_topk``.
+) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF coarse quantizer and assign the corpus to cells —
+    returns ``(assigned, centroids)``:
 
-    Scale path: persist/bucket the assigned corpus by ``_cell`` once and
-    amortize across query batches; centroids (num_cells × dim) broadcast
-    for the probe join.
+    - ``assigned``: DF[neighbor_id, _cv: array<double> (unit-normalized),
+      _cell: int] — the inverted file. At scale, write it once
+      partitioned/bucketed by ``_cell`` (``assigned.write
+      .partitionBy("_cell")``) so every later search prunes to the
+      probed cells at the parquet scan.
+    - ``centroids``: DF[_cell, _centroid: array<double>] — num_cells
+      rows, broadcast at search time.
+
+    Both round-trip losslessly through parquet, so the index is built
+    once and amortized across query batches — the realistic 100 TB ANN
+    shape (index build is the expensive pass; searches are cheap
+    cell-pruned scans).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -164,10 +170,41 @@ def ivf_topk(
     cent_df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(centroids)], ["_cell", "_centroid"]
     )
+    return assigned, cent_df
 
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a prebuilt IVF index (from :func:`build_ivf_index`, or the
+    same two DataFrames read back from parquet). Output schema matches
+    ``brute_force_topk``: DF[query_id, neighbor_id, rank].
+
+    Per query: rank the broadcast centroid table, keep the ``nprobe``
+    closest cells, join only those cells' inverted lists, exact-rerank.
+    The corpus-sized join is cell-pruned; when ``assigned`` is stored
+    partitioned by ``_cell``, partition pruning keeps the scan to the
+    probed cells.
+    """
     q = queries.select(
         F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("_qv")
     )
+    return _ivf_probe_and_rerank(assigned, centroids, q, k, nprobe)
+
+
+def _ivf_probe_and_rerank(
+    assigned: DataFrame,
+    cent_df: DataFrame,
+    q: DataFrame,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
     # pick nprobe closest centroids per query (broadcast: num_cells rows)
     probe_w = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("_cell"))
     probes = (
@@ -188,6 +225,27 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF two-stage ANN: KMeans coarse cells + exact rerank in the
+    ``nprobe`` closest cells. Output schema matches ``brute_force_topk``.
+
+    One-call composition of :func:`build_ivf_index` +
+    :func:`ivf_search`; split the calls (and persist the index) to
+    amortize the build across query batches.
+    """
+    assigned, cent_df = build_ivf_index(corpus, num_cells, id_col, vec_col, seed)
+    return ivf_search(assigned, cent_df, queries, k, nprobe, id_col, vec_col)
 
 
 def quantize_embeddings(

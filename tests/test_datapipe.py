@@ -746,3 +746,23 @@ def test_dup_span_coverage_within_doc_repeat_not_flagged(spark):
     )
     out = {r["doc_id"]: r for r in dup_span_coverage(df, n=3, min_docs=2).collect()}
     assert out[1]["n_dup_grams"] == 0
+
+
+def test_ivf_index_parquet_roundtrip(spark, tmp_path):
+    from graphframes_spark.datapipe import build_ivf_index, ivf_search, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one_call = ivf_topk(
+        emb, emb.limit(8), k=3, num_cells=4, nprobe=2, id_col="vec_id"
+    )
+    assigned, centroids = build_ivf_index(emb, num_cells=4, id_col="vec_id")
+    assigned.write.partitionBy("_cell").parquet(str(tmp_path / "ivf"))
+    centroids.write.parquet(str(tmp_path / "cent"))
+    assigned2 = spark.read.parquet(str(tmp_path / "ivf"))
+    centroids2 = spark.read.parquet(str(tmp_path / "cent"))
+    reloaded = ivf_search(
+        assigned2, centroids2, emb.limit(8), k=3, nprobe=2, id_col="vec_id"
+    )
+    assert sorted(map(tuple, one_call.collect())) == sorted(
+        map(tuple, reloaded.collect())
+    )

@@ -31,7 +31,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from graphframes_spark.datapipe.text import shingles, tokenize
+from graphframes_spark.datapipe.text import fingerprint, shingles, tokenize
+from graphframes_spark.util import GraphFramesError
 
 ID = "id"
 COMPONENT = "component"
@@ -633,4 +634,120 @@ def dedup_corpus(
         out = dedup_keep_best(grouped, "dedup_group", "_dq", id_col).drop("_dq")
     else:
         out = dedup_keep_best(grouped, "dedup_group", quality_col, id_col)
+    return out
+
+
+# ------------------------------------------------- cross-corpus dedup
+
+
+def cross_corpus_dedup(
+    incoming: DataFrame,
+    reference: DataFrame,
+    method: str = "exact",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: Optional[str] = None,
+    ref_text_col: Optional[str] = None,
+    shingle_len: int = 3,
+    num_perm: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental-ingest dedup: drop each ``incoming`` document that
+    duplicates a ``reference``-corpus document, returning the surviving
+    ``incoming`` rows with their full schema. The batch-over-batch shape
+    of a production crawl pipeline: the already-accepted corpus is the
+    reference; only new docs are candidates for removal (reference rows
+    are never touched, unlike the self-dedup operators above).
+
+    ``method='exact'``: md5 fingerprint of the whitespace-normalized
+    lower-cased text (datapipe/text.py fingerprint), one hash-keyed
+    ``left_anti`` join. 100 TB posture: both sides reduce to 32-char
+    keys before the exchange; the join is bucketing-friendly (cluster
+    both corpora by fingerprint and the anti-join is shuffle-free), and
+    a Bloom prefilter (datapipe/bloom.py build_bloom over the reference
+    fingerprints) can drop non-matching incoming rows scan-side when the
+    reference fits a broadcast filter but not a broadcast join.
+
+    ``method='minhash'``: MinHash-LSH band join *across* the corpora
+    (incoming bands probe reference bands — never incoming×incoming, so
+    a duplicate-heavy batch cannot self-collapse), exact-Jaccard
+    verification at ``threshold``, anti-join on verified matches.
+    """
+    ref_id = ref_id_col or id_col
+    ref_text = ref_text_col or text_col
+    if method == "exact":
+        inc_fp = incoming.withColumn("_fp", fingerprint(F.col(text_col)))
+        ref_fp = reference.select(
+            fingerprint(F.col(ref_text)).alias("_fp")
+        ).distinct()
+        return inc_fp.join(ref_fp, on="_fp", how="left_anti").drop("_fp")
+    if method != "minhash":
+        raise GraphFramesError(
+            f"cross_corpus_dedup method must be 'exact' or 'minhash', got {method!r}"
+        )
+
+    assert num_perm % num_bands == 0
+    rows_per_band = num_perm // num_bands
+
+    def _sigs(df: DataFrame, idc: str, txtc: str) -> DataFrame:
+        sh = df.select(
+            F.col(idc).alias("_id"),
+            shingles(tokenize(F.col(txtc)), shingle_len).alias("_sh"),
+        )
+        return sh.withColumn("_sig", minhash_signature(F.col("_sh"), num_perm))
+
+    def _bands(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.element_at(
+                                            F.col("_sig"), b * rows_per_band + r + 1
+                                        )
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("bhash"),
+                        )
+                        for b in range(num_bands)
+                    ]
+                )
+            ).alias("_b"),
+        ).select("_id", "_b.band", "_b.bhash")
+
+    inc_sigs = _sigs(incoming, id_col, text_col).persist()
+    ref_sigs = _sigs(reference, ref_id, ref_text).persist()
+    cands = (
+        _bands(inc_sigs)
+        .withColumnRenamed("_id", "_inc_id")
+        .join(_bands(ref_sigs).withColumnRenamed("_id", "_ref_id"), on=["band", "bhash"])
+        .select("_inc_id", "_ref_id")
+        .distinct()
+    )
+    dup_ids = (
+        cands.join(
+            inc_sigs.select(F.col("_id").alias("_inc_id"), F.col("_sh").alias("_sh_a")),
+            on="_inc_id",
+        )
+        .join(
+            ref_sigs.select(F.col("_id").alias("_ref_id"), F.col("_sh").alias("_sh_b")),
+            on="_ref_id",
+        )
+        .filter(jaccard(F.col("_sh_a"), F.col("_sh_b")) >= F.lit(threshold))
+        .select(F.col("_inc_id").alias(id_col))
+        .distinct()
+    )
+    out = incoming.join(dup_ids, on=id_col, how="left_anti")
+    # materialize before unpersisting the signature inputs the plan embeds
+    out = out.localCheckpoint(eager=True)
+    inc_sigs.unpersist()
+    ref_sigs.unpersist()
     return out

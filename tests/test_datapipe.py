@@ -766,3 +766,118 @@ def test_ivf_index_parquet_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, one_call.collect())) == sorted(
         map(tuple, reloaded.collect())
     )
+
+
+# ------------------------------------------------------- bloom prefilter
+
+
+def test_build_bloom_no_false_negatives(spark):
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(50)], ["x"])
+    bloom = dp.build_bloom(vals, "x", num_bits=1 << 12, num_hashes=3)
+    checked = (
+        dp.attach_bloom(vals, bloom)
+        .select(dp.might_contain(F.col("_bloom"), F.col("x"), bloom).alias("m"))
+        .collect()
+    )
+    assert all(r["m"] for r in checked)  # members always pass
+
+
+def test_build_bloom_rejects_misses_at_sane_sizing(spark):
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(50)], ["x"])
+    bloom = dp.build_bloom(vals, "x", num_bits=1 << 14, num_hashes=4)
+    others = spark.createDataFrame([(f"w{i}",) for i in range(200)], ["x"])
+    hits = (
+        dp.attach_bloom(others, bloom)
+        .filter(dp.might_contain(F.col("_bloom"), F.col("x"), bloom))
+        .count()
+    )
+    # 50 keys in 16384 bits, k=4 -> FP rate well under 1%; allow slack
+    assert hits <= 4
+
+
+def test_build_bloom_validation(spark):
+    from graphframes_spark.util import GraphFramesError
+
+    vals = spark.createDataFrame([("a",)], ["x"])
+    with pytest.raises(GraphFramesError):
+        dp.build_bloom(vals, "x", num_bits=100)  # not a multiple of 64
+    with pytest.raises(GraphFramesError):
+        dp.build_bloom(vals, "x", num_hashes=0)
+
+
+def test_decontaminate_matches_exact_semantics(spark, docs):
+    # ref = docs 1 and 3; doc 2 shares >= 2 3-grams with doc 1, doc 4
+    # with doc 3; doc 5 shares nothing. Docs 1/3 survive (self excluded).
+    ref = docs.filter(F.col("id").isin(1, 3))
+    out = dp.decontaminate(
+        docs, ref, n=3, min_shared=2, id_col="id",
+        num_bits=1 << 10, num_hashes=3,
+    )
+    assert {r["id"] for r in out.collect()} == {1, 3, 5}
+
+
+def test_decontaminate_exact_under_heavy_false_positives(spark, docs):
+    # 64-bit filter: nearly every shingle is a bloom false positive, yet
+    # the exact verify stage must keep the answer identical
+    ref = docs.filter(F.col("id").isin(1, 3))
+    out = dp.decontaminate(
+        docs, ref, n=3, min_shared=2, id_col="id",
+        num_bits=64, num_hashes=2,
+    )
+    assert {r["id"] for r in out.collect()} == {1, 3, 5}
+
+
+def test_decontaminate_prebuilt_filter_reused(spark, docs):
+    from graphframes_spark.datapipe.text import shingles, tokenize
+
+    ref = docs.filter(F.col("id").isin(1, 3))
+    ref_sh = ref.select(
+        F.explode(shingles(tokenize(F.col("text")), 3)).alias("_sh")
+    ).distinct()
+    bloom = dp.build_bloom(ref_sh, "_sh", num_bits=1 << 12, num_hashes=3)
+    out = dp.decontaminate(
+        docs, ref, n=3, min_shared=2, id_col="id", bloom=bloom
+    )
+    assert {r["id"] for r in out.collect()} == {1, 3, 5}
+
+
+# ---------------------------------------------------- cross-corpus dedup
+
+
+def test_cross_corpus_dedup_exact(spark, docs):
+    incoming = docs.filter(F.col("id").isin(3, 4, 5))
+    reference = docs.filter(F.col("id").isin(1, 2, 3))
+    out = dp.cross_corpus_dedup(incoming, reference, method="exact", id_col="id")
+    # 3 and 4 duplicate reference doc 3's content; 5 is novel
+    assert {r["id"] for r in out.collect()} == {5}
+    assert out.columns == incoming.columns  # schema passthrough
+
+
+def test_cross_corpus_dedup_minhash(spark, docs):
+    incoming = docs.filter(F.col("id").isin(2, 5))
+    reference = docs.filter(F.col("id").isin(1, 3))
+    out = dp.cross_corpus_dedup(
+        incoming, reference, method="minhash", id_col="id",
+        shingle_len=3, num_perm=32, num_bands=16, threshold=0.5,
+    )
+    # doc 2 is a near-dup of reference doc 1 (J >= 0.5); doc 5 is novel
+    assert {r["id"] for r in out.collect()} == {5}
+
+
+def test_cross_corpus_dedup_never_drops_novel_reference_only_overlap(spark):
+    # incoming docs that only duplicate EACH OTHER are all kept: the
+    # operator compares against the reference, not within the batch
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")]
+    incoming = spark.createDataFrame(rows, ["id", "text"])
+    reference = spark.createDataFrame(
+        [(9, "totally unrelated reference text")], ["id", "text"]
+    )
+    out = dp.cross_corpus_dedup(incoming, reference, method="exact", id_col="id")
+    assert {r["id"] for r in out.collect()} == {1, 2}
+
+
+def test_cross_corpus_dedup_validation(spark, docs):
+    from graphframes_spark.util import GraphFramesError
+
+    with pytest.raises(GraphFramesError):
+        dp.cross_corpus_dedup(docs, docs, method="typo", id_col="id")

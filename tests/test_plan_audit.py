@@ -38,6 +38,10 @@ ALLOWED_QUADRATIC = {
     # dp_temp_sample: 1-row weight-total broadcast onto the |sources|-row
     # rate table (the data rows themselves join hash-broadcast on source)
     "dp_word_freq", "dp_temp_sample",
+    # dp_bloom_decontam: the packed bloom word array is a 1-row broadcast
+    # cross-joined onto the shingle stream (attach_bloom) — the whole
+    # point is that this nested-loop join carries one row
+    "dp_bloom_decontam",
 }
 
 
@@ -66,6 +70,8 @@ PRUNING_CASES = {
     "dp_word_freq": {"text"},
     "dp_temp_sample": {"doc_id", "source"},
     "dp_dup_coverage": {"doc_id", "text"},
+    "dp_cross_dedup": {"doc_id", "source", "text"},
+    "dp_bloom_decontam": {"doc_id", "lang", "source", "text"},
 }
 
 

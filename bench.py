@@ -90,6 +90,8 @@ HEADLINE = [
     "dp_dup_spans",
     "dp_word_freq",
     "dp_temp_sample",
+    "dp_bloom_decontam",
+    "dp_cross_dedup",
 ]
 
 

@@ -1,0 +1,183 @@
+"""dp-tier scaling benchmark: dedup / decontamination operators on
+synthetic corpora at 1x / 2x / 4x, reporting the time-vs-scale slope.
+
+The sf0.1 headline bench (bench.py) shows absolute cost at one size; the
+question that matters for a 100 TB deployment is the *exponent*: does an
+operator's wall-clock grow ~linearly with corpus size, or is a hidden
+quadratic waiting? This harness generates a deterministic synthetic
+corpus (seeded-hash vocabulary, ~64-token documents, 10% planted exact
+duplicates + 5% near-duplicates with one token substituted — the
+structure the dedup operators exist to find), writes it to parquet
+outside timing, and times each operator at three sizes. ``ratio`` is
+t(4x)/t(1x): ~<=5 means at-most-linear-with-overhead; >>8 flags a
+super-linear blowup.
+
+Operators covered: exact dedup capstone, MinHash-LSH near-dup grouping,
+Bloom-prefiltered benchmark decontamination (1% benchmark slice),
+SimHash pairs, cross-corpus incremental dedup, and the pure scan-shape
+quality/token stats as the linear baseline.
+
+Prints ONE JSON line; run with ``python bench_dp_scale.py [> BENCH_dp_scale.json]``.
+Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_DP_BASE_DOCS (default
+50000 docs at 1x).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+VOCAB = 30_000
+DOC_TOKENS = 64
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("graphframes_spark-dp-scale-bench")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.maxPlanStringLength", str(4 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .getOrCreate()
+    )
+
+
+def generate_corpus(spark: SparkSession, out_path: str, n_docs: int) -> None:
+    """Deterministic corpus: doc i's tokens are w<h> for 64 seeded
+    hashes (Zipf-ish skew via squaring the uniform, so common words
+    exist and shingle posting lists have realistic hot keys).
+
+    Duplicate structure: docs with i % 10 == 7 replay doc i-7's content
+    (exact dup); docs with i % 20 == 4 replay doc i-4 with token 0
+    replaced (near dup, Jaccard ~ 0.97 on 3-gram shingles)."""
+    base = F.when(F.col("id") % 10 == 7, F.col("id") - 7).otherwise(
+        F.when(F.col("id") % 20 == 4, F.col("id") - 4).otherwise(F.col("id"))
+    )
+    near = F.col("id") % 20 == 4
+
+    def word(i: int):
+        u = (
+            F.pmod(F.xxhash64(F.col("_base"), F.lit(i)), F.lit(1_000_000_007))
+            / F.lit(1_000_000_007.0)
+        )
+        return F.concat(
+            F.lit("w"), F.floor(F.lit(float(VOCAB)) * u * u).cast("long")
+        )
+
+    docs = (
+        spark.range(n_docs)
+        .withColumn("_base", base)
+        .withColumn("_near", near)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.when(F.col("_near"), F.lit("subst")).otherwise(word(0)),
+                *[word(i) for i in range(1, DOC_TOKENS)],
+            ).alias("text"),
+        )
+    )
+    docs.write.mode("overwrite").parquet(out_path)
+
+
+def ops(docs):
+    from graphframes_spark.datapipe import (
+        cross_corpus_dedup,
+        decontaminate,
+        dedup_corpus,
+        minhash_lsh_dedup,
+        simhash_pairs,
+        with_quality_scores,
+    )
+
+    bench_slice = docs.filter(F.col("doc_id") % 100 == 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    reference = docs.filter(F.col("doc_id") % 5 != 0)
+    return {
+        "scan_quality": lambda: with_quality_scores(docs),
+        "exact_dedup": lambda: dedup_corpus(docs, method="exact"),
+        "minhash_dedup": lambda: minhash_lsh_dedup(
+            docs, id_col="doc_id", num_perm=32, num_bands=8, threshold=0.8
+        ),
+        "simhash_pairs": lambda: simhash_pairs(
+            docs, id_col="doc_id", max_hamming=3
+        ),
+        "bloom_decontam": lambda: decontaminate(
+            docs, bench_slice, n=3, min_shared=2,
+            num_bits=1 << 22, num_hashes=4,
+        ),
+        "cross_dedup": lambda: cross_corpus_dedup(
+            incoming, reference, method="exact"
+        ),
+    }
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    base_docs = int(os.environ.get("SPARK_GRAFT_DP_BASE_DOCS", "50000"))
+    scales = [1, 2, 4]
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="dp_scale_bench_")
+    timings: dict[str, dict[str, float]] = {}
+    try:
+        for s in scales:
+            path = f"{work}/docs_{s}x"
+            generate_corpus(spark, path, base_docs * s)
+        # warmup at the smallest size (JIT + codegen caches)
+        docs1 = spark.read.parquet(f"{work}/docs_1x")
+        for fn in ops(docs1).values():
+            fn().write.format("noop").mode("overwrite").save()
+        for s in scales:
+            docs = spark.read.parquet(f"{work}/docs_{s}x")
+            for name, fn in ops(docs).items():
+                t0 = time.time()
+                fn().write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 3)
+                timings.setdefault(name, {})[f"{s}x"] = dt
+                print(f"# {name} @{s}x ({base_docs * s} docs): {dt}s", file=sys.stderr)
+
+        ratios = {
+            name: round(t["4x"] / t["1x"], 2) if t["1x"] > 0 else None
+            for name, t in timings.items()
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "dp_scale_4x_over_1x",
+                    "value": round(
+                        sum(r for r in ratios.values() if r) / len(ratios), 2
+                    ),
+                    "unit": "x",
+                    "queries": timings,
+                    "ratios": ratios,
+                    "base_docs": base_docs,
+                    "doc_tokens": DOC_TOKENS,
+                    "interpretation": "t(4x)/t(1x) ~<=5 = at-most-linear "
+                    "with fixed overhead; >>8 = super-linear blowup",
+                    "cpus": cpus,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1821,6 +1821,16 @@ def q_dp_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical substring dedup (datapipe/text.py remove_duplicate_spans):
+    rewrite every document with its corpus-duplicated 3-gram spans cut
+    out; the oracle replays gram positions, the >= 2-distinct-doc gram
+    table, coverage expansion, and the ordered re-join."""
+    from graphframes_spark.datapipe import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), n=3, min_docs=2)
+
+
 def q_dp_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination behind a broadcast Bloom prefilter
     (datapipe/bloom.py decontaminate): docs sharing >= 2 distinct
@@ -2006,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_dup_coverage": q_dp_dup_coverage,
         "dp_bloom_decontam": q_dp_bloom_decontam,
         "dp_cross_dedup": q_dp_cross_dedup,
+        "dp_remove_spans": q_dp_remove_spans,
     }
 
 
@@ -3875,6 +3886,60 @@ def oracle_sql() -> dict[str, str]:
             FROM fp
             WHERE source IN ('src0', 'src1', 'src2')
               AND fp NOT IN (SELECT fp FROM ref)
+        """,
+        # gram positions are 1-based here (Spark side is 0-based); only
+        # the covered token SET matters, so the bases cancel
+        "dp_remove_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> len(x) > 0) AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t) - 1)]
+                            ELSE [] END AS g
+                FROM toks
+            ),
+            pd AS (
+                SELECT doc_id, unnest(g) AS gram,
+                       unnest(range(1, len(g) + 1)) AS gpos
+                FROM grams
+            ),
+            dupg AS (
+                SELECT gram FROM pd
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ),
+            cov AS (
+                SELECT DISTINCT doc_id, pos FROM (
+                    SELECT pd.doc_id,
+                           unnest(range(gpos, gpos + 3)) AS pos
+                    FROM pd JOIN dupg USING (gram)
+                )
+            ),
+            tp AS (
+                SELECT doc_id, unnest(t) AS tok,
+                       unnest(range(1, len(t) + 1)) AS pos
+                FROM toks
+            ),
+            keptagg AS (
+                SELECT tp.doc_id,
+                       string_agg(tok, ' ' ORDER BY tp.pos) AS txt,
+                       count(*) AS n_kept
+                FROM tp LEFT JOIN cov
+                  ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+                WHERE cov.doc_id IS NULL
+                GROUP BY tp.doc_id
+            )
+            SELECT toks.doc_id,
+                   coalesce(k.txt, '') AS text,
+                   CAST(len(toks.t) AS INTEGER) AS n_tokens,
+                   CAST(len(toks.t) - coalesce(k.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM toks LEFT JOIN keptagg k ON k.doc_id = toks.doc_id
         """,
     }
 

@@ -92,6 +92,7 @@ HEADLINE = [
     "dp_temp_sample",
     "dp_bloom_decontam",
     "dp_cross_dedup",
+    "dp_remove_spans",
 ]
 
 

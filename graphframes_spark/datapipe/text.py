@@ -688,3 +688,79 @@ def dup_span_coverage(
             .alias("dup_coverage"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Rewrite each document with its corpus-duplicated n-token spans
+    removed — the actual dedup step of Lee et al. ACL 2022 (the
+    detection signal is :func:`duplicate_spans`; the doc-level filter is
+    :func:`dup_span_coverage`; this is the surgical variant that keeps
+    the document and cuts only the repeated substrings).
+
+    DF[<id>, text, n_tokens, n_removed]: every token position covered by
+    at least one n-gram that appears in >= ``min_docs`` distinct
+    documents is dropped; the survivors are re-joined with single
+    spaces in original order. The rewritten text is therefore
+    *normalized* (lower-cased, whitespace-collapsed) — same convention
+    as the fingerprint/dedup family. Documents shorter than ``n``
+    tokens pass through untouched (normalized), fully-covered documents
+    come back as the empty string.
+
+    Plan: gram-position expansion (posexplode, scan speed) → semi-join
+    against the duplicated-gram table (hash join on the gram key — the
+    same shuffle :func:`duplicate_spans` already pays) → covered
+    positions via a bounded ``sequence`` explode (each hit covers
+    exactly n positions) → anti-join on (doc, position) → one
+    reassembly aggregate keyed on the doc id (collect + array_sort;
+    state per doc is the surviving tokens — never larger than the
+    input row). No window over the corpus, no per-row quadratic: every
+    stage is a hash shuffle on (gram) or (doc, pos).
+    """
+    toks = tokenize(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    tok_pos = base.select(
+        id_col, F.posexplode(F.col("_t")).alias("_pos", "_tok")
+    )
+    gram_pos = base.select(
+        id_col, F.posexplode(ngrams(F.col("_t"), n)).alias("_gpos", "gram")
+    )
+    dup = duplicate_spans(df, id_col, text_col, n, min_docs).select("gram")
+    covered = (
+        gram_pos.join(dup, on="gram", how="left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_gpos"), F.col("_gpos") + F.lit(n - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    kept = tok_pos.join(covered, on=[id_col, "_pos"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        base.select(id_col, F.size("_t").alias("n_tokens"))
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

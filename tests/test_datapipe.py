@@ -881,3 +881,41 @@ def test_cross_corpus_dedup_validation(spark, docs):
 
     with pytest.raises(GraphFramesError):
         dp.cross_corpus_dedup(docs, docs, method="typo", id_col="id")
+
+
+# ------------------------------------------------- duplicate-span removal
+
+
+def test_remove_duplicate_spans(spark, docs):
+    out = {
+        r["id"]: r
+        for r in dp.remove_duplicate_spans(
+            docs, id_col="id", n=3, min_docs=2
+        ).collect()
+    }
+    # docs 3/4 are exact dups: every 3-gram is shared -> fully removed
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 6
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 6
+    # docs 1/2 share grams covering tokens 0..7; only the last token
+    # ('dog' / 'cat') survives
+    assert out[1]["text"] == "dog" and out[1]["n_removed"] == 8
+    assert out[2]["text"] == "cat" and out[2]["n_removed"] == 8
+    # doc 5 is unique: untouched (normalized), nothing removed
+    assert out[5]["text"] == "completely different words entirely here now today ok"
+    assert out[5]["n_removed"] == 0 and out[5]["n_tokens"] == 8
+
+
+def test_remove_duplicate_spans_short_docs_pass_through(spark):
+    rows = [(1, "too short"), (2, "too short")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in dp.remove_duplicate_spans(df, id_col="id", n=3).collect()}
+    # < n tokens -> zero grams -> nothing can be covered, even for dups
+    assert out[1]["text"] == "too short" and out[1]["n_removed"] == 0
+
+
+def test_remove_duplicate_spans_within_doc_repeat_kept(spark):
+    # a gram repeated only WITHIN one document is not corpus-duplicated
+    rows = [(1, "a b c a b c"), (2, "x y z w v u")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in dp.remove_duplicate_spans(df, id_col="id", n=3).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["text"] == "a b c a b c"

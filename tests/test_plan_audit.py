@@ -71,6 +71,7 @@ PRUNING_CASES = {
     "dp_temp_sample": {"doc_id", "source"},
     "dp_dup_coverage": {"doc_id", "text"},
     "dp_cross_dedup": {"doc_id", "source", "text"},
+    "dp_remove_spans": {"doc_id", "text"},
     "dp_bloom_decontam": {"doc_id", "lang", "source", "text"},
 }
 

@@ -269,3 +269,61 @@ def stream_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_contamination_flags(
+    stream: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    bloom=None,
+) -> DataFrame:
+    """Continuously flag incoming documents that share >= ``min_shared``
+    distinct n-gram shingles with a *static* reference corpus (the
+    benchmark set) — the streaming twin of
+    :func:`graphframes_spark.datapipe.bloom.decontaminate`'s detection
+    stage. Emits DF[<id>, ref_<ref_id>, n_shared] per contaminated
+    (incoming, reference) pair; route it to the quarantine sink while
+    the raw stream flows on.
+
+    Plan: per-row shingle explode (stateless), optional broadcast Bloom
+    prefilter (pass a prebuilt
+    :class:`~graphframes_spark.datapipe.bloom.BloomFilter` built on the
+    reference's shingles — at 100 TB/day this drops >99% of exploded
+    shingles before the stream-static join), stream-static equi-join on
+    the shingle key, then a per-(doc, ref) count aggregate. The count
+    is exact within a micro-batch because every shingle of a document
+    arrives in its single input row; no watermark state is needed
+    beyond the aggregation itself. Batch parity: running this with an
+    ``availableNow`` trigger equals the batch inverted-index join of
+    ``ngram_overlap`` (tests/test_streaming.py asserts it).
+    """
+    from graphframes_spark.datapipe.bloom import attach_bloom, might_contain
+    from graphframes_spark.datapipe.text import shingles, tokenize
+
+    left = stream.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(tokenize(F.col(text_col)), n)).alias("_sh"),
+    )
+    if bloom is not None:
+        left = attach_bloom(left, bloom).filter(
+            might_contain(F.col("_bloom"), F.col("_sh"), bloom)
+        ).drop("_bloom")
+    ref_sh = reference.select(
+        F.col(ref_id_col).alias("_ref_id"),
+        F.explode(shingles(tokenize(F.col(ref_text_col)), n)).alias("_sh"),
+    )
+    out_ref = f"ref_{ref_id_col}"
+    return (
+        left.join(ref_sh, on="_sh")
+        .filter(F.col("_id") != F.col("_ref_id"))
+        .groupBy(
+            F.col("_id").alias(id_col), F.col("_ref_id").alias(out_ref)
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(min_shared))
+    )

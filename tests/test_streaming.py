@@ -195,3 +195,52 @@ def test_stream_edge_degrees_matches_batch(spark, tmp_path):
         for r in stream_edge_degrees(batch, window_duration="1 minute").collect()
     }
     assert batch_rows == got
+
+
+def test_stream_contamination_flags_matches_batch(spark, tmp_path):
+    from graphframes_spark.datapipe.bloom import build_bloom
+    from graphframes_spark.datapipe.streaming import stream_contamination_flags
+    from graphframes_spark.datapipe.text import ngram_overlap, shingles, tokenize
+
+    src = tmp_path / "contam_src"
+    src.mkdir()
+    rows = [
+        (1, "2026-01-01T00:00:00", "the quick brown fox jumps over the lazy dog"),
+        (2, "2026-01-01T00:00:10", "the quick brown fox jumps over the lazy cat"),
+        (3, "2026-01-01T00:00:20", "completely different text with no overlap at all"),
+    ]
+    _write_docs(str(src), rows)
+    reference = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], ["doc_id", "text"]
+    )
+    ref_sh = reference.select(
+        F.explode(shingles(tokenize(F.col("text")), 3)).alias("_sh")
+    ).distinct()
+    bloom = build_bloom(ref_sh, "_sh", num_bits=1 << 12, num_hashes=3)
+
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    out = stream_contamination_flags(
+        stream, reference, n=3, min_shared=2, bloom=bloom
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("contam_sink")
+        .outputMode("complete")  # stream-side aggregation, bounded keys
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["ref_doc_id"], r["n_shared"])
+        for r in spark.sql("SELECT * FROM contam_sink").collect()
+    }
+    batch = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], ["doc_id", "text"]
+    )
+    expect = {
+        (r["doc_id"], r["ref_doc_id"], r["n_shared"])
+        for r in ngram_overlap(
+            batch, reference, n=3, min_shared=2, ref_id_col="doc_id"
+        ).collect()
+    }
+    assert got == expect and got  # parity, and non-empty (docs 1 and 2 hit)

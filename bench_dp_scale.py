@@ -143,14 +143,27 @@ def main() -> None:
         docs1 = spark.read.parquet(f"{work}/docs_1x")
         for fn in ops(docs1).values():
             fn().write.format("noop").mode("overwrite").save()
-        for s in scales:
-            docs = spark.read.parquet(f"{work}/docs_{s}x")
-            for name, fn in ops(docs).items():
-                t0 = time.time()
-                fn().write.format("noop").mode("overwrite").save()
-                dt = round(time.time() - t0, 3)
-                timings.setdefault(name, {})[f"{s}x"] = dt
-                print(f"# {name} @{s}x ({base_docs * s} docs): {dt}s", file=sys.stderr)
+        # interleaved repeats + per-cell median: this sandbox shows
+        # multi-x transient load spikes (a back-to-back protocol once
+        # measured 1x slower than 4x), same lesson as bench.py round 3
+        repeats = int(os.environ.get("SPARK_GRAFT_DP_REPEATS", "3"))
+        samples: dict[str, dict[str, list[float]]] = {}
+        for rep in range(repeats):
+            for s in scales:
+                docs = spark.read.parquet(f"{work}/docs_{s}x")
+                for name, fn in ops(docs).items():
+                    t0 = time.time()
+                    fn().write.format("noop").mode("overwrite").save()
+                    dt = round(time.time() - t0, 3)
+                    samples.setdefault(name, {}).setdefault(f"{s}x", []).append(dt)
+            print(f"# rep {rep + 1}/{repeats} done", file=sys.stderr)
+        for name, cells in samples.items():
+            for cell, reps in cells.items():
+                reps = sorted(reps)
+                mid = len(reps) // 2
+                med = reps[mid] if len(reps) % 2 else (reps[mid - 1] + reps[mid]) / 2
+                timings.setdefault(name, {})[cell] = round(med, 3)
+                print(f"# {name} @{cell}: median {med}s of {reps}", file=sys.stderr)
 
         ratios = {
             name: round(t["4x"] / t["1x"], 2) if t["1x"] > 0 else None

@@ -164,20 +164,29 @@ def minhash_lsh_dedup(
 
     Returns DF[id, component] for every input row (non-duplicates form
     singleton components keyed by their own id).
+
+    Memory discipline (the 100 TB constraint that shapes this plan):
+    only the signature table — num_perm longs per document — is ever
+    cached. Shingle arrays are corpus-sized (a multiple of the raw
+    text), so instead of persisting them for the verify stage they are
+    *recomputed* for exactly the documents that appear in a candidate
+    pair (a semi-join against the candidate ids, typically a tiny
+    fraction of the corpus). One extra scan of the duplicate-suspect
+    slice buys never holding corpus-sized state — the same
+    scan-vs-state trade Spark's own shuffle spill makes.
     """
     from graphframes_spark.graphframe import GraphFrame
 
     assert num_perm % num_bands == 0
     rows_per_band = num_perm // num_bands
 
-    sh = df.select(
-        F.col(id_col).alias(ID),
-        shingles(tokenize(F.col(text_col)), shingle_len).alias("_sh"),
-    ).persist()
     # signature via explode -> 32 codegen min-aggregates (whole-stage
     # codegen + map-side partial aggregation; measurably faster than the
     # equivalent per-row HOF fold of minhash_signature, same values)
-    hashed = sh.select(ID, F.explode("_sh").alias("_s")).select(
+    hashed = df.select(
+        F.col(id_col).alias(ID),
+        F.explode(shingles(tokenize(F.col(text_col)), shingle_len)).alias("_s"),
+    ).select(
         ID,
         F.conv(F.substring(F.md5("_s"), 1, 12), 16, 10).cast("long").alias("_h1"),
         F.conv(F.substring(F.md5("_s"), 13, 12), 16, 10).cast("long").alias("_h2"),
@@ -192,16 +201,22 @@ def minhash_lsh_dedup(
             for p in range(num_perm)
         ]
     )
-    sigs = sh.join(
-        mins.select(
-            ID, F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("_sig")
-        ),
-        on=ID,
+    sigs = mins.select(
+        ID, F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("_sig")
     ).persist()
     cands = lsh_candidate_pairs(sigs, ID, "_sig", num_bands, rows_per_band)
+    cands = cands.persist()
 
-    sh_a = sigs.select(F.col(ID).alias("id_a"), F.col("_sh").alias("_sh_a"))
-    sh_b = sigs.select(F.col(ID).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    # shingles only for candidate-pair members: semi-join then recompute
+    cand_ids = (
+        cands.select(F.explode(F.array("id_a", "id_b")).alias(ID)).distinct()
+    )
+    cand_sh = df.select(
+        F.col(id_col).alias(ID),
+        shingles(tokenize(F.col(text_col)), shingle_len).alias("_sh"),
+    ).join(cand_ids, on=ID, how="left_semi")
+    sh_a = cand_sh.select(F.col(ID).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sh_b = cand_sh.select(F.col(ID).alias("id_b"), F.col("_sh").alias("_sh_b"))
     edges = (
         cands.join(sh_a, on="id_a")
         .join(sh_b, on="id_b")
@@ -217,7 +232,7 @@ def minhash_lsh_dedup(
     v = df.select(F.col(id_col).alias(ID))
     out = GraphFrame(v, edges).connectedComponents()
     sigs.unpersist()
-    sh.unpersist()
+    cands.unpersist()
     return out.select(ID, COMPONENT)
 
 
@@ -691,11 +706,15 @@ def cross_corpus_dedup(
     rows_per_band = num_perm // num_bands
 
     def _sigs(df: DataFrame, idc: str, txtc: str) -> DataFrame:
+        # signature only (num_perm longs/doc) — shingle arrays are
+        # corpus-sized and recomputed later for candidate docs only
         sh = df.select(
             F.col(idc).alias("_id"),
             shingles(tokenize(F.col(txtc)), shingle_len).alias("_sh"),
         )
-        return sh.withColumn("_sig", minhash_signature(F.col("_sh"), num_perm))
+        return sh.select(
+            "_id", minhash_signature(F.col("_sh"), num_perm).alias("_sig")
+        )
 
     def _bands(sigs: DataFrame) -> DataFrame:
         return sigs.select(
@@ -731,14 +750,27 @@ def cross_corpus_dedup(
         .join(_bands(ref_sigs).withColumnRenamed("_id", "_ref_id"), on=["band", "bhash"])
         .select("_inc_id", "_ref_id")
         .distinct()
+        .persist()
     )
+
+    def _cand_sh(df: DataFrame, idc: str, txtc: str, side: str) -> DataFrame:
+        ids = cands.select(F.col(side).alias("_id")).distinct()
+        return df.select(
+            F.col(idc).alias("_id"),
+            shingles(tokenize(F.col(txtc)), shingle_len).alias("_sh"),
+        ).join(ids, on="_id", how="left_semi")
+
     dup_ids = (
         cands.join(
-            inc_sigs.select(F.col("_id").alias("_inc_id"), F.col("_sh").alias("_sh_a")),
+            _cand_sh(incoming, id_col, text_col, "_inc_id").select(
+                F.col("_id").alias("_inc_id"), F.col("_sh").alias("_sh_a")
+            ),
             on="_inc_id",
         )
         .join(
-            ref_sigs.select(F.col("_id").alias("_ref_id"), F.col("_sh").alias("_sh_b")),
+            _cand_sh(reference, ref_id, ref_text, "_ref_id").select(
+                F.col("_id").alias("_ref_id"), F.col("_sh").alias("_sh_b")
+            ),
             on="_ref_id",
         )
         .filter(jaccard(F.col("_sh_a"), F.col("_sh_b")) >= F.lit(threshold))
@@ -750,4 +782,5 @@ def cross_corpus_dedup(
     out = out.localCheckpoint(eager=True)
     inc_sigs.unpersist()
     ref_sigs.unpersist()
+    cands.unpersist()
     return out

@@ -61,15 +61,27 @@ def star(spark: SparkSession, n: int) -> GraphFrame:
     return GraphFrame(v, e)
 
 
+def empty(spark: SparkSession, id_type: str = "long") -> GraphFrame:
+    """Empty GraphFrame of the given id type (Graphs.scala:38-45)."""
+    v = spark.createDataFrame([], f"id {id_type}")
+    e = spark.createDataFrame([], f"src {id_type}, dst {id_type}")
+    return GraphFrame(v, e)
+
+
 def two_blobs(spark: SparkSession, n: int) -> GraphFrame:
-    """Two complete digraphs of n vertices plus a bridge edge (0, n)
-    (Graphs.scala:100-117)."""
-    v = spark.range(2 * n).select(F.col("id"))
+    """Two complete digraphs of n vertices (self-loops included, per the
+    reference's comprehension over all v1/v2 pairs) plus a bridge edge
+    (0, n); vertex attrs ``v_attr1``/``v_attr2`` and edge attr
+    ``e_attr1`` match Graphs.scala:100-113."""
+    v = spark.range(2 * n).select(
+        F.col("id"),
+        F.col("id").cast("string").alias("v_attr1"),
+        F.col("id").cast("int").alias("v_attr2"),
+    )
     blob = (
         spark.range(n)
         .select(F.col("id").alias("src"))
         .crossJoin(spark.range(n).select(F.col("id").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
     )
     e = (
         blob.unionByName(
@@ -78,7 +90,27 @@ def two_blobs(spark: SparkSession, n: int) -> GraphFrame:
         .unionByName(
             spark.createDataFrame([(0, n)], "src long, dst long")
         )
+        .withColumn("e_attr1", F.concat_ws("-", "src", "dst"))
     )
+    return GraphFrame(v, e)
+
+
+def als_synthetic_data(spark: SparkSession) -> GraphFrame:
+    """The reference's 16-rating bipartite ALS fixture: users get even
+    ids (2u), items odd (2i+1), edge ``weight`` is the rating
+    (Graphs.scala:133-169) — the SVD++ example input."""
+    raw = [
+        (1, 1, 5.0), (1, 2, 1.0), (1, 3, 5.0), (1, 4, 1.0),
+        (2, 1, 5.0), (2, 2, 1.0), (2, 3, 5.0), (2, 4, 1.0),
+        (3, 1, 1.0), (3, 2, 5.0), (3, 3, 1.0), (3, 4, 5.0),
+        (4, 1, 1.0), (4, 2, 5.0), (4, 3, 1.0), (4, 4, 5.0),
+    ]
+    e = spark.createDataFrame(
+        [(u * 2, i * 2 + 1, r) for u, i, r in raw], ["src", "dst", "weight"]
+    )
+    v = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
     return GraphFrame(v, e)
 
 

@@ -97,7 +97,17 @@ def test_examples_module(spark):
     assert examples.chain(spark, 5).edges.count() == 4
     assert examples.star(spark, 4).outDegrees.filter("id = 0").first()["outDegree"] == 4
     tb = examples.two_blobs(spark, 3)
-    assert tb.edges.count() == 2 * 3 * 2 + 1
+    # reference semantics: all v1/v2 pairs per blob INCLUDING self-loops
+    # (Graphs.scala:102-104 ranges over the full cross product) + bridge
+    assert tb.edges.count() == 2 * 3 * 3 + 1
+    assert {"v_attr1", "v_attr2"} <= set(tb.vertices.columns)
+    assert "e_attr1" in tb.edges.columns
+    emp = examples.empty(spark, "string")
+    assert emp.vertices.count() == 0 and emp.edges.count() == 0
+    als = examples.als_synthetic_data(spark)
+    assert als.edges.count() == 16 and als.vertices.count() == 8
+    # bipartite id scheme: users even, items odd
+    assert als.edges.filter("src % 2 != 0 OR dst % 2 != 1").count() == 0
     ising = examples.grid_ising_model(spark, 3)
     assert ising.vertices.count() == 9
     assert ising.edges.count() == 12

@@ -193,3 +193,25 @@ def test_full_reference_client_surface_present():
     )
     assert missing_gf == [], missing_gf
     assert missing_pregel == [], missing_pregel
+
+
+def test_no_classic_only_api_outside_guards():
+    """The README claims the engine runs unchanged on Spark classic and
+    Spark Connect. Enforce it statically: no py4j internals (_jdf/_jvm),
+    no RDD API, and sparkContext only inside the two try/except-guarded
+    fallbacks (harness.ensure_checkpoint_dir,
+    randomized_contraction._scratch_dir) that degrade gracefully when
+    Connect raises on sparkContext access."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "graphframes_spark"
+    allowed_ctx = {"harness.py", "randomized_contraction.py"}
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        text = path.read_text()
+        if re.search(r"\b_jdf\b|\b_jvm\b|\.rdd\b|\.toJavaRDD\b", text):
+            offenders.append(f"{path.name}: py4j/RDD API")
+        if "sparkContext" in text and path.name not in allowed_ctx:
+            offenders.append(f"{path.name}: unguarded sparkContext")
+    assert not offenders, offenders

@@ -128,6 +128,50 @@ class GraphFrame:
             spark.read.parquet(f"{path}/edges"),
         )
 
+    def saveAsTable(
+        self,
+        name: str,
+        mode: str = "error",
+        numBuckets: Optional[int] = None,
+    ) -> None:
+        """Persist the graph as two catalog tables, ``<name>_vertices``
+        and ``<name>_edges``; with ``numBuckets`` they are bucketed (and
+        sorted within buckets) on the keys every graph operator joins
+        and aggregates on — vertices by ``id``, edges by ``src``.
+
+        Bucketing is the at-rest half of the scale story: a graph a
+        pipeline re-reads daily pays the edge shuffle once at write
+        time, after which per-``src`` aggregations (outDegrees, message
+        sends) and edge⋈vertex-state joins scan pre-partitioned buckets
+        with no Exchange in the plan. At 100 TB that deletes the
+        dominant exchange of every superstep-style workload. Size
+        ``numBuckets`` to the cluster (~2-4x total cores; buckets are
+        the parallelism floor for the shuffle-free path)."""
+        vw = self._vertices.write.mode(mode).format("parquet")
+        ew = self._edges.write.mode(mode).format("parquet")
+        if numBuckets is not None:
+            if numBuckets < 1:
+                raise GraphFramesError(
+                    f"numBuckets must be >= 1, got {numBuckets}"
+                )
+            vw = vw.bucketBy(numBuckets, ID).sortBy(ID)
+            ew = ew.bucketBy(numBuckets, SRC).sortBy(SRC)
+        vw.saveAsTable(f"{name}_vertices")
+        ew.saveAsTable(f"{name}_edges")
+
+    @classmethod
+    def loadTable(cls, spark: SparkSession, name: str) -> "GraphFrame":
+        """Load a graph written by :meth:`saveAsTable`. Bucketed tables
+        feed bucket-aware scans: aggregations and joins keyed on the
+        bucket columns skip their Exchange (requires the default
+        ``spark.sql.sources.bucketing.enabled=true``)."""
+        return cls(
+            spark.table(f"{name}_vertices"), spark.table(f"{name}_edges")
+        )
+
+    save_as_table = saveAsTable
+    load_table = loadTable
+
     def validate(self, checkVertices: bool = True) -> None:
         """Integrity check: unique vertex ids; with ``checkVertices``,
         every edge endpoint exists in the vertex DataFrame — the endpoint

@@ -1,4 +1,5 @@
 import pytest
+from pyspark.sql import functions as F
 
 from graphframes_spark import GraphFrame
 from graphframes_spark.util import GraphFramesError
@@ -168,3 +169,45 @@ def test_save_partitioned_edges(spark, tmp_path):
     assert os.path.isdir(os.path.join(path, "edges", "etype=a"))
     g2 = GraphFrame.load(spark, path)
     assert g2.edges.filter("etype = 'b'").count() == 1
+
+
+def test_save_as_table_bucketed_elides_exchange(spark, tmp_path):
+    import uuid
+
+    from graphframes_spark import GraphFrame
+
+    db = f"gfs_bt_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/wh'")
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        v = spark.range(100).select(F.col("id"))
+        e = spark.range(300).select(
+            (F.col("id") % 100).alias("src"), ((F.col("id") * 7) % 100).alias("dst")
+        )
+        GraphFrame(v, e).saveAsTable("g", numBuckets=4)
+        g2 = GraphFrame.loadTable(spark, "g")
+        assert g2.vertices.count() == 100 and g2.edges.count() == 300
+
+        # the shuffle-free payoff: a per-src aggregation over the
+        # bucketed edge table plans with NO exchange on src
+        agg = g2.edges.groupBy("src").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(src" not in plan, plan
+        # sanity: the same aggregation over the raw (unbucketed) edges
+        # DOES need the exchange — the assertion above is meaningful
+        raw_plan = (
+            e.groupBy("src").count()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange hashpartitioning(src" in raw_plan
+        # degrees run end-to-end off the catalog tables
+        assert g2.outDegrees.count() == 100
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_save_as_table_validation(spark, friends):
+    from graphframes_spark.util import GraphFramesError
+
+    with pytest.raises(GraphFramesError):
+        friends.saveAsTable("nope", numBuckets=0)

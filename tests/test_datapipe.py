@@ -919,3 +919,43 @@ def test_remove_duplicate_spans_within_doc_repeat_kept(spark):
     df = spark.createDataFrame(rows, ["id", "text"])
     out = {r["id"]: r for r in dp.remove_duplicate_spans(df, id_col="id", n=3).collect()}
     assert out[1]["n_removed"] == 0 and out[1]["text"] == "a b c a b c"
+
+
+# ---------------------------------------------------- audited pipeline
+
+
+def test_corpus_pipeline_single_pass_audit(spark, docs):
+    from graphframes_spark.datapipe import CorpusPipeline, dedup_keep_best, fingerprint
+
+    pipe = CorpusPipeline(
+        [
+            (
+                "exact_dedup",
+                lambda d: dedup_keep_best(
+                    d.withColumn("fp", fingerprint(F.col("text"))), "fp", "id", "id"
+                ).filter("keep").drop("fp", "keep"),
+            ),
+            ("drop_short", lambda d: d.filter(F.length("text") > 30)),
+        ]
+    )
+    out = pipe.apply(docs)
+    n_final = out.count()  # the single action
+    rep = pipe.report()
+    assert [r["stage"] for r in rep] == ["input", "exact_dedup", "drop_short"]
+    assert rep[0]["rows"] == 5 and rep[0]["dropped"] == 0
+    assert rep[1]["rows"] == 4 and rep[1]["dropped"] == 1  # doc 3==4 content
+    assert rep[2]["rows"] == n_final
+    assert rep[2]["dropped"] == rep[1]["rows"] - n_final
+
+
+def test_corpus_pipeline_validation(spark):
+    from graphframes_spark.datapipe import CorpusPipeline
+    from graphframes_spark.util import GraphFramesError
+
+    with pytest.raises(GraphFramesError):
+        CorpusPipeline([])
+    with pytest.raises(GraphFramesError):
+        CorpusPipeline([("a", lambda d: d), ("a", lambda d: d)])
+    p = CorpusPipeline([("a", lambda d: d)])
+    with pytest.raises(GraphFramesError):
+        p.report()

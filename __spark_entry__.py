@@ -1821,6 +1821,17 @@ def q_dp_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel view -> click -> purchase within 24h per step
+    over the events stream (datapipe/funnel.py): per-step user counts;
+    the greedy chain (earliest anchor, earliest qualifying successor)
+    replays exactly in SQL."""
+    from graphframes_spark.datapipe import funnel
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(events, ["view", "click", "purchase"], within_seconds=86400)
+
+
 def q_dp_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surgical substring dedup (datapipe/text.py remove_duplicate_spans):
     rewrite every document with its corpus-duplicated 3-gram spans cut
@@ -2017,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_bloom_decontam": q_dp_bloom_decontam,
         "dp_cross_dedup": q_dp_cross_dedup,
         "dp_remove_spans": q_dp_remove_spans,
+        "dp_funnel": q_dp_funnel,
     }
 
 
@@ -3940,6 +3952,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks.t) - coalesce(k.n_kept, 0) AS BIGINT)
                        AS n_removed
             FROM toks LEFT JOIN keptagg k ON k.doc_id = toks.doc_id
+        """,
+        "dp_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = 'click'
+                  AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL '86400 seconds'
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON s2.user_id = e.user_id
+                WHERE e.event_type = 'purchase'
+                  AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL '86400 seconds'
+                GROUP BY e.user_id
+            )
+            SELECT 1 AS step, 'view' AS event_type,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         """,
     }
 

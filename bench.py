@@ -93,6 +93,7 @@ HEADLINE = [
     "dp_bloom_decontam",
     "dp_cross_dedup",
     "dp_remove_spans",
+    "dp_funnel",
 ]
 
 

@@ -959,3 +959,65 @@ def test_corpus_pipeline_validation(spark):
     p = CorpusPipeline([("a", lambda d: d)])
     with pytest.raises(GraphFramesError):
         p.report()
+
+
+# ------------------------------------------------------------- funnel
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_counts_and_window(spark):
+    from datetime import datetime as dt
+
+    ev = _events(spark, [
+        # user 1 completes A->B->C tightly
+        (1, dt(2026, 1, 1, 0, 0), "A"), (1, dt(2026, 1, 1, 0, 30), "B"),
+        (1, dt(2026, 1, 1, 1, 0), "C"),
+        # user 2: B arrives outside the 1h window of A
+        (2, dt(2026, 1, 1, 0, 0), "A"), (2, dt(2026, 1, 1, 2, 0), "B"),
+        # user 3: B before A never counts (strict ordering)
+        (3, dt(2026, 1, 1, 0, 30), "B"), (3, dt(2026, 1, 1, 1, 0), "A"),
+    ])
+    out = {r["step"]: (r["event_type"], r["n_users"]) for r in
+           dp.funnel(ev, ["A", "B", "C"], within_seconds=3600).collect()}
+    assert out == {1: ("A", 3), 2: ("B", 1), 3: ("C", 1)}
+
+
+def test_funnel_first_touch_semantics_documented_miss(spark):
+    from datetime import datetime as dt
+
+    # greedy anchors at the FIRST A (t=0); the only B within 1h of the
+    # later A (t=4h) is missed by design — this pins the documented
+    # first-touch convention (and the oracle replays the same rule)
+    ev = _events(spark, [
+        (1, dt(2026, 1, 1, 0, 0), "A"),
+        (1, dt(2026, 1, 1, 4, 0), "A"),
+        (1, dt(2026, 1, 1, 4, 30), "B"),
+    ])
+    out = {r["step"]: r["n_users"] for r in
+           dp.funnel(ev, ["A", "B"], within_seconds=3600).collect()}
+    assert out == {1: 1, 2: 0}
+
+
+def test_funnel_times_detail(spark):
+    from datetime import datetime as dt
+
+    ev = _events(spark, [
+        (1, dt(2026, 1, 1, 0, 0), "A"), (1, dt(2026, 1, 1, 0, 10), "B"),
+        (2, dt(2026, 1, 1, 0, 0), "A"),
+    ])
+    rows = {r["user_id"]: r for r in
+            dp.funnel_times(ev, ["A", "B"], within_seconds=3600).collect()}
+    assert rows[1]["t2"] is not None and rows[2]["t2"] is None
+
+
+def test_funnel_validation(spark):
+    from graphframes_spark.util import GraphFramesError
+
+    ev = _events(spark, [])
+    with pytest.raises(GraphFramesError):
+        dp.funnel(ev, [], within_seconds=60)
+    with pytest.raises(GraphFramesError):
+        dp.funnel(ev, ["A"], within_seconds=0)

@@ -1832,6 +1832,16 @@ def q_dp_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(events, ["view", "click", "purchase"], within_seconds=86400)
 
 
+def q_dp_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events stream
+    (datapipe/funnel.py retention): cohorts anchored at the Monday of
+    each user's first event, 6 periods; counts and rates replay in SQL."""
+    from graphframes_spark.datapipe import retention
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention(events, periods=6, period_days=7)
+
+
 def q_dp_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surgical substring dedup (datapipe/text.py remove_duplicate_spans):
     rewrite every document with its corpus-duplicated 3-gram spans cut
@@ -2029,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_cross_dedup": q_dp_cross_dedup,
         "dp_remove_spans": q_dp_remove_spans,
         "dp_funnel": q_dp_funnel,
+        "dp_retention": q_dp_retention,
     }
 
 
@@ -3978,6 +3989,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'click', (SELECT count(*) FROM s2)
             UNION ALL
             SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        """,
+        "dp_retention": """
+            WITH firsts AS (
+                SELECT user_id, min(ts) AS f FROM events GROUP BY user_id
+            ),
+            cohorts AS (
+                SELECT user_id, CAST(date_trunc('week', f) AS DATE) AS cohort
+                FROM firsts
+            ),
+            sizes AS (
+                SELECT cohort, count(*) AS n_cohort FROM cohorts GROUP BY cohort
+            ),
+            activity AS (
+                SELECT DISTINCT c.cohort,
+                       CAST(floor(date_diff('day', c.cohort,
+                                            CAST(e.ts AS DATE)) / 7)
+                            AS INTEGER) AS period,
+                       e.user_id
+                FROM events e JOIN cohorts c USING (user_id)
+                WHERE date_diff('day', c.cohort, CAST(e.ts AS DATE)) / 7 < 6
+            ),
+            active AS (
+                SELECT cohort, period, count(*) AS n_active
+                FROM activity GROUP BY cohort, period
+            )
+            SELECT a.cohort, a.period, s.n_cohort, a.n_active,
+                   round(a.n_active * 1.0 / s.n_cohort, 9) AS retention
+            FROM active a JOIN sizes s USING (cohort)
         """,
     }
 

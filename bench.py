@@ -94,6 +94,7 @@ HEADLINE = [
     "dp_cross_dedup",
     "dp_remove_spans",
     "dp_funnel",
+    "dp_retention",
 ]
 
 

@@ -100,3 +100,64 @@ def funnel(
     return counts.select(
         F.explode(F.array(*per_step)).alias("_s")
     ).select("_s.step", "_s.event_type", "_s.n_users")
+
+
+def retention(
+    events: DataFrame,
+    periods: int = 8,
+    period_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix — DF[cohort (date), period (int),
+    n_cohort, n_active, retention]: users grouped by the ``period_days``
+    bucket of their first-ever event (cohort anchored at the Monday
+    week-truncation of that first event when ``period_days=7``, else at
+    day granularity from the same anchor), and for each later period
+    the fraction of the cohort with at least one event in it. Periods
+    with zero active users are absent (sparse output); ``period`` 0 is
+    the cohort period itself (retention 1.0 by construction).
+
+    100 TB posture: one min-aggregate for first-touch (user-keyed), one
+    user-keyed join back to events, one distinct + count aggregate on
+    (cohort, period) — every stage partial-aggregatable, no windows
+    over the raw event table, hub users cost one row per active period.
+    """
+    if periods < 1:
+        raise GraphFramesError(f"periods must be >= 1, got {periods}")
+    if period_days < 1:
+        raise GraphFramesError(f"period_days must be >= 1, got {period_days}")
+
+    firsts = events.groupBy(user_col).agg(F.min(ts_col).alias("_first"))
+    anchor = (
+        F.date_trunc("week", F.col("_first")).cast("date")
+        if period_days == 7
+        else F.col("_first").cast("date")
+    )
+    cohorts = firsts.select(F.col(user_col), anchor.alias("cohort"))
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    activity = (
+        events.select(F.col(user_col), F.col(ts_col).cast("date").alias("_d"))
+        .join(cohorts, on=user_col)
+        .select(
+            user_col,
+            "cohort",
+            F.floor(
+                F.datediff(F.col("_d"), F.col("cohort")) / F.lit(period_days)
+            ).cast("int").alias("period"),
+        )
+        .filter(F.col("period") < F.lit(periods))
+        .distinct()
+    )
+    active = activity.groupBy("cohort", "period").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return active.join(sizes, on="cohort").select(
+        "cohort",
+        "period",
+        "n_cohort",
+        "n_active",
+        F.round(F.col("n_active") / F.col("n_cohort"), 9).alias("retention"),
+    )

@@ -1021,3 +1021,37 @@ def test_funnel_validation(spark):
         dp.funnel(ev, [], within_seconds=60)
     with pytest.raises(GraphFramesError):
         dp.funnel(ev, ["A"], within_seconds=0)
+
+
+def test_retention_matrix(spark):
+    from datetime import datetime as dt
+
+    ev = _events(spark, [
+        # user 1: first event Wed Jan 7 2026 -> cohort Mon Jan 5; active
+        # again in period 1 and period 3
+        (1, dt(2026, 1, 7), "A"), (1, dt(2026, 1, 13), "B"),
+        (1, dt(2026, 1, 28), "A"),
+        # user 2: same cohort week, never returns
+        (2, dt(2026, 1, 9), "A"),
+        # user 3: next cohort week
+        (3, dt(2026, 1, 14), "A"),
+    ])
+    rows = {(str(r["cohort"]), r["period"]): r for r in
+            dp.retention(ev, periods=4).collect()}
+    c1, c2 = "2026-01-05", "2026-01-12"
+    assert rows[(c1, 0)]["n_cohort"] == 2 and rows[(c1, 0)]["n_active"] == 2
+    assert rows[(c1, 0)]["retention"] == 1.0
+    assert rows[(c1, 1)]["n_active"] == 1 and rows[(c1, 1)]["retention"] == 0.5
+    assert rows[(c1, 3)]["n_active"] == 1
+    assert (c1, 2) not in rows  # sparse: no one active in period 2
+    assert rows[(c2, 0)]["n_cohort"] == 1
+
+
+def test_retention_validation(spark):
+    from graphframes_spark.util import GraphFramesError
+
+    ev = _events(spark, [])
+    with pytest.raises(GraphFramesError):
+        dp.retention(ev, periods=0)
+    with pytest.raises(GraphFramesError):
+        dp.retention(ev, period_days=0)

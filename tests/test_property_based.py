@@ -442,3 +442,59 @@ def test_triad_census_matches_bruteforce(spark, edges):
         row["cyclic_triangles"],
         row["transitive_triangles"],
     ) == (mu, asym, null, cyc, tr), sorted(edges)
+
+
+# ---------------------------------------------------------------- funnel
+
+event_sets = st.lists(
+    st.tuples(
+        st.integers(0, 3),            # user
+        st.integers(0, 50),           # minute offset
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    min_size=1,
+    max_size=16,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def _funnel_oracle(rows, steps, within_minutes):
+    """First-touch greedy chain per user, pure Python."""
+    per_user = {}
+    for u, t, ev in rows:
+        per_user.setdefault(u, []).append((t, ev))
+    reached = [0] * len(steps)
+    for evs in per_user.values():
+        evs.sort()
+        prev = None
+        for k, step in enumerate(steps):
+            cand = [
+                t for t, ev in evs
+                if ev == step
+                and (prev is None or (t > prev and t <= prev + within_minutes))
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            reached[k] += 1
+    return reached
+
+
+@pytest.mark.slow
+@given(rows=event_sets)
+@settings(**SETTINGS)
+def test_funnel_matches_bruteforce(spark, rows):
+    from datetime import datetime, timedelta
+
+    from graphframes_spark.datapipe import funnel
+
+    base = datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + timedelta(minutes=t), ev) for u, t, ev in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    steps = ["A", "B", "C"]
+    got = {r["step"]: r["n_users"] for r in
+           funnel(df, steps, within_seconds=10 * 60).collect()}
+    expect = _funnel_oracle(rows, steps, within_minutes=10)
+    assert [got[k] for k in (1, 2, 3)] == expect

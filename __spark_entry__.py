@@ -1832,6 +1832,43 @@ def q_dp_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(events, ["view", "click", "purchase"], within_seconds=86400)
 
 
+def q_belief_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colored-schedule BP (lib/belief_propagation.py, mirroring the
+    reference's BeliefPropagation.scala example) on a deterministic 5x5
+    Ising grid — potentials a=((5i+j)%7-3)/2, couplings
+    b=0.1+0.02*((i_src+j_dst)%3) — run for 2 iterations (4 color
+    steps); the oracle unrolls the same 4 steps as cascaded CTEs."""
+    from graphframes_spark.graphframe import GraphFrame
+    from graphframes_spark.lib.belief_propagation import belief_propagation
+
+    n = 5
+    cells = spark.range(n).select(F.col("id").alias("i")).crossJoin(
+        spark.range(n).select(F.col("id").alias("j"))
+    )
+    v = cells.select(
+        F.concat_ws(",", "i", "j").alias("id"),
+        (((F.col("i") * n + F.col("j")) % 7 - 3) / 2.0).alias("a"),
+        "i",
+        "j",
+    )
+    right = cells.filter(F.col("j") < n - 1).select(
+        "i", "j", F.col("i").alias("di"), (F.col("j") + 1).alias("dj")
+    )
+    down = cells.filter(F.col("i") < n - 1).select(
+        "i", "j", (F.col("i") + 1).alias("di"), F.col("j").alias("dj")
+    )
+    e = (
+        right.unionByName(down)
+        .select(
+            F.concat_ws(",", "i", "j").alias("src"),
+            F.concat_ws(",", "di", "dj").alias("dst"),
+            (0.1 + 0.02 * ((F.col("i") + F.col("dj")) % 3)).alias("b"),
+        )
+    )
+    out = belief_propagation(GraphFrame(v, e), num_iter=2)
+    return out.vertices.select("id", F.round("belief", 6).alias("belief"))
+
+
 def q_dp_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the events stream
     (datapipe/funnel.py retention): cohorts anchored at the Monday of
@@ -2040,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_remove_spans": q_dp_remove_spans,
         "dp_funnel": q_dp_funnel,
         "dp_retention": q_dp_retention,
+        "belief_propagation": q_belief_propagation,
     }
 
 
@@ -4017,6 +4055,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.cohort, a.period, s.n_cohort, a.n_active,
                    round(a.n_active * 1.0 / s.n_cohort, 9) AS retention
             FROM active a JOIN sizes s USING (cohort)
+        """,
+        # 4 unrolled color steps (2 iterations x 2 colors); every grid
+        # vertex has a neighbor, so the aggMess-null branch never fires
+        "belief_propagation": """
+            WITH cells AS (
+                SELECT i.range AS i, j.range AS j
+                FROM range(5) i, range(5) j
+            ),
+            v AS (
+                SELECT i || ',' || j AS id,
+                       ((i * 5 + j) % 7 - 3) / 2.0 AS a,
+                       (i + j) % 2 AS color
+                FROM cells
+            ),
+            e AS (
+                SELECT i || ',' || j AS src,
+                       i || ',' || (j + 1) AS dst,
+                       0.1 + 0.02 * ((i + j + 1) % 3) AS b
+                FROM cells WHERE j < 4
+                UNION ALL
+                SELECT i || ',' || j AS src,
+                       (i + 1) || ',' || j AS dst,
+                       0.1 + 0.02 * ((i + j) % 3) AS b
+                FROM cells WHERE i < 4
+            ),
+            und AS (
+                SELECT src AS x, dst AS y, b FROM e
+                UNION ALL
+                SELECT dst AS x, src AS y, b FROM e
+            ),
+            b0 AS (SELECT id, a, color, 0.0 AS belief FROM v),
+            b1 AS (
+                SELECT p.id, p.a, p.color,
+                       CASE WHEN p.color = 0
+                            THEN 1.0 / (1.0 + exp(-(p.a + m.s)))
+                            ELSE p.belief END AS belief
+                FROM b0 p JOIN (
+                    SELECT und.x AS id, sum(und.b * q.belief) AS s
+                    FROM und JOIN b0 q ON q.id = und.y GROUP BY und.x
+                ) m ON m.id = p.id
+            ),
+            b2 AS (
+                SELECT p.id, p.a, p.color,
+                       CASE WHEN p.color = 1
+                            THEN 1.0 / (1.0 + exp(-(p.a + m.s)))
+                            ELSE p.belief END AS belief
+                FROM b1 p JOIN (
+                    SELECT und.x AS id, sum(und.b * q.belief) AS s
+                    FROM und JOIN b1 q ON q.id = und.y GROUP BY und.x
+                ) m ON m.id = p.id
+            ),
+            b3 AS (
+                SELECT p.id, p.a, p.color,
+                       CASE WHEN p.color = 0
+                            THEN 1.0 / (1.0 + exp(-(p.a + m.s)))
+                            ELSE p.belief END AS belief
+                FROM b2 p JOIN (
+                    SELECT und.x AS id, sum(und.b * q.belief) AS s
+                    FROM und JOIN b2 q ON q.id = und.y GROUP BY und.x
+                ) m ON m.id = p.id
+            ),
+            b4 AS (
+                SELECT p.id, p.a, p.color,
+                       CASE WHEN p.color = 1
+                            THEN 1.0 / (1.0 + exp(-(p.a + m.s)))
+                            ELSE p.belief END AS belief
+                FROM b3 p JOIN (
+                    SELECT und.x AS id, sum(und.b * q.belief) AS s
+                    FROM und JOIN b3 q ON q.id = und.y GROUP BY und.x
+                ) m ON m.id = p.id
+            )
+            SELECT id, round(belief, 6) AS belief FROM b4
         """,
     }
 

@@ -106,3 +106,58 @@ def extract_features(
             )
 
     return pruned.mapInPandas(run, schema=schema)
+
+
+def fake_frame_extractor(payload: bytes, n_frames: int) -> List[bytes]:
+    """Deterministic stand-in for a video frame sampler: n_frames evenly
+    sized byte slices of the payload. Replace with an ffmpeg/pyav
+    keyframe extractor in production — the pipeline shape (one binary in,
+    n binaries out) does not change."""
+    if not payload:
+        return []
+    step = max(1, len(payload) // n_frames)
+    return [payload[i * step : (i + 1) * step] for i in range(n_frames)][:n_frames]
+
+
+def explode_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    n_frames: int = 4,
+    extractor: Callable[[bytes, int], List[bytes]] = fake_frame_extractor,
+) -> DataFrame:
+    """Frame sampling over a binary video column — Arrow-batched
+    ``mapInPandas`` emitting one row per sampled frame:
+    (id, frame_idx, frame: binary, frame_meta: struct).
+
+    Row-multiplying transforms are exactly what ``mapInPandas`` exists
+    for (a pandas UDF must stay 1:1): each input batch yields an output
+    batch with ``n_frames`` rows per video. Only (id, payload) cross
+    the Arrow boundary; frame metadata (byte length + sha256) is added
+    JVM-side afterwards so the Python worker ships bytes, not hashes.
+    At 100 TB the knobs are the same as extract_features — payloads in
+    their own parquet column, ``maxPartitionBytes`` sized to decode
+    cost, never collect payloads driver-side.
+    """
+    import pandas as pd
+
+    if n_frames < 1:
+        from graphframes_spark.util import GraphFramesError
+
+        raise GraphFramesError(f"n_frames must be >= 1, got {n_frames}")
+
+    schema = f"{id_col} long, frame_idx int, frame binary"
+    pruned = df.select(F.col(id_col).cast("long").alias(id_col), F.col(payload_col))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                for i, frame in enumerate(extractor(bytes(p), n_frames)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(frame)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    out = pruned.mapInPandas(run, schema=schema)
+    return out.withColumn("frame_meta", binary_metadata(F.col("frame")))

@@ -1055,3 +1055,19 @@ def test_retention_validation(spark):
         dp.retention(ev, periods=0)
     with pytest.raises(GraphFramesError):
         dp.retention(ev, period_days=0)
+
+
+def test_explode_frames_plumbing(spark):
+    rows = [(1, bytearray(b"0123456789abcdef")), (2, bytearray(b""))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = dp.explode_frames(df, n_frames=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    # 4 evenly-sized frames for the non-empty payload, in order
+    frames = sorted(by_id[1], key=lambda r: r["frame_idx"])
+    assert [bytes(r["frame"]) for r in frames] == [b"0123", b"4567", b"89ab", b"cdef"]
+    assert all(r["frame_meta"]["byte_len"] == 4 for r in frames)
+    assert 2 not in by_id  # empty payload yields no frames
+    with pytest.raises(Exception):
+        dp.explode_frames(df, n_frames=0).collect()

@@ -498,3 +498,43 @@ def test_funnel_matches_bruteforce(spark, rows):
            funnel(df, steps, within_seconds=10 * 60).collect()}
     expect = _funnel_oracle(rows, steps, within_minutes=10)
     assert [got[k] for k in (1, 2, 3)] == expect
+
+
+# -------------------------------------------------------------- retention
+
+
+@pytest.mark.slow
+@given(rows=event_sets)
+@settings(**SETTINGS)
+def test_retention_matches_bruteforce(spark, rows):
+    from datetime import datetime, timedelta
+
+    from graphframes_spark.datapipe import retention
+
+    base = datetime(2026, 1, 5)  # a Monday: cohort math stays readable
+    df = spark.createDataFrame(
+        [(u, base + timedelta(hours=6 * t), ev) for u, t, ev in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {(str(r["cohort"]), r["period"]): (r["n_cohort"], r["n_active"])
+           for r in retention(df, periods=4, period_days=7).collect()}
+
+    # brute force: cohort = Monday of the first event's week
+    per_user = {}
+    for u, t, _ in rows:
+        d = (base + timedelta(hours=6 * t))
+        per_user.setdefault(u, []).append(d)
+    cohorts, active = {}, {}
+    for u, ds in per_user.items():
+        first = min(ds)
+        monday = (first - timedelta(days=first.weekday())).date()
+        cohorts.setdefault(monday, set()).add(u)
+        for d in ds:
+            k = (d.date() - monday).days // 7
+            if k < 4:
+                active.setdefault((monday, k), set()).add(u)
+    expect = {
+        (str(c), k): (len(cohorts[c]), len(users))
+        for (c, k), users in active.items()
+    }
+    assert got == expect

@@ -91,3 +91,47 @@ def test_wl_labels_hub(hub_graph):
     n_distinct = labels.select("wl_label").distinct().count()
     assert n_distinct <= 4  # hub, leaf-in-triangle(1), leaf(2), plain leaves
     assert labels.count() == N + 1
+
+
+def test_cross_corpus_dedup_hot_fingerprint(spark):
+    """A fingerprint duplicated 10^4x on BOTH sides must not blow up the
+    anti-join: reference fps are distinct'd before the join, so the hot
+    key meets the incoming side as one row, not a 10^4 x 10^4 product."""
+    from graphframes_spark.datapipe import cross_corpus_dedup
+
+    n = 10_000
+    incoming = spark.range(n).select(
+        F.col("id"), F.lit("same hot document text").alias("text")
+    ).unionByName(
+        spark.createDataFrame([(n, "unique incoming text")], ["id", "text"])
+    )
+    reference = spark.range(n).select(
+        (F.col("id") + 100_000).alias("id"),
+        F.lit("same hot document text").alias("text"),
+    )
+    out = cross_corpus_dedup(incoming, reference, method="exact", id_col="id")
+    assert [r["id"] for r in out.collect()] == [n]
+
+
+def test_bloom_decontaminate_hot_shingle(spark):
+    """A shingle shared by every incoming doc and one reference doc: the
+    bloom prefilter passes the hot shingle once per doc (linear), the
+    exact join groups on (doc, ref) — no quadratic pair blow-up and no
+    spurious drops of docs sharing only ONE shingle (min_shared=2)."""
+    from graphframes_spark.datapipe import decontaminate
+
+    n = 5_000
+    # every incoming doc contains the hot trigram "x y z" exactly once,
+    # embedded in otherwise-unique text
+    incoming = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x y z u"), F.col("id").cast("string")).alias("text"),
+    )
+    reference = spark.createDataFrame(
+        [(999_999, "x y z reference benchmark row")], ["doc_id", "text"]
+    )
+    out = decontaminate(
+        incoming, reference, n=3, min_shared=2, num_bits=1 << 14, num_hashes=3
+    )
+    # one shared shingle < min_shared: every incoming doc survives
+    assert out.count() == n

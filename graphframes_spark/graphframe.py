@@ -93,6 +93,36 @@ class GraphFrame:
 
     from_edges = fromEdges
 
+    @classmethod
+    def fromEdgeList(
+        cls,
+        spark: SparkSession,
+        path: str,
+        comment: str = "#",
+        integral_ids: bool = True,
+    ) -> "GraphFrame":
+        """Graph from a whitespace-delimited text edge list — the SNAP /
+        wiki-Talk distribution format (one ``src dst`` pair per line,
+        ``comment``-prefixed header lines skipped). Vertices are derived
+        as distinct endpoints (:meth:`fromEdges`). ``integral_ids=False``
+        keeps ids as strings (surrogate-long machinery engages in the
+        algorithms exactly as for any string-id graph).
+
+        One narrow text scan + regex split; the only shuffle is
+        fromEdges' endpoint distinct."""
+        lines = spark.read.text(path).filter(
+            ~F.col("value").startswith(comment) & (F.trim("value") != "")
+        )
+        parts = F.split(F.trim(F.col("value")), r"\s+")
+        id_type = "long" if integral_ids else "string"
+        edges = lines.select(
+            parts.getItem(0).cast(id_type).alias(SRC),
+            parts.getItem(1).cast(id_type).alias(DST),
+        )
+        return cls.fromEdges(edges)
+
+    from_edge_list = fromEdgeList
+
     def save(
         self,
         path: str,

@@ -211,3 +211,21 @@ def test_save_as_table_validation(spark, friends):
 
     with pytest.raises(GraphFramesError):
         friends.saveAsTable("nope", numBuckets=0)
+
+
+def test_from_edge_list(spark, tmp_path):
+    p = tmp_path / "snap.txt"
+    p.write_text(
+        "# Directed graph: toy\n"
+        "# FromNodeId\tToNodeId\n"
+        "0\t1\n"
+        "1 2\n"
+        "\n"
+        "2\t0\n"
+    )
+    g = GraphFrame.fromEdgeList(spark, str(p))
+    assert sorted(r["id"] for r in g.vertices.collect()) == [0, 1, 2]
+    assert {(r["src"], r["dst"]) for r in g.edges.collect()} == {(0, 1), (1, 2), (2, 0)}
+    assert g.connectedComponents().select("component").distinct().count() == 1
+    g2 = GraphFrame.from_edge_list(spark, str(p), integral_ids=False)
+    assert dict(g2.edges.dtypes)["src"] == "string"

@@ -161,3 +161,61 @@ def explode_frames(
 
     out = pruned.mapInPandas(run, schema=schema)
     return out.withColumn("frame_meta", binary_metadata(F.col("frame")))
+
+
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resizer: tile/truncate the
+    payload to exactly width*height bytes (a fake raster). Replace with
+    PIL's ``Image.resize`` in production — same bytes-in/bytes-out shape."""
+    target = width * height
+    if not payload:
+        return bytes(target)
+    reps = -(-target // len(payload))
+    return (payload * reps)[:target]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    resizer: Callable[[bytes, int, int], bytes] = fake_resizer,
+) -> DataFrame:
+    """Image resize over a binary column — Arrow-batched ``mapInPandas``
+    emitting (id, resized: binary, resized_meta: struct with the target
+    dims). 1:1 rows, but kept on ``mapInPandas`` rather than a scalar
+    pandas UDF so a real decoder can also *drop* undecodable rows by
+    omitting them from the output batch. Only (id, payload) cross the
+    Arrow boundary; metadata is stamped JVM-side."""
+    import pandas as pd
+
+    if width < 1 or height < 1:
+        from graphframes_spark.util import GraphFramesError
+
+        raise GraphFramesError(f"target dims must be >= 1, got {width}x{height}")
+
+    schema = f"{id_col} long, resized binary"
+    pruned = df.select(F.col(id_col).cast("long").alias(id_col), F.col(payload_col))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": [
+                        resizer(bytes(p), width, height) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    out = pruned.mapInPandas(run, schema=schema)
+    return out.withColumn(
+        "resized_meta",
+        F.struct(
+            F.length("resized").alias("byte_len"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lower(F.sha2(F.col("resized"), 256)).alias("sha256"),
+        ),
+    )

@@ -1071,3 +1071,15 @@ def test_explode_frames_plumbing(spark):
     assert 2 not in by_id  # empty payload yields no frames
     with pytest.raises(Exception):
         dp.explode_frames(df, n_frames=0).collect()
+
+
+def test_resize_images_plumbing(spark):
+    rows = [(1, bytearray(b"abc")), (2, bytearray(b""))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in dp.resize_images(df, width=2, height=3).collect()}
+    assert bytes(out[1]["resized"]) == b"abcabc"  # tiled to 6 bytes
+    assert bytes(out[2]["resized"]) == bytes(6)   # empty -> zero raster
+    meta = out[1]["resized_meta"]
+    assert (meta["byte_len"], meta["width"], meta["height"]) == (6, 2, 3)
+    with pytest.raises(Exception):
+        dp.resize_images(df, width=0, height=3).collect()

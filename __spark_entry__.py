@@ -1832,6 +1832,18 @@ def q_dp_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(events, ["view", "click", "purchase"], within_seconds=86400)
 
 
+def q_dp_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram-LM quality scores (datapipe/text.py
+    bigram_lm_scores, add-1 smoothing) — the CCNet-style perplexity
+    filter signal; counts, marginals, V and the smoothed log-prob all
+    replay in SQL."""
+    from graphframes_spark.datapipe import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir)).select(
+        "doc_id", "n_bigrams", "avg_logp"
+    )
+
+
 def q_belief_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Colored-schedule BP (lib/belief_propagation.py, mirroring the
     reference's BeliefPropagation.scala example) on a deterministic 5x5
@@ -2078,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_funnel": q_dp_funnel,
         "dp_retention": q_dp_retention,
         "belief_propagation": q_belief_propagation,
+        "dp_lm_score": q_dp_lm_score,
     }
 
 
@@ -4127,6 +4140,46 @@ def oracle_sql() -> dict[str, str]:
                 ) m ON m.id = p.id
             )
             SELECT id, round(belief, 6) AS belief FROM b4
+        """,
+        "dp_lm_score": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> len(x) > 0) AS t
+                FROM documents
+            ),
+            doc_bi AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(t) >= 2
+                         THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+                         ELSE [] END) AS bg
+                FROM toks
+            ),
+            split_bi AS (
+                SELECT doc_id, bg,
+                       string_split(bg, ' ')[1] AS w1,
+                       string_split(bg, ' ')[2] AS w2
+                FROM doc_bi
+            ),
+            bi_counts AS (SELECT bg, count(*) AS c12 FROM doc_bi GROUP BY bg),
+            uni_counts AS (SELECT w1, count(*) AS c1 FROM split_bi GROUP BY w1),
+            v AS (SELECT count(DISTINCT w2) AS v FROM split_bi),
+            scored AS (
+                SELECT s.doc_id,
+                       ln((b.c12 + 1.0) / (u.c1 + 1.0 * (SELECT v FROM v)))
+                           AS logp
+                FROM split_bi s
+                JOIN bi_counts b ON b.bg = s.bg
+                JOIN uni_counts u ON u.w1 = s.w1
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_bigrams, avg(logp) AS avg_logp
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   round(a.avg_logp, 9) AS avg_logp
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
     }
 

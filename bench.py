@@ -95,6 +95,7 @@ HEADLINE = [
     "dp_remove_spans",
     "dp_funnel",
     "dp_retention",
+    "dp_lm_score",
 ]
 
 

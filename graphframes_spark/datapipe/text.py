@@ -764,3 +764,69 @@ def remove_duplicate_spans(
             ),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Language-model quality scores from a corpus-self-trained bigram
+    model — the CCNet-style perplexity filter signal without an external
+    model: documents whose token transitions are unusual *for this
+    corpus* (gibberish, boilerplate soup, wrong-language fragments)
+    score low. DF[<id>, n_bigrams, avg_logp, perplexity] with
+    ``avg_logp = mean ln P(w2|w1)`` under add-k smoothing
+    ``P(w2|w1) = (C(w1 w2) + k) / (C(w1 ·) + k·V)`` (V = distinct
+    successor vocabulary); documents shorter than 2 tokens report 0
+    bigrams and NULL scores. The model includes each document's own
+    counts (self-trained corpus statistic, not a held-out LM) — the
+    standard trade for a zero-dependency filter.
+
+    Plan: one bigram explode + two hash aggregates build the model
+    (bigram counts, then first-token marginals — both
+    partial-aggregatable), a 1-row V broadcast, one join from the
+    per-doc bigram stream to the model keyed on the bigram, one per-doc
+    aggregate. At 100 TB the model tables are vocabulary-sized, the
+    big join is shuffle-keyed on the bigram string, and hot bigrams
+    ("of the") are exactly what AQE skew-split handles; prune the model
+    with a min-count threshold upstream if the hapax tail dominates.
+    """
+    grams = ngrams(tokenize(F.col(text_col)), 2)
+    doc_bi = df.select(
+        F.col(id_col), F.explode(grams).alias("_bg")
+    ).withColumn("_w1", F.split(F.col("_bg"), " ").getItem(0))
+    bi_counts = doc_bi.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c12"))
+    uni_counts = doc_bi.groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = doc_bi.select(
+        F.split(F.col("_bg"), " ").getItem(1).alias("_w2")
+    ).agg(F.countDistinct("_w2").alias("_v"))
+
+    scored = (
+        doc_bi.join(bi_counts, on="_bg")
+        .join(uni_counts, on="_w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("_c12") + F.lit(add_k))
+                / (F.col("_c1") + F.lit(add_k) * F.col("_v"))
+            ).alias("_logp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("_logp").alias("avg_logp"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(F.col("avg_logp"), 9).alias("avg_logp"),
+            F.round(F.exp(-F.col("avg_logp")), 6).alias("perplexity"),
+        )
+    )

@@ -1083,3 +1083,28 @@ def test_resize_images_plumbing(spark):
     assert (meta["byte_len"], meta["width"], meta["height"]) == (6, 2, 3)
     with pytest.raises(Exception):
         dp.resize_images(df, width=0, height=3).collect()
+
+
+# ---------------------------------------------------------- bigram LM
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    import math
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "z q"), (4, "x")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in dp.bigram_lm_scores(df, id_col="id").collect()}
+    # model: bigrams {a b:3, b a:1, z q:1}; C(a·)=3, C(b·)=1, C(z·)=1; V={b,a,q}=3
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (1 + 3)
+    p_zq = (1 + 1) / (1 + 3)
+    exp1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_logp"] - round(exp1, 9)) < 1e-9
+    assert abs(out[2]["avg_logp"] - round(math.log(p_ab), 9)) < 1e-9
+    assert abs(out[3]["avg_logp"] - round(math.log(p_zq), 9)) < 1e-9
+    # common-transition doc scores higher than the rare-transition doc
+    assert out[2]["avg_logp"] > out[3]["avg_logp"]
+    assert out[2]["perplexity"] < out[3]["perplexity"]
+    # single-token doc: zero bigrams, NULL scores
+    assert out[4]["n_bigrams"] == 0 and out[4]["avg_logp"] is None

@@ -42,6 +42,9 @@ ALLOWED_QUADRATIC = {
     # cross-joined onto the shingle stream (attach_bloom) — the whole
     # point is that this nested-loop join carries one row
     "dp_bloom_decontam",
+    # dp_lm_score: the vocabulary size V is a 1-row broadcast onto the
+    # scored bigram stream (same scalar-broadcast shape as dp_word_freq)
+    "dp_lm_score",
 }
 
 

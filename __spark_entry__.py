@@ -587,8 +587,13 @@ def q_dp_stream_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"),
     )
     out = stream_edge_degrees(edges, window_duration="1 hour")
+    # string-canonicalized window bound: identical text from Spark's
+    # date_format and DuckDB's strftime, immune to timestamp dtype
+    # differences in the driver's value hash
     return out.select(
-        F.col("window.start").alias("w_start"),
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "w_start"
+        ),
         "id",
         F.col("outDegree").cast("long").alias("out_degree"),
         F.col("inDegree").cast("long").alias("in_degree"),
@@ -1244,7 +1249,14 @@ def q_dp_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return sessionize_batch(events, gap_seconds=3600).select(
-        "user_id", "session_start", "session_end", "n_events"
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
     )
 
 
@@ -1888,7 +1900,11 @@ def q_dp_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphframes_spark.datapipe import retention
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return retention(events, periods=6, period_days=7)
+    out = retention(events, periods=6, period_days=7)
+    # ISO-string the cohort date so the driver's value hash sees the
+    # same canonical form from Spark and DuckDB (DATE round-trips
+    # through pandas differently per engine)
+    return out.withColumn("cohort", F.date_format("cohort", "yyyy-MM-dd"))
 
 
 def q_dp_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1935,24 +1951,82 @@ def q_dp_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
-    verifies the FIRST 50 entries against ``oracle_sql()``. The first 50
-    therefore carry one oracle-checkable query per SURVEY §2 component
-    plus the full LLM-data-pipeline tier; redundant companion variants
-    (``*_clique`` duplicates of green base queries) and seeded-random
-    queries whose deterministic companion is already in-window sit after
-    position 50 (still runnable, still benchmarked, still under pytest).
+    verifies the FIRST 50 entries against ``oracle_sql()``.
+
+    Round-6 rotation: rounds 1-5 accumulated driver-green rows for 64
+    queries (CORRECTNESS_r01..r05), always the same head of the dict.
+    This round the first 50 slots carry 50 of the 55 oracled queries
+    that have NEVER had a driver row (all locally oracle-green via
+    tools/check_oracles.py + scripts/selfcheck.py). The five deferred
+    to the next rotation are exact family-overlaps of already-green
+    rows (dp_lsh_exact / dp_ivf_exact share dp_ann_topk's oracle;
+    triangles / transitivity overlap triangle_count; describe_graph is
+    a composite of verified degree stats). Previously-green queries sit
+    after position 50 — still runnable, still benchmarked, still under
+    pytest and the local oracle selfcheck.
     """
     return {
-        # --- graph core: one oracle-bearing query per component
+        # ---- round-6 window: never-driver-verified, all oracled ----
+        # graph algorithms
+        "hits": q_hits,
+        "betweenness": q_betweenness,
+        "eigenvector": q_eigenvector,
+        "katz": q_katz,
+        "harmonic_centrality": q_harmonic_centrality,
+        "eccentricity": q_eccentricity,
+        "clustering_coefficient": q_clustering_coefficient,
+        "reciprocity": q_reciprocity,
+        "triad_census": q_triad_census,
+        "wl_labels": q_wl_labels,
+        "belief_propagation": q_belief_propagation,
+        "seeded_lpa": q_seeded_lpa,
+        "coloring_regions": q_coloring_regions,
+        "contract_regions": q_contract_regions,
+        "modularity_regions": q_modularity_regions,
+        "assortativity": q_assortativity,
+        "attr_assortativity": q_attr_assortativity,
+        "degree_distribution": q_degree_distribution,
+        "link_prediction": q_link_prediction,
+        "sample_subgraph": q_sample_subgraph,
+        "negative_edges": q_negative_edges,
+        "split_edges": q_split_edges,
+        "group_edges": q_group_edges,
+        "pagerank_weighted": q_pagerank_weighted,
+        "node2vec_chain": q_node2vec_chain,
+        # LLM-data-pipeline tier
+        "dp_funnel": q_dp_funnel,
+        "dp_retention": q_dp_retention,
+        "dp_lm_score": q_dp_lm_score,
+        "dp_pack": q_dp_pack,
+        "dp_remove_spans": q_dp_remove_spans,
+        "dp_dup_spans": q_dp_dup_spans,
+        "dp_dup_coverage": q_dp_dup_coverage,
+        "dp_bloom_decontam": q_dp_bloom_decontam,
+        "dp_cross_dedup": q_dp_cross_dedup,
+        "dp_dedup_corpus": q_dp_dedup_corpus,
+        "dp_keep_best": q_dp_keep_best,
+        "dp_sessionize": q_dp_sessionize,
+        "dp_chunking": q_dp_chunking,
+        "dp_balanced_sample": q_dp_balanced_sample,
+        "dp_temp_sample": q_dp_temp_sample,
+        "dp_split": q_dp_split,
+        "dp_source_rollup": q_dp_source_rollup,
+        "dp_profile": q_dp_profile,
+        "dp_normalize": q_dp_normalize,
+        "dp_redact": q_dp_redact,
+        "dp_tfidf": q_dp_tfidf,
+        "dp_word_freq": q_dp_word_freq,
+        "dp_boilerplate": q_dp_boilerplate,
+        "dp_quantize": q_dp_quantize,
+        "dp_stream_degrees": q_dp_stream_degrees,
+        # ------------- past the driver's 50-entry correctness window:
+        # driver-green in rounds 1-5 (CORRECTNESS_r01..r05), plus the
+        # seeded rows-only variants and the 5 deferred family-overlaps
         "out_degrees": q_out_degrees,
         "in_degrees": q_in_degrees,
         "degrees": q_degrees,
         "triplets": q_triplets,
         "motif_negation": q_motif_negation,
-        # louvain_regions holds the in-window slot motif_var_length used
-        # to occupy: motif `find` keeps motif_negation here (plus three
-        # companions after position 50), while Louvain — a whole new
-        # algorithm — gets a driver-verified row
         "louvain_regions": q_louvain_regions,
         "filter_vertices": q_filter_vertices,
         "filter_edges": q_filter_edges,
@@ -1960,12 +2034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "as_undirected_degrees": q_as_undirected_degrees,
         "as_reversed": q_as_reversed,
         "type_out_degree": q_type_out_degree,
-        # --- message passing / traversal
         "aggregate_messages": q_aggregate_messages,
         "aggregate_neighbors": q_aggregate_neighbors,
         "pregel_indegree": q_pregel_indegree,
         "bfs": q_bfs,
-        # --- iterative algorithms
         "connected_components": q_connected_components,
         "scc": q_scc,
         "pagerank": q_pagerank,
@@ -1977,18 +2049,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "kcore": q_kcore,
         "cycles": q_cycles,
-        # --- randomized algorithms via their deterministic invariants
         "mis_regions": q_mis_regions,
         "svdpp_norms": q_svdpp_norms,
         "pic_regions": q_pic_regions,
         "random_walk_stats": q_random_walk_stats,
         "sampling_convolution_full": q_sampling_convolution_full,
         "kmin_sampling": q_kmin_sampling,
-        # --- property graphs
         "pg_unify": q_pg_unify,
         "pg_projection": q_pg_projection,
         "pg_join_vertices": q_pg_join_vertices,
-        # --- LLM-data-pipeline tier
         "dp_exact_dedup": q_dp_exact_dedup,
         "dp_token_counts": q_dp_token_counts,
         "dp_quality": q_dp_quality,
@@ -2003,11 +2072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_contamination": q_dp_contamination,
         "dp_multimodal_features": q_dp_multimodal_features,
         "dp_multimodal_meta": q_dp_multimodal_meta,
-        # ---------------- past the driver's 50-entry correctness window:
-        # option-surface variants of components already green above
-        # (motif_two_hop is subsumed by motif_var_length's hop-1 join and
-        # motif_negation's positive leg; pagerank_personalized overlaps
-        # ppr's personalization semantics — both were green in r02+r03)
         "motif_two_hop": q_motif_two_hop,
         "pagerank_personalized": q_pagerank_personalized,
         "motif_mutual": q_motif_mutual,
@@ -2017,80 +2081,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths_undirected": q_shortest_paths_undirected,
         "triangle_count_approx": q_triangle_count_approx,
         "cc_string_labels": q_cc_string_labels,
-        # clique/regions companions of green base queries
         "cc_clique": q_cc_clique,
         "lpa_clique": q_lpa_clique,
         "pagerank_clique": q_pagerank_clique,
         "pg_copurchase": q_pg_copurchase,
-        # seeded-random (rows-only by design; deterministic companions
-        # mis_regions / random_walk_stats / pic_regions /
-        # sampling_convolution_full / kmin_sampling are in-window)
+        "motif_var_length": q_motif_var_length,
         "mis": q_mis,
         "random_walks": q_random_walks,
         "pic": q_pic,
         "sampling_convolution": q_sampling_convolution,
         "dp_lsh_topk": q_dp_lsh_topk,
         "dp_ivf_topk": q_dp_ivf_topk,
-        # oracled but past the window: the exact-mode ANN degenerations
-        # share dp_ann_topk's oracle (in-window), so the window slots go
-        # to distinct operators; all three still selfcheck + plan-audit
+        "louvain_copurchase": q_louvain_copurchase,
         "dp_lsh_exact": q_dp_lsh_exact,
         "dp_ivf_exact": q_dp_ivf_exact,
-        "dp_sessionize": q_dp_sessionize,
-        "dp_chunking": q_dp_chunking,
-        "harmonic_centrality": q_harmonic_centrality,
-        "node2vec_chain": q_node2vec_chain,
-        "dp_balanced_sample": q_dp_balanced_sample,
-        "dp_source_rollup": q_dp_source_rollup,
-        "hits": q_hits,
-        "link_prediction": q_link_prediction,
-        "clustering_coefficient": q_clustering_coefficient,
-        "sample_subgraph": q_sample_subgraph,
-        "degree_distribution": q_degree_distribution,
-        "assortativity": q_assortativity,
-        "modularity_regions": q_modularity_regions,
-        "dp_normalize": q_dp_normalize,
-        "dp_redact": q_dp_redact,
-        "dp_tfidf": q_dp_tfidf,
-        "betweenness": q_betweenness,
-        "eccentricity": q_eccentricity,
-        "dp_quantize": q_dp_quantize,
-        "dp_split": q_dp_split,
-        "dp_keep_best": q_dp_keep_best,
-        "pagerank_weighted": q_pagerank_weighted,
-        "coloring_regions": q_coloring_regions,
         "triangles": q_triangles,
         "transitivity": q_transitivity,
-        "reciprocity": q_reciprocity,
-        "katz": q_katz,
-        "motif_var_length": q_motif_var_length,
-        "louvain_copurchase": q_louvain_copurchase,
-        "dp_profile": q_dp_profile,
-        "dp_boilerplate": q_dp_boilerplate,
-        "contract_regions": q_contract_regions,
-        "seeded_lpa": q_seeded_lpa,
-        "wl_labels": q_wl_labels,
-        "attr_assortativity": q_attr_assortativity,
         "describe_graph": q_describe_graph,
-        "dp_stream_degrees": q_dp_stream_degrees,
-        "dp_dedup_corpus": q_dp_dedup_corpus,
-        "negative_edges": q_negative_edges,
-        "split_edges": q_split_edges,
-        "dp_pack": q_dp_pack,
-        "eigenvector": q_eigenvector,
-        "group_edges": q_group_edges,
-        "triad_census": q_triad_census,
-        "dp_dup_spans": q_dp_dup_spans,
-        "dp_word_freq": q_dp_word_freq,
-        "dp_temp_sample": q_dp_temp_sample,
-        "dp_dup_coverage": q_dp_dup_coverage,
-        "dp_bloom_decontam": q_dp_bloom_decontam,
-        "dp_cross_dedup": q_dp_cross_dedup,
-        "dp_remove_spans": q_dp_remove_spans,
-        "dp_funnel": q_dp_funnel,
-        "dp_retention": q_dp_retention,
-        "belief_propagation": q_belief_propagation,
-        "dp_lm_score": q_dp_lm_score,
     }
 
 
@@ -2795,7 +2802,9 @@ def oracle_sql() -> dict[str, str]:
                                       ROWS UNBOUNDED PRECEDING) AS sess
                 FROM b
             )
-            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess
         """,
@@ -3309,7 +3318,8 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT ts, dst AS id, 0 AS o, 1 AS i FROM e
             )
-            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, id,
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                            '%Y-%m-%d %H:%M:%S') AS w_start, id,
                    CAST(sum(o) AS BIGINT) AS out_degree,
                    CAST(sum(i) AS BIGINT) AS in_degree,
                    count(*) AS degree
@@ -4065,7 +4075,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cohort, period, count(*) AS n_active
                 FROM activity GROUP BY cohort, period
             )
-            SELECT a.cohort, a.period, s.n_cohort, a.n_active,
+            SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort,
+                   a.period, s.n_cohort, a.n_active,
                    round(a.n_active * 1.0 / s.n_cohort, 9) AS retention
             FROM active a JOIN sizes s USING (cohort)
         """,

@@ -171,19 +171,42 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "supersteps": supersteps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full detail (spread, superstep traces, raw samples) goes to a
+    # sidecar file; the stdout line must stay well under the driver's
+    # 2000-char stdout-tail capture or BENCH_r{N}.json ends up with a
+    # truncated, unparseable tail (this bit rounds 4-5: parsed=null).
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "supersteps": supersteps,
+        "samples": {k: [round(x, 3) for x in v] for k, v in samples.items()},
+        "sf": sf_val,
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full_latest.json"
     )
+    with open(sidecar, "w") as fh:
+        json.dump(full, fh, indent=1)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never exceed the tail capture
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+        )
+        compact["queries"] = {k: round(v, 2) for k, v in slowest.items()}
+        compact["queries_truncated_to_slowest"] = len(slowest)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

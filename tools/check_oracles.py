@@ -26,7 +26,14 @@ TABLES = [
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        # DuckDB returns DATE columns as datetime64[ns] / DatetimeArray
+        # while Spark's toPandas yields object dtype of datetime.date —
+        # canonicalize BOTH to ISO strings so equal dates compare equal.
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].dt.strftime("%Y-%m-%d %H:%M:%S").str.replace(
+                " 00:00:00", "", regex=False
+            )
+        elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 

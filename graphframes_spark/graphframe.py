@@ -915,10 +915,10 @@ class GraphFrame:
 
         return strongly_connected_components(self, maxIter)
 
-    def labelPropagation(self, maxIter: int = 5) -> DataFrame:
+    def labelPropagation(self, maxIter: int = 5, isDirected: bool = True) -> DataFrame:
         from graphframes_spark.lib.label_propagation import label_propagation
 
-        return label_propagation(self, maxIter)
+        return label_propagation(self, maxIter, is_directed=isDirected)
 
     def seededLabelPropagation(
         self,

@@ -107,6 +107,23 @@ def _scratch_dir(spark) -> str:
         ckpt = spark.conf.get("spark.checkpoint.dir", None)
     if ckpt is not None:
         return f"{ckpt.rstrip('/')}/randomized-contraction-{random.getrandbits(32):08x}"
+    master = ""
+    try:
+        master = spark.conf.get("spark.master", "") or ""
+    except Exception:
+        pass
+    if master and not master.startswith("local"):
+        # A driver-local temp dir is invisible to remote executors: the
+        # per-round parquet spill would silently read back empty/partial
+        # tables. Refuse instead of being wrong-by-default.
+        raise RuntimeError(
+            "randomized_contraction spills per-round representative tables "
+            f"to storage every executor can read; spark.master={master!r} "
+            "is multi-node but no checkpoint dir is set. Call "
+            "spark.sparkContext.setCheckpointDir(<shared path>) (HDFS/S3/"
+            "NFS) before running, or use the default two-phase "
+            "connectedComponents which needs only localCheckpoint."
+        )
     tmp = tempfile.mkdtemp(prefix="gfs-randomized-contraction-")
     warnings.warn(
         "randomized_contraction is spilling representative tables to a "

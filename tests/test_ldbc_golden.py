@@ -1,0 +1,250 @@
+"""LDBC Graphalytics golden-file conformance for BFS / CDLP / PR / WCC,
+directed + undirected — the pytest twin of the reference's
+TestLDBCCases.scala:22-232.
+
+The official ``test-*`` archives need network + zstd, so the fixtures are
+generated locally at the same scale and in the exact Graphalytics file
+layout (``<name>.v``, ``<name>.e``, ``<name>.properties``, and
+space-delimited ``<name>-BFS/-CDLP/-PR/-WCC`` expected files). The golden
+values are computed by INDEPENDENT pure-Python implementations of the
+Graphalytics algorithm specifications below — no graphframes_spark code
+touches the expected side — then everything flows through the real
+``ldbc`` loader + validators against the Spark algorithms, exactly as the
+reference test drives its engine.
+
+Spec semantics implemented here:
+- BFS: hop distance source -> vertex along out-edges (undirected: both
+  ways); unreachable = 2^63 - 1.
+- CDLP: synchronous; labels start as ids; new label = most frequent
+  among neighbor labels, ties -> minimum. Directed graphs count in- AND
+  out-edges separately (each edge contributes its endpoint's label in
+  both directions); no-neighbor vertices keep their label.
+- PR: r_0 = 1/N; r_{t+1}(v) = (1-d)/N + d * (sum_{u->v} r_t(u)/outdeg(u)
+  + dangling_mass/N). Fixtures are built dangling-free so the engine's
+  GraphX-compatible no-redistribution formulation is spec-identical.
+- WCC: components of the underlying undirected graph.
+"""
+
+import random
+from collections import Counter, deque
+
+import pytest
+
+from graphframes_spark import ldbc
+
+N = 60
+DAMPING = 0.85
+PR_ITERS = 10
+CDLP_ITERS = 5
+BFS_SOURCE = 1
+
+
+def _gen_directed_edges():
+    """Deterministic simple directed graph, no self-loops, every vertex
+    has >= 1 out-edge (keeps PR dangling-free)."""
+    rng = random.Random(7)
+    edges = set()
+    for i in range(1, N + 1):
+        j = (i * 7) % N + 1
+        if j != i:
+            edges.add((i, j))
+        else:
+            edges.add((i, i % N + 1))
+    while len(edges) < 4 * N:
+        a, b = rng.randrange(1, N + 1), rng.randrange(1, N + 1)
+        if a != b:
+            edges.add((a, b))
+    return sorted(edges)
+
+
+def _undirected_adj(edges):
+    adj = {v: [] for v in range(1, N + 1)}
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    return adj
+
+
+def _directed_out(edges):
+    out = {v: [] for v in range(1, N + 1)}
+    for a, b in edges:
+        out[a].append(b)
+    return out
+
+
+def _bfs(source, neighbors):
+    dist = {source: 0}
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        for w in neighbors[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    return {
+        v: dist.get(v, ldbc.UNREACHABLE_ID) for v in range(1, N + 1)
+    }
+
+
+def _cdlp(neighbor_multisets, iters):
+    labels = {v: v for v in range(1, N + 1)}
+    for _ in range(iters):
+        nxt = {}
+        for v in range(1, N + 1):
+            neigh = neighbor_multisets[v]
+            if not neigh:
+                nxt[v] = labels[v]
+                continue
+            counts = Counter(labels[u] for u in neigh)
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    return labels
+
+
+def _pagerank(out_adj, iters, damping):
+    ranks = {v: 1.0 / N for v in range(1, N + 1)}
+    for _ in range(iters):
+        dangling = sum(ranks[v] for v in range(1, N + 1) if not out_adj[v])
+        nxt = {v: (1.0 - damping) / N + damping * dangling / N for v in range(1, N + 1)}
+        for u in range(1, N + 1):
+            if out_adj[u]:
+                share = damping * ranks[u] / len(out_adj[u])
+                for w in out_adj[u]:
+                    nxt[w] += share
+        ranks = nxt
+    return ranks
+
+
+def _wcc(edges):
+    parent = {v: v for v in range(1, N + 1)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(1, N + 1)}
+
+
+def _write_case(root, name, edges, directed):
+    """Emit Graphalytics files + spec-computed goldens for one case."""
+    root.mkdir()
+    (root / f"{name}.v").write_text("".join(f"{v}\n" for v in range(1, N + 1)))
+    (root / f"{name}.e").write_text("".join(f"{a} {b}\n" for a, b in edges))
+    (root / f"{name}.properties").write_text(
+        f"graph.{name}.bfs.source-vertex = {BFS_SOURCE}\n"
+        f"graph.{name}.cdlp.max-iterations = {CDLP_ITERS}\n"
+        f"graph.{name}.pr.damping-factor = {DAMPING}\n"
+        f"graph.{name}.pr.num-iterations = {PR_ITERS}\n"
+    )
+    und = _undirected_adj(edges)
+    if directed:
+        bfs_neighbors = _directed_out(edges)
+        # in-edges and out-edges both contribute, with multiplicity
+        cdlp_neigh = {v: [] for v in range(1, N + 1)}
+        for a, b in edges:
+            cdlp_neigh[a].append(b)
+            cdlp_neigh[b].append(a)
+        pr_out = _directed_out(edges)
+    else:
+        bfs_neighbors = und
+        cdlp_neigh = und
+        pr_out = und
+
+    bfs = _bfs(BFS_SOURCE, bfs_neighbors)
+    (root / f"{name}-BFS").write_text(
+        "".join(f"{v} {bfs[v]}\n" for v in range(1, N + 1))
+    )
+    cdlp = _cdlp(cdlp_neigh, CDLP_ITERS)
+    (root / f"{name}-CDLP").write_text(
+        "".join(f"{v} {cdlp[v]}\n" for v in range(1, N + 1))
+    )
+    pr = _pagerank(pr_out, PR_ITERS, DAMPING)
+    (root / f"{name}-PR").write_text(
+        "".join(f"{v} {pr[v]:.12f}\n" for v in range(1, N + 1))
+    )
+    wcc = _wcc(edges)
+    (root / f"{name}-WCC").write_text(
+        "".join(f"{v} {wcc[v]}\n" for v in range(1, N + 1))
+    )
+
+
+@pytest.fixture(scope="module")
+def golden_cases(tmp_path_factory):
+    base = tmp_path_factory.mktemp("ldbc-golden")
+    edges = _gen_directed_edges()
+    _write_case(base / "test-directed", "test-directed", edges, directed=True)
+    _write_case(base / "test-undirected", "test-undirected", edges, directed=False)
+    return base
+
+
+def _load(spark, golden_cases, directed):
+    name = "test-directed" if directed else "test-undirected"
+    root = str(golden_cases / name)
+    g = ldbc.read_graph(spark, root, name, directed=directed)
+    props = ldbc.read_properties(root, name)
+    return g, root, name, props
+
+
+@pytest.mark.parametrize("directed", [True, False], ids=["directed", "undirected"])
+def test_golden_bfs(spark, golden_cases, directed):
+    g, root, name, props = _load(spark, golden_cases, directed)
+    expected = ldbc.read_expected(spark, root, name, "BFS")
+    src = int(props[f"graph.{name}.bfs.source-vertex"])
+    assert ldbc.bfs_mismatches(g, expected, src, is_directed=directed).count() == 0
+
+
+@pytest.mark.parametrize("directed", [True, False], ids=["directed", "undirected"])
+def test_golden_cdlp(spark, golden_cases, directed):
+    g, root, name, props = _load(spark, golden_cases, directed)
+    expected = ldbc.read_expected(spark, root, name, "CDLP")
+    iters = int(props[f"graph.{name}.cdlp.max-iterations"])
+    # directed Graphalytics CDLP = both-direction propagation on the raw
+    # edge list == labelPropagation(isDirected=False); pre-symmetrized
+    # undirected cases use incoming-only (reference test's setup)
+    assert (
+        ldbc.cdlp_mismatches(g, expected, iters, is_directed=not directed).count()
+        == 0
+    )
+
+
+@pytest.mark.parametrize("directed", [True, False], ids=["directed", "undirected"])
+def test_golden_pr(spark, golden_cases, directed):
+    g, root, name, props = _load(spark, golden_cases, directed)
+    expected = ldbc.read_expected(spark, root, name, "PR")
+    damping = float(props[f"graph.{name}.pr.damping-factor"])
+    iters = int(props[f"graph.{name}.pr.num-iterations"])
+    err = ldbc.pr_max_abs_error(
+        g, expected, reset_probability=1.0 - damping, max_iter=iters
+    )
+    assert err < 1e-4, f"max abs PR error {err}"
+
+
+@pytest.mark.parametrize("directed", [True, False], ids=["directed", "undirected"])
+def test_golden_wcc(spark, golden_cases, directed):
+    g, root, name, _ = _load(spark, golden_cases, directed)
+    expected = ldbc.read_expected(spark, root, name, "WCC")
+    assert ldbc.wcc_mismatches(g, expected).count() == 0
+
+
+def test_golden_validators_catch_corruption(spark, golden_cases):
+    """A corrupted golden row must surface as a mismatch — guards
+    against validators that trivially pass."""
+    g, root, name, props = _load(spark, golden_cases, True)
+    expected = ldbc.read_expected(spark, root, name, "BFS")
+    from pyspark.sql import functions as F
+
+    corrupted = expected.withColumn(
+        "distance",
+        F.when(F.col("id") == 2, F.col("distance") + 1).otherwise(
+            F.col("distance")
+        ),
+    )
+    src = int(props[f"graph.{name}.bfs.source-vertex"])
+    assert ldbc.bfs_mismatches(g, corrupted, src, is_directed=True).count() == 1

@@ -291,6 +291,44 @@ def test_cc_randomized_contraction(spark):
     assert len({comp[0], comp[3], comp[5]}) == 3
 
 
+def test_rc_scratch_dir_refuses_nonlocal_master_without_checkpoint():
+    """On a multi-node master with no checkpoint dir, the parquet spill
+    would land on driver-local disk invisible to executors — the helper
+    must raise rather than be silently wrong."""
+    from graphframes_spark.lib.randomized_contraction import _scratch_dir
+
+    class FakeConf:
+        def __init__(self, master):
+            self._m = master
+
+        def get(self, key, default=None):
+            return self._m if key == "spark.master" else default
+
+    class FakeSC:
+        def getCheckpointDir(self):
+            return None
+
+    class FakeSpark:
+        def __init__(self, master):
+            self.conf = FakeConf(master)
+            self.sparkContext = FakeSC()
+
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        _scratch_dir(FakeSpark("spark://head:7077"))
+    # local masters still fall back to a (warned) driver temp dir
+    with pytest.warns(RuntimeWarning):
+        d = _scratch_dir(FakeSpark("local[4]"))
+    assert "randomized-contraction" in d
+
+    class FakeSCWithCkpt(FakeSC):
+        def getCheckpointDir(self):
+            return "hdfs://nn/ckpt"
+
+    fs = FakeSpark("spark://head:7077")
+    fs.sparkContext = FakeSCWithCkpt()
+    assert _scratch_dir(fs).startswith("hdfs://nn/ckpt/randomized-contraction-")
+
+
 def test_cc_randomized_contraction_matches_two_phase(friends):
     rc = {
         r["id"]: r["component"]

@@ -1949,6 +1949,82 @@ def q_dp_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_hash2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash2Vec (embeddings.py hash2vec, mirroring Hash2Vec.scala:48-584)
+    on a deterministic walk set: one walk per region — its nation keys in
+    ascending order — with dim=8, window=2, constant decay, L2 norm. The
+    oracle replays the context windowing, signed accumulation, and
+    normalization in SQL; only the 25 per-token (index, sign) hash values
+    are precomputed literals (blake2b is not expressible in DuckDB)."""
+    from graphframes_spark.embeddings import hash2vec
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    seqs = nation.groupBy("n_regionkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list("n_nationkey")),
+            lambda x: x.cast("string"),
+        ).alias("walk")
+    )
+    emb = hash2vec(
+        seqs,
+        seq_col="walk",
+        dim=8,
+        window=2,
+        decay="constant",
+        normalize=True,
+        index_seed=0,
+        sign_seed=1,
+    )
+    return emb.select(
+        F.col("id"), F.posexplode("vector").alias("pos", "val")
+    ).select("id", "pos", F.round("val", 9).alias("val"))
+
+
+def q_dp_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming contamination monitor
+    (datapipe/streaming.py stream_contamination_flags): the operator is a
+    stateless shingle explode + broadcast-Bloom prefilter + stream-static
+    join + per-pair count, so running it on a batch DataFrame is the
+    IDENTICAL plan minus the micro-batch scheduler. Bench slice =
+    doc_id % 7 == 0; the Bloom stage has no false negatives, so the
+    oracle replays only the exact inverted-index semantics."""
+    from graphframes_spark.datapipe.bloom import build_bloom
+    from graphframes_spark.datapipe.streaming import stream_contamination_flags
+    from graphframes_spark.datapipe.text import shingles, tokenize
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    bloom = build_bloom(
+        bench.select(F.explode(shingles(tokenize(F.col("text")), 3)).alias("_sh")),
+        "_sh",
+        num_bits=1 << 18,
+        num_hashes=3,
+    )
+    return stream_contamination_flags(
+        docs, bench, n=3, min_shared=2, bloom=bloom
+    ).select("doc_id", "ref_doc_id", "n_shared")
+
+
+def q_dp_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming near-dup candidate filter
+    (datapipe/streaming.py stream_near_dup_candidates): the stream keys
+    per-document 1-permutation MinHash fingerprints
+    (min md5 over 3-token shingles) through first-wins stateful dedup;
+    the batch twin computes the same fingerprint column and applies the
+    deterministic keep rule (min doc_id per fingerprint). Documents
+    shorter than 3 tokens share a null fingerprint group, matching the
+    stream's null-key dedup behavior."""
+    from graphframes_spark.datapipe.text import minhash_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        F.col("doc_id"), minhash_fingerprint(F.col("text"), 3).alias("minfp")
+    )
+    return fp.groupBy("minfp").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "minfp"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
     verifies the FIRST 50 entries against ``oracle_sql()``.
@@ -2000,7 +2076,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_pack": q_dp_pack,
         "dp_remove_spans": q_dp_remove_spans,
         "dp_dup_spans": q_dp_dup_spans,
-        "dp_dup_coverage": q_dp_dup_coverage,
         "dp_bloom_decontam": q_dp_bloom_decontam,
         "dp_cross_dedup": q_dp_cross_dedup,
         "dp_dedup_corpus": q_dp_dedup_corpus,
@@ -2008,18 +2083,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_sessionize": q_dp_sessionize,
         "dp_chunking": q_dp_chunking,
         "dp_balanced_sample": q_dp_balanced_sample,
-        "dp_temp_sample": q_dp_temp_sample,
         "dp_split": q_dp_split,
         "dp_source_rollup": q_dp_source_rollup,
         "dp_profile": q_dp_profile,
         "dp_normalize": q_dp_normalize,
-        "dp_redact": q_dp_redact,
         "dp_tfidf": q_dp_tfidf,
         "dp_word_freq": q_dp_word_freq,
         "dp_boilerplate": q_dp_boilerplate,
         "dp_quantize": q_dp_quantize,
         "dp_stream_degrees": q_dp_stream_degrees,
+        # round-6 additions: the last §2 component without oracle
+        # evidence (hash2vec) + streaming batch twins
+        "hash2vec": q_hash2vec,
+        "dp_stream_contamination": q_dp_stream_contamination,
+        "dp_stream_near_dup": q_dp_stream_near_dup,
         # ------------- past the driver's 50-entry correctness window:
+        # displaced by the round-6 additions (in-window family
+        # siblings: dp_balanced_sample/dp_split, dp_dup_spans/
+        # dp_remove_spans, dp_normalize) - next rotation picks them up
+        "dp_temp_sample": q_dp_temp_sample,
+        "dp_dup_coverage": q_dp_dup_coverage,
+        "dp_redact": q_dp_redact,
         # driver-green in rounds 1-5 (CORRECTNESS_r01..r05), plus the
         # seeded rows-only variants and the 5 deferred family-overlaps
         "out_degrees": q_out_degrees,
@@ -2271,6 +2355,25 @@ _EN_STOP = "['the','a','of','and','to','in','is','that','it','for']"
 _DE_STOP = "['der','die','das','und','ist','nicht','ein','mit','auf','zu']"
 _FR_STOP = "['le','la','les','et','est','une','dans','pour','que','des']"
 _ES_STOP = "['el','la','los','y','es','una','en','por','que','con']"
+
+
+def _hash2vec_literal_rows() -> str:
+    """(token, feature-index, sign) literals for nation keys 0..24 under
+    hash2vec's blake2b index/sign hashing (embeddings.py:87-91) with
+    index_seed=0, sign_seed=1, dim=8 — precomputed because DuckDB cannot
+    evaluate blake2b; everything else about the oracle replays in SQL."""
+    import hashlib
+
+    def h(token: str, salt: int) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(f"{salt}:{token}".encode(), digest_size=8).digest(),
+            "big",
+        )
+
+    return ", ".join(
+        f"('{t}', {h(str(t), 0) % 8}, {1.0 if h(str(t), 1) & 1 else -1.0})"
+        for t in range(25)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4191,6 +4294,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                    round(a.avg_logp, 9) AS avg_logp
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+        # context windowing (|Δi| in 1..window), signed accumulation and
+        # L2 norm replay in SQL; only the 25 (index, sign) blake2b hash
+        # values are precomputed literals (DuckDB has no blake2b)
+        "hash2vec": f"""
+            WITH seq AS (
+                SELECT n_regionkey AS walk,
+                       CAST(n_nationkey AS VARCHAR) AS tok,
+                       row_number() OVER (PARTITION BY n_regionkey
+                                          ORDER BY n_nationkey) AS i
+                FROM nation
+            ),
+            h(token, idx, sgn) AS (VALUES {_hash2vec_literal_rows()}),
+            pairs AS (
+                SELECT t.tok AS target, c.tok AS ctx
+                FROM seq t JOIN seq c
+                  ON t.walk = c.walk AND abs(t.i - c.i) BETWEEN 1 AND 2
+            ),
+            contrib AS (
+                SELECT p.target, hh.idx, sum(hh.sgn) AS v
+                FROM pairs p JOIN h hh ON hh.token = p.ctx
+                GROUP BY p.target, hh.idx
+            ),
+            dense AS (
+                SELECT s.tok AS id, CAST(r.range AS INTEGER) AS pos,
+                       coalesce(c.v, 0.0) AS v
+                FROM (SELECT DISTINCT tok FROM seq) s
+                CROSS JOIN range(8) r
+                LEFT JOIN contrib c ON c.target = s.tok AND c.idx = r.range
+            ),
+            norms AS (SELECT id, sqrt(sum(v * v)) AS nrm FROM dense GROUP BY id)
+            SELECT d.id, d.pos,
+                   round(CASE WHEN n.nrm > 0 THEN d.v / n.nrm ELSE d.v END,
+                         9) AS val
+            FROM dense d JOIN norms n USING (id)
+        """,
+        # the Bloom prefilter has no false negatives, so the streaming
+        # operator's output equals the exact inverted-index semantics
+        "dp_stream_contamination": f"""
+            WITH sh AS ({_DOC_SHINGLES_SQL})
+            SELECT a.doc_id AS doc_id, b.doc_id AS ref_doc_id,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b
+              ON b.doc_id % 7 = 0 AND a.doc_id <> b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) >= 2
+        """,
+        "dp_stream_near_dup": f"""
+            WITH sh AS ({_DOC_SHINGLES_SQL}),
+            fp AS (
+                SELECT doc_id,
+                       list_min(list_transform(sh, s -> md5(s))) AS minfp
+                FROM sh
+            )
+            SELECT min(doc_id) AS doc_id, minfp FROM fp GROUP BY minfp
         """,
     }
 

@@ -45,6 +45,9 @@ ALLOWED_QUADRATIC = {
     # dp_lm_score: the vocabulary size V is a 1-row broadcast onto the
     # scored bigram stream (same scalar-broadcast shape as dp_word_freq)
     "dp_lm_score",
+    # dp_stream_contamination: same 1-row packed-bloom-bitset broadcast
+    # as dp_bloom_decontam (attach_bloom), via the streaming operator
+    "dp_stream_contamination",
 }
 
 

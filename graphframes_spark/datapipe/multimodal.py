@@ -108,6 +108,137 @@ def extract_features(
     return pruned.mapInPandas(run, schema=schema)
 
 
+def pil_image_decoder(dim: int = FEATURE_DIM) -> Callable[[bytes], List[float]]:
+    """Real image decoder adapter: PIL behind an optional import.
+
+    Returns a ``bytes -> list[float]`` callable for
+    :func:`extract_features`: decode, convert to 8-bit grayscale, and
+    emit an L1-normalized ``dim``-bin intensity histogram — deterministic
+    for a given payload, any raster format PIL reads. Raises
+    ``GraphFramesError`` with a remediation hint when PIL is absent (this
+    container does not ship it), keeping the Arrow-side plumbing
+    importable and testable with the deterministic fakes."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - PIL not in container
+        from graphframes_spark.util import GraphFramesError
+
+        raise GraphFramesError(
+            "PIL is not installed; `pip install pillow` on the cluster "
+            "image, or use fake_decoder for plumbing tests"
+        ) from exc
+
+    def decode(payload: bytes) -> List[float]:
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        hist = img.histogram()  # 256 bins
+        per = 256 // dim
+        counts = [float(sum(hist[i * per : (i + 1) * per])) for i in range(dim)]
+        total = sum(counts) or 1.0
+        return [c / total for c in counts]
+
+    return decode
+
+
+def pil_resizer(fmt: str = "PNG") -> Callable[[bytes, int, int], bytes]:
+    """Real image resizer adapter for :func:`resize_images`: PIL
+    ``Image.resize`` re-encoded to ``fmt``, behind the same optional
+    import contract as :func:`pil_image_decoder`."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - PIL not in container
+        from graphframes_spark.util import GraphFramesError
+
+        raise GraphFramesError(
+            "PIL is not installed; `pip install pillow` on the cluster "
+            "image, or use fake_resizer for plumbing tests"
+        ) from exc
+
+    def resize(payload: bytes, width: int, height: int) -> bytes:
+        img = Image.open(io.BytesIO(payload))
+        out = io.BytesIO()
+        img.resize((width, height)).save(out, format=fmt)
+        return out.getvalue()
+
+    return resize
+
+
+def wav_audio_decoder(dim: int = FEATURE_DIM) -> Callable[[bytes], List[float]]:
+    """Real audio decoder (stdlib ``wave`` — no optional dependency):
+    parse a RIFF/WAV payload and emit ``dim`` per-window RMS energy
+    features, L-inf normalized. 16-bit PCM; undecodable payloads raise,
+    letting a ``mapInPandas`` wrapper drop or quarantine them."""
+    import struct as _struct
+    import wave
+
+    def decode(payload: bytes) -> List[float]:
+        import io
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n = w.getnframes()
+            raw = w.readframes(n)
+            width = w.getsampwidth()
+        if width != 2:
+            raise ValueError(f"only 16-bit PCM supported, got width {width}")
+        samples = _struct.unpack(f"<{len(raw) // 2}h", raw)
+        if not samples:
+            return [0.0] * dim
+        step = max(1, len(samples) // dim)
+        feats = []
+        for i in range(dim):
+            win = samples[i * step : (i + 1) * step]
+            if win:
+                feats.append((sum(s * s for s in win) / len(win)) ** 0.5)
+            else:
+                feats.append(0.0)
+        peak = max(feats) or 1.0
+        return [f / peak for f in feats]
+
+    return decode
+
+
+def soundfile_audio_decoder(
+    dim: int = FEATURE_DIM,
+) -> Callable[[bytes], List[float]]:
+    """Real audio decoder adapter for non-WAV formats (FLAC/OGG/...):
+    ``soundfile`` behind an optional import; same per-window RMS feature
+    shape as :func:`wav_audio_decoder`."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - not in container
+        from graphframes_spark.util import GraphFramesError
+
+        raise GraphFramesError(
+            "soundfile is not installed; `pip install soundfile` on the "
+            "cluster image, or use wav_audio_decoder for WAV payloads"
+        ) from exc
+
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    def decode(payload: bytes) -> List[float]:
+        data, _sr = sf.read(io.BytesIO(payload), always_2d=True)
+        mono = data.mean(axis=1)
+        if mono.size == 0:
+            return [0.0] * dim
+        step = max(1, mono.size // dim)
+        feats = [
+            float(np.sqrt(np.mean(mono[i * step : (i + 1) * step] ** 2)))
+            if mono[i * step : (i + 1) * step].size
+            else 0.0
+            for i in range(dim)
+        ]
+        peak = max(feats) or 1.0
+        return [f / peak for f in feats]
+
+    return decode
+
+
 def fake_frame_extractor(payload: bytes, n_frames: int) -> List[bytes]:
     """Deterministic stand-in for a video frame sampler: n_frames evenly
     sized byte slices of the payload. Replace with an ffmpeg/pyav

@@ -209,6 +209,103 @@ def test_unavailable_decoder_raises(spark):
         dp.extract_features(df, decoder=unavailable_decoder).collect()
 
 
+def _wav_bytes(samples, framerate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_wav_audio_decoder_real_codec(spark):
+    """End-to-end REAL decode (stdlib wave, no stub): loud first half,
+    silent second half -> energy features drop across windows."""
+    loud = [10000 if i % 2 else -10000 for i in range(800)] + [0] * 800
+    quiet = [100 if i % 2 else -100 for i in range(1600)]
+    rows = [(1, bytearray(_wav_bytes(loud))), (2, bytearray(_wav_bytes(quiet)))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {
+        r["id"]: r["features"]
+        for r in dp.extract_features(
+            df, decoder=dp.wav_audio_decoder(dim=4), dim=4
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    # doc 1: first two windows loud (=1.0 after peak-norm), last two silent
+    assert out[1][0] == pytest.approx(1.0) and out[1][3] == pytest.approx(0.0)
+    # doc 2: constant amplitude -> all windows at the peak
+    assert all(f == pytest.approx(1.0) for f in out[2])
+
+
+def test_wav_audio_decoder_rejects_garbage():
+    with pytest.raises(Exception):
+        dp.wav_audio_decoder()(b"not a wav file")
+
+
+_HAS_PIL = True
+try:  # adapters are optional-import; tests gate on availability
+    import PIL  # noqa: F401
+except ImportError:
+    _HAS_PIL = False
+
+_HAS_SF = True
+try:
+    import soundfile  # noqa: F401
+except ImportError:
+    _HAS_SF = False
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL installed: error path not reachable")
+def test_pil_adapters_raise_clear_error_when_absent():
+    from graphframes_spark.util import GraphFramesError
+
+    with pytest.raises(GraphFramesError, match="pillow"):
+        dp.pil_image_decoder()
+    with pytest.raises(GraphFramesError, match="pillow"):
+        dp.pil_resizer()
+
+
+@pytest.mark.skipif(_HAS_SF, reason="soundfile installed: error path not reachable")
+def test_soundfile_adapter_raises_clear_error_when_absent():
+    from graphframes_spark.util import GraphFramesError
+
+    with pytest.raises(GraphFramesError, match="soundfile"):
+        dp.soundfile_audio_decoder()
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed")
+def test_pil_decoder_and_resizer_real_codec(spark):
+    import io
+
+    from PIL import Image
+
+    def png(color, size=(8, 8)):
+        buf = io.BytesIO()
+        Image.new("L", size, color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, bytearray(png(0))), (2, bytearray(png(255)))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {
+        r["id"]: r["features"]
+        for r in dp.extract_features(
+            df, decoder=dp.pil_image_decoder(dim=16), dim=16
+        ).collect()
+    }
+    assert out[1][0] == pytest.approx(1.0)  # all-black -> lowest bin
+    assert out[2][15] == pytest.approx(1.0)  # all-white -> highest bin
+    resized = dp.resize_images(df, width=2, height=3, resizer=dp.pil_resizer())
+    r = resized.filter("id = 1").first()
+    img = Image.open(io.BytesIO(bytes(r["resized"])))
+    assert img.size == (2, 3)
+
+
 def test_repetition_stats(spark):
     rows = [(1, "a b a b a"), (2, "x y z w"), (3, "q"), (4, "")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])

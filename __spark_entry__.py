@@ -1949,6 +1949,35 @@ def q_dp_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_svdpp_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SVD++ output (lib/svdpp.py, mirroring the reference's
+    SVDPlusPlus.scala): rank=2, one gradient iteration on the
+    customer-order rating graph with md5-based deterministic init. The
+    oracle unrolls the entire iteration — init, phase-1 implicit-factor
+    fold, per-edge clamped-error gradients, message summation — as
+    cascaded CTEs, hash-matching every latent factor, bias, and norm."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    v = customer.select(F.col("c_custkey").alias("id")).unionByName(
+        orders.select((F.col("o_orderkey") + ORDER_OFFSET).alias("id"))
+    )
+    e = orders.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst"),
+        (F.col("o_totalprice") / 100000.0).alias("weight"),
+    )
+    df, _loss = GraphFrame(v, e).svdPlusPlus(rank=2, maxIter=1)
+    return df.select(
+        F.col("id"),
+        F.round(F.element_at("column1", 1), 7).alias("f0"),
+        F.round(F.element_at("column1", 2), 7).alias("f1"),
+        F.round(F.element_at("column2", 1), 7).alias("i0"),
+        F.round(F.element_at("column2", 2), 7).alias("i1"),
+        F.round("column3", 7).alias("bias"),
+        F.round("column4", 8).alias("norm"),
+    )
+
+
 def q_hash2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash2Vec (embeddings.py hash2vec, mirroring Hash2Vec.scala:48-584)
     on a deterministic walk set: one walk per region — its nation keys in
@@ -2088,12 +2117,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_profile": q_dp_profile,
         "dp_normalize": q_dp_normalize,
         "dp_tfidf": q_dp_tfidf,
-        "dp_word_freq": q_dp_word_freq,
         "dp_boilerplate": q_dp_boilerplate,
         "dp_quantize": q_dp_quantize,
         "dp_stream_degrees": q_dp_stream_degrees,
         # round-6 additions: the last §2 component without oracle
-        # evidence (hash2vec) + streaming batch twins
+        # evidence (hash2vec), streaming batch twins, full SVD++
+        "svdpp_full": q_svdpp_full,
         "hash2vec": q_hash2vec,
         "dp_stream_contamination": q_dp_stream_contamination,
         "dp_stream_near_dup": q_dp_stream_near_dup,
@@ -2102,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # siblings: dp_balanced_sample/dp_split, dp_dup_spans/
         # dp_remove_spans, dp_normalize) - next rotation picks them up
         "dp_temp_sample": q_dp_temp_sample,
+        "dp_word_freq": q_dp_word_freq,
         "dp_dup_coverage": q_dp_dup_coverage,
         "dp_redact": q_dp_redact,
         # driver-green in rounds 1-5 (CORRECTNESS_r01..r05), plus the
@@ -4339,6 +4369,91 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b
               ON b.doc_id % 7 = 0 AND a.doc_id <> b.doc_id
             WHERE len(list_intersect(a.sh, b.sh)) >= 2
+        """,
+        # one full SVD++ gradient iteration unrolled: md5 init (slots
+        # 2,3 = column1; 4,5 = column2 at rank 2), phase-1 implicit fold
+        # (users only), clamped-error gradients, per-vertex message sums
+        "svdpp_full": f"""
+            WITH e AS (
+                SELECT o_custkey AS src, o_orderkey + {ORDER_OFFSET} AS dst,
+                       o_totalprice / 100000.0 AS w
+                FROM orders
+            ),
+            mu AS (SELECT avg(w) AS u FROM e),
+            ends AS (
+                SELECT src AS id, w FROM e UNION ALL SELECT dst, w FROM e
+            ),
+            t0 AS (SELECT id, count(*) AS cnt, sum(w) AS s FROM ends GROUP BY id),
+            init AS (
+                SELECT id,
+                       ('0x' || substr(md5(CAST(id AS VARCHAR) || '_2'), 1, 12))::BIGINT % 1000000 / 1000000.0 AS p0,
+                       ('0x' || substr(md5(CAST(id AS VARCHAR) || '_3'), 1, 12))::BIGINT % 1000000 / 1000000.0 AS p1,
+                       ('0x' || substr(md5(CAST(id AS VARCHAR) || '_4'), 1, 12))::BIGINT % 1000000 / 1000000.0 AS y0,
+                       ('0x' || substr(md5(CAST(id AS VARCHAR) || '_5'), 1, 12))::BIGINT % 1000000 / 1000000.0 AS y1,
+                       s / cnt - (SELECT u FROM mu) AS b,
+                       1.0 / sqrt(cnt) AS nrm
+                FROM t0
+            ),
+            t1 AS (
+                SELECT e.src AS id, sum(i.y0) AS sy0, sum(i.y1) AS sy1
+                FROM e JOIN init i ON i.id = e.dst GROUP BY e.src
+            ),
+            ph1 AS (
+                SELECT i.id, i.p0, i.p1,
+                       CASE WHEN t1.id IS NULL THEN i.y0
+                            ELSE i.nrm * t1.sy0 + i.p0 END AS c20,
+                       CASE WHEN t1.id IS NULL THEN i.y1
+                            ELSE i.nrm * t1.sy1 + i.p1 END AS c21,
+                       i.b, i.nrm
+                FROM init i LEFT JOIN t1 ON t1.id = i.id
+            ),
+            trip AS (
+                SELECT e.src, e.dst, e.w,
+                       s.p0, s.p1, s.c20 AS u20, s.c21 AS u21,
+                       s.b AS bu, s.nrm,
+                       d.p0 AS q0, d.p1 AS q1, d.c20 AS y0, d.c21 AS y1,
+                       d.b AS bi
+                FROM e
+                JOIN ph1 s ON s.id = e.src
+                JOIN ph1 d ON d.id = e.dst
+            ),
+            gr AS (
+                SELECT *,
+                       w - least(greatest((SELECT u FROM mu) + bu + bi
+                                          + q0 * u20 + q1 * u21, 0.0), 5.0)
+                           AS er
+                FROM trip
+            ),
+            msgs AS (
+                SELECT src AS id,
+                       (er * q0 - 0.015 * p0) * 0.007 AS m10,
+                       (er * q1 - 0.015 * p1) * 0.007 AS m11,
+                       (er * nrm * q0 - 0.015 * y0) * 0.007 AS m20,
+                       (er * nrm * q1 - 0.015 * y1) * 0.007 AS m21,
+                       (er - 0.005 * bu) * 0.007 AS m3
+                FROM gr
+                UNION ALL
+                SELECT dst,
+                       (er * u20 - 0.015 * q0) * 0.007,
+                       (er * u21 - 0.015 * q1) * 0.007,
+                       (er * nrm * q0 - 0.015 * y0) * 0.007,
+                       (er * nrm * q1 - 0.015 * y1) * 0.007,
+                       (er - 0.005 * bi) * 0.007
+                FROM gr
+            ),
+            agg AS (
+                SELECT id, sum(m10) AS a10, sum(m11) AS a11,
+                       sum(m20) AS a20, sum(m21) AS a21, sum(m3) AS a3
+                FROM msgs GROUP BY id
+            )
+            SELECT h.id,
+                   round(h.p0 + coalesce(a.a10, 0), 7) AS f0,
+                   round(h.p1 + coalesce(a.a11, 0), 7) AS f1,
+                   round(h.c20 + coalesce(a.a20, 0), 7) AS i0,
+                   round(h.c21 + coalesce(a.a21, 0), 7) AS i1,
+                   round(h.b + coalesce(a.a3, 0), 7) AS bias,
+                   round(h.nrm, 8) AS norm
+            FROM ph1 h LEFT JOIN agg a ON a.id = h.id
         """,
         "dp_stream_near_dup": f"""
             WITH sh AS ({_DOC_SHINGLES_SQL}),

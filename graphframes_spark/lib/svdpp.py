@@ -103,17 +103,26 @@ def svd_plus_plus(
     if u is None:
         raise GraphFramesError("SVD++ requires at least one edge")
 
-    # deterministic stand-in for the reference's unseeded Random init
+    # deterministic stand-in for the reference's unseeded Random init.
+    # md5 of "<id>_<slot>" (not xxhash64, which is Spark-only) so a SQL
+    # oracle on any engine can replay the full training loop bit-for-bit
     def init_vec(salt: int) -> Column:
-        return F.array(
-            *[
-                (
-                    F.pmod(F.xxhash64(F.col(ID), F.lit(salt * rank + i)), F.lit(1_000_000))
-                    / 1_000_000.0
-                )
-                for i in range(rank)
-            ]
-        )
+        def h(slot: int) -> Column:
+            hex12 = F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(ID).cast("string"), F.lit("_"), F.lit(str(slot))
+                    )
+                ),
+                1,
+                12,
+            )
+            return (
+                F.pmod(F.conv(hex12, 16, 10).cast("bigint"), F.lit(1_000_000))
+                / 1_000_000.0
+            )
+
+        return F.array(*[h(salt * rank + i) for i in range(rank)])
 
     # t0: per-vertex (count, sum of ratings) over both endpoints
     both_ends = edges.select(

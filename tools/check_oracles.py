@@ -4,10 +4,15 @@ Runs every ``queries()`` entry against its ``oracle_sql()`` at a given SF
 and compares row count, column names, and order-insensitive values.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
+
+Set CHECK_ORACLES_JSON=<path> to also write a machine-readable summary
+(per-query status) mirroring the driver's CORRECTNESS file shape.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 
 import duckdb
@@ -65,6 +70,11 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    summary = {}
+
+    def record(name, status, rows=None, detail=None):
+        summary[name] = {"status": status, "rows": rows, "detail": detail}
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -72,24 +82,29 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             failures.append(name)
+            record(name, "fail", detail=f"spark raised {type(ex).__name__}")
             print(f"FAIL {name}: spark query raised {type(ex).__name__}: {ex}")
             continue
         if name not in oracles:
+            record(name, "rows_only", rows=len(sdf))
             print(f"SKIP {name}: no oracle ({len(sdf)} rows)")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as ex:
             failures.append(name)
+            record(name, "fail", detail=f"oracle raised {type(ex).__name__}")
             print(f"FAIL {name}: oracle raised {type(ex).__name__}: {ex}")
             continue
         s, o = normalize(sdf), normalize(odf)
         if list(s.columns) != list(o.columns):
             failures.append(name)
+            record(name, "fail", detail="column mismatch")
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
             continue
         if len(s) != len(o):
             failures.append(name)
+            record(name, "fail", detail=f"rows {len(s)} vs {len(o)}")
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
             continue
         try:
@@ -98,9 +113,16 @@ def main() -> int:
             )
         except AssertionError as ex:
             failures.append(name)
+            record(name, "fail", detail="values differ")
             print(f"FAIL {name}: values differ: {str(ex)[:300]}")
             continue
+        record(name, "ok", rows=len(s))
         print(f"OK   {name}: {len(s)} rows")
+
+    json_path = os.environ.get("CHECK_ORACLES_JSON")
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": summary}, fh, indent=1)
 
     print(f"\n{len(failures)} failures" if failures else "\nall OK")
     return 1 if failures else 0

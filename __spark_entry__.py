@@ -2060,15 +2060,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-6 rotation: rounds 1-5 accumulated driver-green rows for 64
     queries (CORRECTNESS_r01..r05), always the same head of the dict.
-    This round the first 50 slots carry 50 of the 55 oracled queries
-    that have NEVER had a driver row (all locally oracle-green via
-    tools/check_oracles.py + scripts/selfcheck.py). The five deferred
-    to the next rotation are exact family-overlaps of already-green
-    rows (dp_lsh_exact / dp_ivf_exact share dp_ann_topk's oracle;
-    triangles / transitivity overlap triangle_count; describe_graph is
-    a composite of verified degree stats). Previously-green queries sit
-    after position 50 — still runnable, still benchmarked, still under
-    pytest and the local oracle selfcheck.
+    This round the first 50 slots carry only never-driver-verified
+    oracled queries: 46 of the 55 pre-existing ones plus the four new
+    round-6 queries (hash2vec, svdpp_full, dp_stream_contamination,
+    dp_stream_near_dup). All 123 oracled registry queries are locally
+    green at sf0.01 (tools/check_oracles.py full run, this round). The
+    nine deferred to the next rotation are family-overlaps of rows that
+    are green or in-window (dp_lsh_exact / dp_ivf_exact share
+    dp_ann_topk's oracle; triangles / transitivity overlap
+    triangle_count; describe_graph composes verified degree stats;
+    dp_temp_sample / dp_word_freq / dp_dup_coverage / dp_redact have
+    in-window family siblings). Previously-green queries sit after
+    position 50 — still runnable, still benchmarked, still under pytest
+    and the local oracle selfcheck.
     """
     return {
         # ---- round-6 window: never-driver-verified, all oracled ----

@@ -96,6 +96,11 @@ HEADLINE = [
     "dp_funnel",
     "dp_retention",
     "dp_lm_score",
+    # round-6 additions
+    "hash2vec",
+    "svdpp_full",
+    "dp_stream_contamination",
+    "dp_stream_near_dup",
 ]
 
 

@@ -20,11 +20,11 @@ Deviations from the reference, both documented here on purpose:
   doubles one side (SVDPlusPlus.scala:176-178), an apparent typo.
 
 Scale notes: per phase the only wide ops are the two state joins and a
-``posexplode → groupBy(id, pos) → sum`` array reduction — partial
-aggregation everywhere, per-row state bounded by ``rank`` (no
-collect_list of neighbor arrays, so hub users cannot OOM an executor).
-Vertex state is local-checkpointed every iteration to keep the plan
-flat.
+single ``groupBy(id)`` whose array sums unroll to ``rank`` scalar
+``sum(element_at(...))`` aggregates — partial aggregation everywhere,
+per-row state bounded by ``rank`` (no collect_list of neighbor arrays,
+so hub users cannot OOM an executor). Vertex state is
+local-checkpointed every iteration to keep the plan flat.
 """
 
 from __future__ import annotations
@@ -57,19 +57,16 @@ def _axpy(alpha: Column, x: Column, y: Column) -> Column:
     return F.zip_with(x, y, lambda xi, yi: alpha * xi + yi)
 
 
-def _sum_arrays(msgs: DataFrame, key: str, arr_col: str) -> DataFrame:
-    """groupBy(key).sum of an array column without per-row unbounded state:
-    posexplode → groupBy(key, pos) → sum → reassemble (collect_list bounded
-    by the rank, not the degree)."""
-    exploded = msgs.select(
-        F.col(key), F.posexplode(F.col(arr_col)).alias("_pos", "_val")
-    )
-    per_pos = exploded.groupBy(key, "_pos").agg(F.sum("_val").alias("_val"))
-    return per_pos.groupBy(key).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_pos", "_val"))), lambda s: s["_val"]
-        ).alias(arr_col)
-    )
+def _sum_array(arr_col: str, rank: int) -> Column:
+    """groupBy aggregate that element-wise sums an array<double> column.
+
+    ``rank`` is a plan-time constant, so the array reduces to ``rank``
+    scalar ``sum(element_at(...))`` aggregates — one shuffle with full
+    map-side partial aggregation, no posexplode and no re-assembly pass.
+    Per-row agg state stays bounded by the rank, not the degree."""
+    return F.array(
+        *[F.sum(F.element_at(F.col(arr_col), i + 1)) for i in range(rank)]
+    ).alias(arr_col)
 
 
 def svd_plus_plus(
@@ -167,8 +164,11 @@ def svd_plus_plus(
 
     for _ in harness.iterations(max_iter):
         # Phase 1: usr.column2 = p + norm * sum(y_j over rated items)
-        t1 = _sum_arrays(
-            join_triplets(state).select(F.col(SRC).alias(ID), F.col("y")), ID, "y"
+        t1 = (
+            join_triplets(state)
+            .select(F.col(SRC).alias(ID), F.col("y"))
+            .groupBy(ID)
+            .agg(_sum_array("y", rank))
         )
         state = harness.persist(
             state.join(t1, on=ID, how="left").select(
@@ -219,15 +219,16 @@ def svd_plus_plus(
                 )
             ).alias("x")
         ).select("x.id", "x.m1", "x.m2", "x.m3")
-        m1 = _sum_arrays(msgs.select(ID, "m1"), ID, "m1")
-        m2 = _sum_arrays(msgs.select(ID, "m2"), ID, "m2")
-        m3 = msgs.groupBy(ID).agg(F.sum("m3").alias("m3"))
+        # one shuffle for all three message sums (m1/m2 element-wise,
+        # m3 scalar), then a single left join back onto the state
+        summed = msgs.groupBy(ID).agg(
+            _sum_array("m1", rank),
+            _sum_array("m2", rank),
+            F.sum("m3").alias("m3"),
+        )
 
         state = harness.checkpoint(
-            state.join(m1, on=ID, how="left")
-            .join(m2, on=ID, how="left")
-            .join(m3, on=ID, how="left")
-            .select(
+            state.join(summed, on=ID, how="left").select(
                 F.col(ID),
                 F.when(F.col("m1").isNull(), F.col(COLUMN1))
                 .otherwise(F.zip_with(F.col(COLUMN1), F.col("m1"), lambda a, b: a + b))

@@ -8,9 +8,9 @@
   index of the target's vector; vectors are summed per token across all
   sequences and L2-normalized. The reference drops to RDD mapPartitions
   + BLAS; here the per-partition accumulation is an Arrow-batched
-  ``mapInPandas`` with numpy, and the cross-partition combine is a
-  posexplode → groupBy(id, pos) → sum (partial-aggregatable, no
-  driver-side state).
+  ``mapInPandas`` with numpy, and the cross-partition combine is one
+  groupBy(id) of ``dim`` unrolled per-position sums (partial-
+  aggregatable, no driver-side state).
 - ``RandomWalkEmbeddings``: orchestrates walks → Word2Vec
   (pyspark.ml, JVM-native) or hash2vec, with optional GraphSAGE-ish
   neighbor mean-aggregation
@@ -41,7 +41,22 @@ from graphframes_spark.util import ID, GraphFramesError
 VECTOR_COL = "vector"
 
 
-def _sum_vectors(df: DataFrame, key: str, vec_col: str) -> DataFrame:
+def _sum_vectors(
+    df: DataFrame, key: str, vec_col: str, dim: Optional[int] = None
+) -> DataFrame:
+    """groupBy(key) element-wise sum of an array<double> column.
+
+    With a plan-time ``dim`` the array unrolls to ``dim`` scalar
+    ``sum(element_at(...))`` aggregates — one shuffle, full map-side
+    partial aggregation. Without it (vector width unknown until
+    runtime), fall back to posexplode → groupBy(key, pos) → sum →
+    reassemble; agg state stays bounded by the width either way."""
+    if dim is not None:
+        return df.groupBy(key).agg(
+            F.array(
+                *[F.sum(F.element_at(F.col(vec_col), i + 1)) for i in range(dim)]
+            ).alias(vec_col)
+        )
     exploded = df.select(F.col(key), F.posexplode(F.col(vec_col)).alias("_p", "_v"))
     per_pos = exploded.groupBy(key, "_p").agg(F.sum("_v").alias("_v"))
     return per_pos.groupBy(key).agg(
@@ -121,7 +136,7 @@ def hash2vec(
     partials = sequences.select(seq_col).mapInPandas(
         accumulate, schema=f"{ID} string, {VECTOR_COL} array<double>"
     )
-    summed = _sum_vectors(partials, ID, VECTOR_COL)
+    summed = _sum_vectors(partials, ID, VECTOR_COL, dim=dim)
     if not normalize:
         return summed
     norm = F.sqrt(

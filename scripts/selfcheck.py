@@ -53,6 +53,11 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # cap the SQL status store: it retains 1000 executions even
+        # with the UI off, and iterative plans carry thousands of
+        # metrics each — a full-registry run otherwise pins GBs
+        .config("spark.sql.ui.retainedExecutions", "16")
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

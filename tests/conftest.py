@@ -1,3 +1,5 @@
+import gc
+
 import pytest
 from pyspark.sql import SparkSession
 
@@ -14,11 +16,36 @@ def spark():
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "4g")
+        # localCheckpoint blocks from iterative algorithms are only
+        # dropped after a JVM GC lets ContextCleaner see the dead RDDs;
+        # the default periodic-GC interval (30min) is longer than the
+        # suite, so a long run can exhaust unified memory (observed:
+        # UNABLE_TO_ACQUIRE_MEMORY ~33min in). Collect every minute.
+        .config("spark.cleaner.periodicGC.interval", "1min")
+        # the SQL status store retains the last 1000 executions EVEN
+        # WITH THE UI DISABLED; fused iterative plans carry thousands
+        # of metrics each, so ~450 tests retained ~2.6GB of live
+        # SQLPlanMetric arrays (measured via GC.class_histogram) and
+        # starved the 4g heap. Keep a handful for debugging, not 1000.
+        .config("spark.sql.ui.retainedExecutions", "16")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
     spark.stop()
+
+
+@pytest.fixture(autouse=True)
+def _release_py4j_refs(request):
+    """Drop dead py4j DataFrame refs promptly after iteration-heavy tests
+    so ContextCleaner (see periodicGC above) can actually free their
+    localCheckpoint blocks — CPython's allocator rarely runs gen-2 GC on
+    its own here because the Python-side objects are tiny."""
+    yield
+    if request.node.get_closest_marker("slow") is not None:
+        gc.collect()
 
 
 @pytest.fixture(scope="session")

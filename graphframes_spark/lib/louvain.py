@@ -291,6 +291,7 @@ def louvain(
     # total: original id -> current supervertex id
     total = vertices.select(F.col(ID), F.col(ID).alias("_sv"))
     level_vertices = vertices
+    level_count = None  # lazily counted; carried across passes
     for _ in range(max_passes):
         asg, moves = _local_moving(
             cedges, level_vertices, m, max_rounds_per_pass
@@ -321,8 +322,11 @@ def louvain(
             .localCheckpoint(eager=True)
         )
         new_vertices = asg.select(F.col(COMMUNITY).alias(ID)).distinct()
-        shrunk = new_vertices.count() < level_vertices.count()
-        cedges, level_vertices = contracted, new_vertices
+        if level_count is None:
+            level_count = level_vertices.count()
+        new_count = new_vertices.count()
+        shrunk = new_count < level_count
+        cedges, level_vertices, level_count = contracted, new_vertices, new_count
         if not shrunk:
             break
 

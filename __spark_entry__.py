@@ -3370,7 +3370,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, shard,
                    CAST(floor((cum - n_tokens) * 1.0 / 256) AS BIGINT) AS bin,
-                   (cum - n_tokens) % 256 AS bin_pos,
+                   CAST((cum - n_tokens) % 256 AS BIGINT) AS bin_pos,
                    n_tokens,
                    floor((cum - 1) * 1.0 / 256)
                        > floor((cum - n_tokens) * 1.0 / 256) AS straddles

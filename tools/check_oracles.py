@@ -28,19 +28,86 @@ TABLES = [
 ]
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        # DuckDB returns DATE columns as datetime64[ns] / DatetimeArray
-        # while Spark's toPandas yields object dtype of datetime.date —
-        # canonicalize BOTH to ISO strings so equal dates compare equal.
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].dt.strftime("%Y-%m-%d %H:%M:%S").str.replace(
-                " 00:00:00", "", regex=False
-            )
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+def _all_midnight_or_dateonly(col: pd.Series) -> bool:
+    nn = col.dropna()
+    if len(nn) == 0:
+        return True
+    return bool((nn.str.endswith(" 00:00:00") | ~nn.str.contains(":")).all())
+
+
+def canonicalize_pair(s: pd.DataFrame, o: pd.DataFrame):
+    """Canonicalize a (spark, oracle) frame pair the way the driver's
+    TYPE-SENSITIVE value hash sees them.
+
+    Returns ``(s, o, dtype_problems)``. A non-empty ``dtype_problems``
+    means the values may be numerically equal yet the driver hash would
+    still mismatch (round-6 lesson: DuckDB promotes integer ``sum()`` to
+    HUGEINT, pandas renders it float64, and the driver flagged
+    ``dp_pack`` red while the old ``check_dtype=False`` compare said ok).
+
+    - int vs int (any width): both to int64 — equal-width not required.
+    - float vs float: both to float64.
+    - int vs float: a dtype SPLIT (failure) unless the float side is a
+      NaN-bearing nullable-int promotion, which both engines produce
+      identically for nullable integer columns.
+    - datetimes: ISO strings; the midnight suffix is stripped only when
+      BOTH sides are date-granular (all values midnight or date-only),
+      so a genuine timestamp column is compared at full precision.
+    """
+    s = s[sorted(s.columns)].copy()
+    o = o[sorted(o.columns)].copy()
+    problems = []
+    for c in [c for c in s.columns if c in set(o.columns)]:
+        sc, oc = s[c], o[c]
+        s_dt = pd.api.types.is_datetime64_any_dtype(sc)
+        o_dt = pd.api.types.is_datetime64_any_dtype(oc)
+        if s_dt or o_dt:
+            ss = sc.dt.strftime("%Y-%m-%d %H:%M:%S") if s_dt else sc.astype(str)
+            oo = oc.dt.strftime("%Y-%m-%d %H:%M:%S") if o_dt else oc.astype(str)
+            if _all_midnight_or_dateonly(ss) and _all_midnight_or_dateonly(oo):
+                ss = ss.str.replace(" 00:00:00", "", regex=False)
+                oo = oo.str.replace(" 00:00:00", "", regex=False)
+            s[c], o[c] = ss, oo
+            continue
+        s_num = pd.api.types.is_numeric_dtype(sc) and sc.dtype != object
+        o_num = pd.api.types.is_numeric_dtype(oc) and oc.dtype != object
+        if s_num and o_num:
+            s_bool = pd.api.types.is_bool_dtype(sc)
+            o_bool = pd.api.types.is_bool_dtype(oc)
+            s_int = pd.api.types.is_integer_dtype(sc)
+            o_int = pd.api.types.is_integer_dtype(oc)
+            if s_bool or o_bool:
+                if s_bool and o_bool:
+                    s[c], o[c] = sc.astype(bool), oc.astype(bool)
+                else:
+                    problems.append(f"{c}: bool-vs-numeric dtype split")
+                continue
+            if s_int and o_int:
+                s[c], o[c] = sc.astype("int64"), oc.astype("int64")
+            elif not s_int and not o_int:
+                s[c], o[c] = sc.astype("float64"), oc.astype("float64")
+            else:
+                fcol = oc if s_int else sc
+                nn = fcol.dropna()
+                nullable_promo = fcol.isna().any() and bool(
+                    (nn == nn.round()).all()
+                )
+                s[c], o[c] = sc.astype("float64"), oc.astype("float64")
+                if not nullable_promo:
+                    which = "oracle" if s_int else "spark"
+                    problems.append(
+                        f"{c}: int-vs-float dtype split ({which} side is "
+                        "float, e.g. DuckDB HUGEINT/DECIMAL) — driver "
+                        "hash would mismatch even on equal values"
+                    )
+            continue
+        if sc.dtype == object:
+            s[c] = sc.astype(str)
+        if oc.dtype == object:
+            o[c] = oc.astype(str)
+    s = s.sort_values(by=list(s.columns), ignore_index=True)
+    o = o.sort_values(by=list(o.columns), ignore_index=True)
+    return s, o, problems
 
 
 def main() -> int:
@@ -101,7 +168,7 @@ def main() -> int:
             record(name, "fail", detail=f"oracle raised {type(ex).__name__}")
             print(f"FAIL {name}: oracle raised {type(ex).__name__}: {ex}")
             continue
-        s, o = normalize(sdf), normalize(odf)
+        s, o, dtype_problems = canonicalize_pair(sdf, odf)
         if list(s.columns) != list(o.columns):
             failures.append(name)
             record(name, "fail", detail="column mismatch")
@@ -111,6 +178,11 @@ def main() -> int:
             failures.append(name)
             record(name, "fail", detail=f"rows {len(s)} vs {len(o)}")
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            continue
+        if dtype_problems:
+            failures.append(name)
+            record(name, "fail", detail="; ".join(dtype_problems))
+            print(f"FAIL {name}: {'; '.join(dtype_problems)}")
             continue
         try:
             pd.testing.assert_frame_equal(

@@ -2035,22 +2035,70 @@ def q_dp_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dp_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of the streaming near-dup candidate filter
-    (datapipe/streaming.py stream_near_dup_candidates): the stream keys
-    per-document 1-permutation MinHash fingerprints
-    (min md5 over 3-token shingles) through first-wins stateful dedup;
-    the batch twin computes the same fingerprint column and applies the
-    deterministic keep rule (min doc_id per fingerprint). Documents
-    shorter than 3 tokens share a null fingerprint group, matching the
-    stream's null-key dedup behavior."""
+    """Runs the REAL streaming near-dup candidate filter
+    (datapipe/streaming.py stream_near_dup_candidates — per-document
+    1-permutation MinHash fingerprint through watermarked
+    ``dropDuplicatesWithinWatermark`` first-wins dedup) end-to-end: a
+    file-source stream of the documents table drained with an
+    availableNow trigger into a memory sink. The projection is the
+    deterministic part of the operator's contract — exactly ONE survivor
+    per fingerprint group (group count + membership), and the survivor's
+    identity wherever the group is a singleton (forced winner). Which
+    member wins in a multi-doc group is arrival-order-dependent by
+    design (first wins) and stays pytest-verified. Documents shorter
+    than 3 tokens share a null fingerprint group, matching the stream's
+    null-key dedup behavior."""
+    import tempfile
+    import uuid
+
+    from graphframes_spark.datapipe.streaming import stream_near_dup_candidates
     from graphframes_spark.datapipe.text import minhash_fingerprint
 
-    docs = _docs(spark, sf_dir)
-    fp = docs.select(
-        F.col("doc_id"), minhash_fingerprint(F.col("text"), 3).alias("minfp")
+    # event time offset past epoch 0: a row AT the initial watermark
+    # (epoch 0) would be discarded as late by the stateful dedup
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.col("doc_id") + F.lit(1_600_000_000)).alias("ts"),
     )
-    return fp.groupBy("minfp").agg(F.min("doc_id").alias("doc_id")).select(
-        "doc_id", "minfp"
+    src_dir = tempfile.mkdtemp(prefix="dp_stream_near_dup_src_")
+    docs.write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+    kept_stream = stream_near_dup_candidates(
+        stream, ts_col="ts", text_col="text", shingle_len=3
+    )
+    sink = f"dp_stream_near_dup_{uuid.uuid4().hex[:12]}"
+    (
+        kept_stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    # fingerprint groups over the full corpus (batch side of the check)
+    groups = (
+        docs.select(
+            F.col("doc_id"), minhash_fingerprint(F.col("text"), 3).alias("minfp")
+        )
+        .groupBy("minfp")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+    kept = spark.table(sink).select(
+        F.col("doc_id").alias("kept_doc_id"),
+        minhash_fingerprint(F.col("text"), 3).alias("minfp"),
+    )
+    return kept.join(groups, kept["minfp"].eqNullSafe(groups["minfp"])).select(
+        groups["minfp"].alias("minfp"),
+        F.col("group_size").cast("long").alias("group_size"),
+        F.when(F.col("group_size") == 1, F.col("kept_doc_id")).alias(
+            "unique_doc_id"
+        ),
     )
 
 
@@ -4459,6 +4507,8 @@ def oracle_sql() -> dict[str, str]:
                    round(h.nrm, 8) AS norm
             FROM ph1 h LEFT JOIN agg a ON a.id = h.id
         """,
+        # one survivor per fingerprint group; winner identity only where
+        # the group is a singleton (first-wins order is pytest-verified)
         "dp_stream_near_dup": f"""
             WITH sh AS ({_DOC_SHINGLES_SQL}),
             fp AS (
@@ -4466,7 +4516,10 @@ def oracle_sql() -> dict[str, str]:
                        list_min(list_transform(sh, s -> md5(s))) AS minfp
                 FROM sh
             )
-            SELECT min(doc_id) AS doc_id, minfp FROM fp GROUP BY minfp
+            SELECT minfp,
+                   CAST(count(*) AS BIGINT) AS group_size,
+                   CASE WHEN count(*) = 1 THEN min(doc_id) END AS unique_doc_id
+            FROM fp GROUP BY minfp
         """,
     }
 

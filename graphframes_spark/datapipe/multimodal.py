@@ -133,8 +133,12 @@ def pil_image_decoder(dim: int = FEATURE_DIM) -> Callable[[bytes], List[float]]:
     def decode(payload: bytes) -> List[float]:
         img = Image.open(io.BytesIO(payload)).convert("L")
         hist = img.histogram()  # 256 bins
-        per = 256 // dim
-        counts = [float(sum(hist[i * per : (i + 1) * per])) for i in range(dim)]
+        # round(i*256/dim) boundaries distribute the remainder across
+        # bins so every intensity level is counted even when dim ∤ 256
+        bounds = [round(i * 256 / dim) for i in range(dim + 1)]
+        counts = [
+            float(sum(hist[bounds[i] : bounds[i + 1]])) for i in range(dim)
+        ]
         total = sum(counts) or 1.0
         return [c / total for c in counts]
 

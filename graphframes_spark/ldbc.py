@@ -252,14 +252,17 @@ def cdlp_mismatches(
     """Rows where labelPropagation disagrees with the expected CDLP
     communities; empty ⟺ validated (TestLDBCCases.scala:139-151).
 
-    Graphalytics CDLP on a DIRECTED graph counts each edge's label in
-    both directions (in- and out-neighbors, with multiplicity), which is
-    exactly ``labelPropagation(is_directed=False)`` over the raw directed
-    edge list; the undirected cases arrive pre-symmetrized from
-    ``read_graph`` so the default incoming-only propagation sees every
-    neighbor once, matching the reference test's setup."""
+    ``is_directed`` describes the GRAPH (the Graphalytics case), not the
+    propagation mode, and the inversion happens internally: Graphalytics
+    CDLP on a DIRECTED graph counts each edge's label in both directions
+    (in- and out-neighbors, with multiplicity), which is exactly
+    ``labelPropagation(isDirected=False)`` over the raw directed edge
+    list; the undirected cases arrive pre-symmetrized from
+    ``read_graph`` so incoming-only propagation
+    (``labelPropagation(isDirected=True)``) sees every neighbor exactly
+    once, matching the reference test's setup."""
     got = graph.labelPropagation(
-        maxIter=max_iterations, isDirected=is_directed
+        maxIter=max_iterations, isDirected=not is_directed
     ).select("id", "label")
     return got.join(expected, on="id", how="left").filter(
         F.col("label") != F.col("community")

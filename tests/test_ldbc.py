@@ -59,7 +59,10 @@ def test_cdlp_validation(spark, mini_case):
     root, name = mini_case
     g = ldbc.read_graph(spark, root, name, directed=False)
     expected = ldbc.read_expected(spark, root, name, "CDLP")
-    assert ldbc.cdlp_mismatches(g, expected, max_iterations=2).count() == 0
+    assert (
+        ldbc.cdlp_mismatches(g, expected, max_iterations=2, is_directed=False).count()
+        == 0
+    )
 
 
 def test_validation_catches_wrong_expected(spark, mini_case):

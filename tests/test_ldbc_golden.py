@@ -205,11 +205,10 @@ def test_golden_cdlp(spark, golden_cases, directed):
     g, root, name, props = _load(spark, golden_cases, directed)
     expected = ldbc.read_expected(spark, root, name, "CDLP")
     iters = int(props[f"graph.{name}.cdlp.max-iterations"])
-    # directed Graphalytics CDLP = both-direction propagation on the raw
-    # edge list == labelPropagation(isDirected=False); pre-symmetrized
-    # undirected cases use incoming-only (reference test's setup)
+    # is_directed describes the graph; cdlp_mismatches maps it to the
+    # spec-correct propagation mode internally
     assert (
-        ldbc.cdlp_mismatches(g, expected, iters, is_directed=not directed).count()
+        ldbc.cdlp_mismatches(g, expected, iters, is_directed=directed).count()
         == 0
     )
 

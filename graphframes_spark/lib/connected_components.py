@@ -31,6 +31,36 @@ if TYPE_CHECKING:
 
 COMPONENT = "component"
 MIN_NBR = "min_nbr"
+CNT = "cnt"
+
+
+def _skewed_join(a: DataFrame, b: DataFrame, hubs: list) -> DataFrame:
+    """Manual skew-aware join on ``src`` (reference
+    GraphFrame.scala:1106-1126 / TwoPhase.scala:160-173): rows whose key
+    is a driver-collected high-degree hub go through a broadcast join,
+    the rest through a plain shuffle join, results unioned. ``b`` must
+    not carry columns beyond (src, min_nbr[, cnt]); only (src, min_nbr)
+    survive."""
+    b = b.select(SRC, MIN_NBR)
+    if not hubs:
+        return a.join(b, on=SRC)
+    is_hub = F.col(SRC).isin(hubs)
+    hash_joined = a.filter(~is_hub).join(b.filter(~is_hub), on=SRC)
+    broadcast_joined = a.filter(is_hub).join(
+        F.broadcast(b.filter(is_hub)), on=SRC
+    )
+    return hash_joined.unionAll(broadcast_joined)
+
+
+def _collect_hubs(min_nbrs_with_cnt: DataFrame, broadcast_threshold: int) -> list:
+    """Driver-side set of high-degree join keys (bounded: only keys with
+    degree above the threshold; the reference collects the same set)."""
+    return [
+        r[0]
+        for r in min_nbrs_with_cnt.filter(F.col(CNT) > broadcast_threshold)
+        .select(SRC)
+        .collect()
+    ]
 
 
 def _symmetrize(ee: DataFrame) -> DataFrame:
@@ -44,12 +74,17 @@ def _symmetrize(ee: DataFrame) -> DataFrame:
     ).select(F.col("_edge." + SRC).alias(SRC), F.col("_edge." + DST).alias(DST))
 
 
-def _min_nbrs(ee: DataFrame) -> DataFrame:
-    """(src, min_nbr) where min_nbr = min(N(src) ∪ {src})."""
+def _min_nbrs(ee: DataFrame, with_cnt: bool = False) -> DataFrame:
+    """(src, min_nbr[, cnt]) where min_nbr = min(N(src) ∪ {src}); ``cnt``
+    (the degree, used to find hub keys in manual skew-join mode) rides
+    the same aggregate for free."""
+    aggs = [F.min(DST).alias(MIN_NBR)]
+    if with_cnt:
+        aggs.append(F.count("*").alias(CNT))
     return (
         _symmetrize(ee)
         .groupBy(SRC)
-        .agg(F.min(DST).alias(MIN_NBR))
+        .agg(*aggs)
         .withColumn(MIN_NBR, F.least(F.col(SRC), F.col(MIN_NBR)))
     )
 
@@ -127,11 +162,18 @@ def connected_components(
 
     ``algorithm`` accepts ``"graphframes"`` (two-phase, AQE variant,
     TwoPhase.scala:331-443) and ``"graphx"`` (min-id-propagation Pregel,
-    graphx/lib/ConnectedComponents.scala:25-90). ``broadcast_threshold``
-    only applies to the reference's manual skew-join mode, which the AQE
-    path supersedes (5-8x faster per the reference's own benchmarks) —
-    any value other than the -1 default is rejected rather than silently
-    ignored.
+    graphx/lib/ConnectedComponents.scala:25-90).
+
+    ``broadcast_threshold``: ``-1`` (default) leaves skew handling to AQE
+    — the mode the reference recommends (5-8x faster per its own
+    benchmarks). A positive value selects the reference's MANUAL
+    skew-join mode (TwoPhase.scala:160-173, GraphFrame.scala:1106-1126):
+    AQE is disabled for the duration, per-key degree counts ride the
+    min-neighbor aggregates, keys with degree above the threshold are
+    collected to the driver, and each star-contraction join is split
+    into a shuffle join for normal keys unioned with a broadcast join
+    for hub keys. Kept primarily as the measured baseline for the AQE
+    ablation (BENCH_ablation). Two-phase algorithm only.
     """
     from graphframes_spark.util import GraphFramesError
 
@@ -144,10 +186,15 @@ def connected_components(
             "'graphx' (min-id Pregel), 'randomized_contraction' "
             "(Bögeholz et al. ICDE'20)."
         )
-    if broadcast_threshold != -1:
+    if broadcast_threshold != -1 and broadcast_threshold <= 0:
         raise GraphFramesError(
-            "broadcast_threshold (manual skew-join mode) is not supported; "
-            "the AQE variant handles skew at runtime. Use the default -1."
+            "broadcast_threshold must be -1 (AQE skew handling) or a "
+            "positive hub-degree cutoff (manual skew-join mode)."
+        )
+    if broadcast_threshold != -1 and algorithm != "graphframes":
+        raise GraphFramesError(
+            "Manual skew-join mode (broadcast_threshold > 0) applies only "
+            "to the two-phase 'graphframes' algorithm."
         )
     if algorithm == "graphx":
         return _graphx_cc(graph, checkpoint_interval, use_labels_as_components)
@@ -158,6 +205,41 @@ def connected_components(
             graph, checkpoint_interval, use_labels_as_components
         )
     spark = graph.spark
+    manual_skew = broadcast_threshold != -1
+    if manual_skew:
+        saved_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return _two_phase_loop(
+                graph,
+                checkpoint_interval,
+                use_labels_as_components,
+                max_iter,
+                storage_level,
+                broadcast_threshold,
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+    return _two_phase_loop(
+        graph,
+        checkpoint_interval,
+        use_labels_as_components,
+        max_iter,
+        storage_level,
+        -1,
+    )
+
+
+def _two_phase_loop(
+    graph: "GraphFrame",
+    checkpoint_interval: int,
+    use_labels_as_components: bool,
+    max_iter: int,
+    storage_level: Optional[StorageLevel],
+    broadcast_threshold: int,
+) -> DataFrame:
+    spark = graph.spark
+    manual_skew = broadcast_threshold != -1
     harness = IterationHarness(
         spark,
         checkpoint_interval=checkpoint_interval,
@@ -182,7 +264,7 @@ def connected_components(
     )
     ee = harness.persist(ee)
 
-    min_nbrs1 = harness.persist(_min_nbrs(ee))
+    min_nbrs1 = harness.persist(_min_nbrs(ee, with_cnt=manual_skew))
     prev_sum = _min_nbr_sum(min_nbrs1)
     harness.rotate()  # ee, min_nbrs1 become "previous"; kept until round ends
 
@@ -191,18 +273,30 @@ def connected_components(
         if converged:
             break
         # large-star: connect strictly-larger neighbors to the min neighbor
+        if manual_skew:
+            joined = _skewed_join(
+                ee, min_nbrs1, _collect_hubs(min_nbrs1, broadcast_threshold)
+            )
+        else:
+            joined = ee.join(min_nbrs1, on=SRC)
         ee = harness.persist(
-            ee.join(min_nbrs1, on=SRC)
-            .select(F.col(DST).alias(SRC), F.col(MIN_NBR).alias(DST))  # src > dst
-            .distinct()
+            joined.select(
+                F.col(DST).alias(SRC), F.col(MIN_NBR).alias(DST)  # src > dst
+            ).distinct()
         )
         # small-star: min neighbor among smaller ones
-        min_nbrs2 = harness.persist(
-            ee.groupBy(SRC).agg(F.min(DST).alias(MIN_NBR))
-        )
+        small_aggs = [F.min(DST).alias(MIN_NBR)]
+        if manual_skew:
+            small_aggs.append(F.count("*").alias(CNT))
+        min_nbrs2 = harness.persist(ee.groupBy(SRC).agg(*small_aggs))
+        if manual_skew:
+            joined2 = _skewed_join(
+                ee, min_nbrs2, _collect_hubs(min_nbrs2, broadcast_threshold)
+            )
+        else:
+            joined2 = ee.join(min_nbrs2, on=SRC)
         new_ee = (
-            ee.join(min_nbrs2, on=SRC)
-            .select(F.col(MIN_NBR).alias(SRC), F.col(DST))
+            joined2.select(F.col(MIN_NBR).alias(SRC), F.col(DST))
             .filter(F.col(SRC) != F.col(DST))
             .union(
                 min_nbrs2.select(F.col(MIN_NBR).alias(SRC), F.col(SRC).alias(DST))
@@ -213,7 +307,7 @@ def connected_components(
             new_ee = harness.checkpoint(new_ee, eager=True)
         ee = harness.persist(new_ee)
 
-        min_nbrs1 = harness.persist(_min_nbrs(ee))
+        min_nbrs1 = harness.persist(_min_nbrs(ee, with_cnt=manual_skew))
         curr_sum = _min_nbr_sum(min_nbrs1)
         if curr_sum == prev_sum:
             converged = True

@@ -20,8 +20,13 @@ start, current vertex, path array capped at batch_size); the per-step
 join walks⋈neighbors is the only shuffle and both sides hash on the
 current vertex. Parquet spill per batch doubles as a lineage cut and
 restart point — the path arrays never exceed batch_size in memory.
-Randomness note: like the reference, ``rand()``/``shuffle()`` make
-results run-dependent under task retry even with a fixed seed.
+Randomness note: by default, like the reference, ``rand()``/
+``shuffle()`` make results run-dependent under task retry even with a
+fixed seed. ``setDeterministic(True)`` swaps every random draw for a
+pure hash of (walk id, step seed) — same walk distribution, but
+reproducible run-to-run AND under task retry/speculative execution,
+which is the safe mode on a real cluster (a retried task re-draws
+``rand()`` and silently forks the walk history).
 """
 
 from __future__ import annotations
@@ -80,6 +85,7 @@ class RandomWalkWithRestart:
         self._run_id = str(_uuid.uuid4())
         self._starting_iteration = 1
         self._restart_probability = 0.1
+        self._deterministic = False
 
     def onGraph(self, graph: GraphFrame) -> "RandomWalkWithRestart":
         self._graph = graph
@@ -132,6 +138,14 @@ class RandomWalkWithRestart:
         self._restart_probability = value
         return self
 
+    def setDeterministic(self, value: bool) -> "RandomWalkWithRestart":
+        """Hash-based randomness: walk ids become ``<start>#<k>`` and
+        every restart/neighbor draw is ``xxhash64(walk_id, step_seed)``
+        instead of ``rand()``/``shuffle()`` — reproducible run-to-run
+        and retry-stable on a cluster."""
+        self._deterministic = value
+        return self
+
     # ----------------------------------------------------------------- run
 
     def _batch_path(self, i: int) -> str:
@@ -147,9 +161,19 @@ class RandomWalkWithRestart:
         walks_dtype = T.ArrayType(id_type)
 
         if prev is None:
+            if self._deterministic:
+                fresh_ids = F.transform(
+                    F.sequence(F.lit(1), F.lit(self._num_walks_per_node)),
+                    lambda k: F.concat_ws(
+                        "#", F.col(ID).cast("string"), k.cast("string")
+                    ),
+                )
+            else:
+                fresh_ids = F.array(
+                    *[F.uuid() for _ in range(self._num_walks_per_node)]
+                )
             walk_ids = F.when(
-                F.size(F.col(NBRS_COL)) > F.lit(0),
-                F.array(*[F.uuid() for _ in range(self._num_walks_per_node)]),
+                F.size(F.col(NBRS_COL)) > F.lit(0), fresh_ids
             ).otherwise(F.array().cast("array<string>"))
             starts = graph.vertices.select(ID).join(neighbors, on=ID, how="left")
             walks = starts.select(
@@ -169,15 +193,40 @@ class RandomWalkWithRestart:
         rng = random.Random(iter_seed)
         for _ in range(self._batch_size):
             step_seed = rng.getrandbits(63)
+            if self._deterministic:
+                # pure hash of (walk id, step seed): identical across
+                # runs and task retries, uniform enough for walk draws
+                restart_draw = (
+                    F.pmod(
+                        F.xxhash64(F.col(WALK_ID_COL), F.lit(step_seed)),
+                        F.lit(1_000_000_000),
+                    )
+                    / F.lit(1_000_000_000.0)
+                )
+                nbr_pick = F.element_at(
+                    F.col(NBRS_COL),
+                    (
+                        F.pmod(
+                            F.xxhash64(
+                                F.col(WALK_ID_COL), F.lit(step_seed), F.lit(1)
+                            ),
+                            F.size(F.col(NBRS_COL)),
+                        )
+                        + 1
+                    ).cast("int"),
+                )
+            else:
+                restart_draw = F.rand(step_seed)
+                nbr_pick = F.element_at(F.shuffle(F.col(NBRS_COL)), 1)
             walks = (
                 walks.join(neighbors, F.col(ID) == F.col(CURR_COL), "left")
                 .withColumn(
-                    "doRestart", F.rand(step_seed) <= F.lit(self._restart_probability)
+                    "doRestart", restart_draw <= F.lit(self._restart_probability)
                 )
                 .withColumn(
                     "nextNode",
                     F.when(F.col("doRestart"), F.col("startingNode")).otherwise(
-                        F.element_at(F.shuffle(F.col(NBRS_COL)), 1)
+                        nbr_pick
                     ),
                 )
                 .select(

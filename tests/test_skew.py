@@ -135,3 +135,49 @@ def test_bloom_decontaminate_hot_shingle(spark):
     )
     # one shared shingle < min_shared: every incoming doc survives
     assert out.count() == n
+
+
+def test_cc_manual_skew_join_matches_aqe(spark, hub_graph):
+    """Manual broadcast/skew-join CC mode (broadcast_threshold > 0,
+    reference TwoPhase.scala:160-173): hub 0 exceeds the threshold, so
+    its star-contraction joins go through the broadcast branch. The
+    component PARTITION must equal the AQE mode's."""
+    manual = hub_graph.connectedComponents(broadcastThreshold=1000)
+    aqe = hub_graph.connectedComponents()
+    assert manual.select("component").distinct().count() == 1
+    joined = manual.withColumnRenamed("component", "m").join(
+        aqe.withColumnRenamed("component", "a"), on="id"
+    )
+    assert joined.filter(F.col("m") != F.col("a")).count() == 0
+
+
+def test_cc_manual_skew_join_multi_component(spark):
+    """threshold=1 makes every key with degree >1 a hub — the broadcast
+    branch carries most of the join — on a graph with several
+    components, isolated vertices, and AQE restored afterwards."""
+    v = spark.range(0, 12)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (6, 7), (8, 9)],
+        ["src", "dst"],
+    )
+    g = GraphFrame(v, e)
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    out = g.connectedComponents(broadcastThreshold=1)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == saved
+    comps = {}
+    for r in out.collect():
+        comps.setdefault(r["component"], set()).add(r["id"])
+    groups = sorted(sorted(m) for m in comps.values())
+    assert groups == [[0, 1, 2], [3, 4, 5], [6, 7], [8, 9], [10], [11]]
+
+
+def test_cc_manual_skew_join_rejects_bad_args(spark):
+    from graphframes_spark.util import GraphFramesError
+
+    v = spark.range(3)
+    e = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    with pytest.raises(GraphFramesError):
+        g.connectedComponents(broadcastThreshold=0)
+    with pytest.raises(GraphFramesError):
+        g.connectedComponents(algorithm="graphx", broadcastThreshold=5)

@@ -101,6 +101,8 @@ HEADLINE = [
     "svdpp_full",
     "dp_stream_contamination",
     "dp_stream_near_dup",
+    # round-7 additions
+    "cc_skew_broadcast",
 ]
 
 

@@ -247,3 +247,81 @@ def test_golden_validators_catch_corruption(spark, golden_cases):
     )
     src = int(props[f"graph.{name}.bfs.source-vertex"])
     assert ldbc.bfs_mismatches(g, corrupted, src, is_directed=True).count() == 1
+
+
+# ------------------------------------------------------ SSSP (weighted)
+# The sixth Graphalytics kernel with an expected-output file in the
+# reference's test set. Weighted cases live in their own dirs (the
+# official archives also separate them); weights are deterministic
+# quarter-integers so every expected distance is exactly representable.
+
+
+def _edge_weight(a, b):
+    return ((a * 31 + b * 17) % 20 + 1) / 4.0
+
+
+def _dijkstra(source, adj):
+    import heapq
+
+    dist = {source: 0.0}
+    heap = [(0.0, source)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for w, wt in adj[u]:
+            nd = d + wt
+            if nd < dist.get(w, float("inf")):
+                dist[w] = nd
+                heapq.heappush(heap, (nd, w))
+    return {v: dist.get(v, float("inf")) for v in range(1, N + 1)}
+
+
+def _write_weighted_case(root, name, edges, directed):
+    root.mkdir()
+    (root / f"{name}.v").write_text("".join(f"{v}\n" for v in range(1, N + 1)))
+    (root / f"{name}.e").write_text(
+        "".join(f"{a} {b} {_edge_weight(a, b)}\n" for a, b in edges)
+    )
+    (root / f"{name}.properties").write_text(
+        f"graph.{name}.sssp.source-vertex = {BFS_SOURCE}\n"
+    )
+    adj = {v: [] for v in range(1, N + 1)}
+    for a, b in edges:
+        adj[a].append((b, _edge_weight(a, b)))
+        if not directed:
+            adj[b].append((a, _edge_weight(a, b)))
+    sssp = _dijkstra(BFS_SOURCE, adj)
+    (root / f"{name}-SSSP").write_text(
+        "".join(
+            f"{v} {'infinity' if sssp[v] == float('inf') else repr(sssp[v])}\n"
+            for v in range(1, N + 1)
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def golden_weighted_cases(tmp_path_factory):
+    base = tmp_path_factory.mktemp("ldbc-golden-w")
+    edges = _gen_directed_edges()
+    _write_weighted_case(
+        base / "test-wdirected", "test-wdirected", edges, directed=True
+    )
+    _write_weighted_case(
+        base / "test-wundirected", "test-wundirected", edges, directed=False
+    )
+    return base
+
+
+@pytest.mark.parametrize("directed", [True, False], ids=["directed", "undirected"])
+def test_golden_sssp(spark, golden_weighted_cases, directed):
+    name = "test-wdirected" if directed else "test-wundirected"
+    root = str(golden_weighted_cases / name)
+    g = ldbc.read_graph(spark, root, name, directed=directed, weighted=True)
+    props = ldbc.read_properties(root, name)
+    src = int(props[f"graph.{name}.sssp.source-vertex"])
+    assert (
+        ldbc.sssp_mismatches(g, ldbc.read_expected(spark, root, name, "SSSP"),
+                             src, is_directed=directed).count()
+        == 0
+    )

@@ -274,13 +274,14 @@ def q_cc_skew_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manual broadcast/skew-join connected components (reference
     TwoPhase.scala:160-173, GraphFrame.scala:1106-1126): AQE disabled,
     per-key degree counts ride the min-neighbor aggregates, keys above
-    the threshold are broadcast-joined. Threshold 4 makes every customer
-    (~10 orders each at any SF) a hub, so the broadcast branch carries
-    the bulk of the contraction. Same fixture and oracle as
+    the threshold are broadcast-joined. Threshold 20 selects only the
+    heaviest customers (3 hubs at sf0.01, 19 at sf0.1; TPC-H order
+    counts top out ~25) so the hub set stays bounded at any SF while the
+    broadcast branch is genuinely exercised. Same fixture and oracle as
     ``connected_components`` — the mode must produce the identical
     component assignment."""
     g = _customer_order_graph(spark, sf_dir)
-    return g.connectedComponents(broadcastThreshold=4).select("id", "component")
+    return g.connectedComponents(broadcastThreshold=20).select("id", "component")
 
 
 def _chain_landmark(spark: SparkSession, sf_dir: str) -> int:

@@ -259,9 +259,24 @@ def test_cc_rejects_unknown_algorithm(friends):
         friends.connectedComponents(algorithm="typo")
 
 
-def test_cc_rejects_broadcast_threshold(friends):
-    with pytest.raises(GraphFramesError):
+def test_cc_broadcast_threshold_contract(friends):
+    """Positive thresholds run the manual skew-join mode (round 7);
+    zero/other negatives and non-two-phase combinations are rejected."""
+    def partition(df):
+        groups = {}
+        for r in df.collect():
+            groups.setdefault(r["component"], set()).add(r["id"])
+        return sorted(sorted(m) for m in groups.values())
+
+    # string-id graph: component labels are arbitrary surrogates, the
+    # PARTITION must match
+    assert partition(
         friends.connectedComponents(broadcastThreshold=1000000)
+    ) == partition(friends.connectedComponents())
+    with pytest.raises(GraphFramesError):
+        friends.connectedComponents(broadcastThreshold=0)
+    with pytest.raises(GraphFramesError):
+        friends.connectedComponents(broadcastThreshold=-5)
 
 
 def test_cc_graphx_algorithm(spark):

@@ -2100,6 +2100,11 @@ def q_dp_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
+    # the drained rows live in the memory sink; the staged source files
+    # are no longer referenced by any live plan
+    import shutil
+
+    shutil.rmtree(src_dir, ignore_errors=True)
 
     # fingerprint groups over the full corpus (batch side of the check)
     groups = (

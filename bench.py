@@ -103,6 +103,7 @@ HEADLINE = [
     "dp_stream_near_dup",
     # round-7 additions
     "cc_skew_broadcast",
+    "random_walks_det",
 ]
 
 

@@ -681,6 +681,22 @@ def oracle_sql() -> dict[str, str]:
               ON b.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
             WHERE len(list_intersect(a.sh, b.sh)) >= 2
         """,
+        # forced-walk functional graph: 6-step successor chain closed form
+        "random_walks_det": """
+            WITH n AS (SELECT count(*) AS cnt FROM customer),
+            s0 AS (
+                SELECT CAST(c_custkey AS BIGINT) AS v0, cnt
+                FROM customer CROSS JOIN n
+            ),
+            s1 AS (SELECT *, (v0 * 7 + 3) % cnt AS v1 FROM s0),
+            s2 AS (SELECT *, (v1 * 7 + 3) % cnt AS v2 FROM s1),
+            s3 AS (SELECT *, (v2 * 7 + 3) % cnt AS v3 FROM s2),
+            s4 AS (SELECT *, (v3 * 7 + 3) % cnt AS v4 FROM s3),
+            s5 AS (SELECT *, (v4 * 7 + 3) % cnt AS v5 FROM s4)
+            SELECT CAST(v0 AS VARCHAR) || '#1' AS random_walk_uuid,
+                   concat_ws(' ', v0, v1, v2, v3, v4, v5) AS walk
+            FROM s5
+        """,
         "node2vec_chain": """
             WITH seq AS (
                 SELECT event_id,

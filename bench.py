@@ -104,6 +104,7 @@ HEADLINE = [
     # round-7 additions
     "cc_skew_broadcast",
     "random_walks_det",
+    "cc_incremental",
 ]
 
 

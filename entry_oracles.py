@@ -310,6 +310,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey + {ORDER_OFFSET}, o_custkey FROM orders
         """,
+        # incremental delta-update must equal the from-scratch assignment
+        "cc_incremental": f"""
+            SELECT c_custkey AS id, c_custkey AS component FROM customer
+            UNION ALL
+            SELECT o_orderkey + {ORDER_OFFSET}, o_custkey FROM orders
+        """,
         "shortest_paths": """
             WITH seq AS (
                 SELECT event_id, user_id,

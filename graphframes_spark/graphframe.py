@@ -910,6 +910,25 @@ class GraphFrame:
             storage_level=storage_level,
         )
 
+    def incrementalConnectedComponents(
+        self, prevComponents: DataFrame, checkpointInterval: int = 1
+    ) -> DataFrame:
+        """Update ``prevComponents`` (a DF[id, component] from an earlier
+        ``connectedComponents`` run) with THIS graph's edges treated as
+        the new-arrivals delta: CC runs only on the contracted graph of
+        components touched by a cross-component new edge, so the cost is
+        proportional to the delta rather than the accumulated edge set.
+        Output is identical to a from-scratch run on old ∪ new edges
+        (min-id labels compose across contraction). Integral ids only.
+        Beyond-reference operator (no graphframes equivalent)."""
+        from graphframes_spark.lib.connected_components import (
+            incremental_connected_components,
+        )
+
+        return incremental_connected_components(
+            self, prevComponents, checkpoint_interval=checkpointInterval
+        )
+
     def stronglyConnectedComponents(self, maxIter: int = 20) -> DataFrame:
         from graphframes_spark.lib.scc import strongly_connected_components
 

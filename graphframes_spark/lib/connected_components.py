@@ -148,6 +148,87 @@ def _graphx_cc(
     )
 
 
+def incremental_connected_components(
+    graph: "GraphFrame",
+    prev_components: DataFrame,
+    checkpoint_interval: int = 1,
+) -> DataFrame:
+    """Update a component assignment with NEW edges without recomputing
+    over the full edge set — the daily-delta pattern for a 100 TB graph.
+
+    ``prev_components`` is a DF[id, component] from an earlier
+    ``connectedComponents`` run (components = min member id, the
+    invariant both the two-phase and graphx paths produce on integral
+    ids). ``graph`` carries the UPDATED vertex set and ONLY the new
+    edges. Vertices absent from ``prev_components`` (newly arrived)
+    start as singletons of themselves.
+
+    Plan shape: one join maps each new edge endpoint to its previous
+    component (the previous assignment is a valid refinement of the
+    final partition, so components act as supernodes); CC then runs on
+    the CONTRACTED graph — vertices are the distinct touched components
+    plus singletons, edges are the component-mapped new edges — whose
+    size is proportional to the DELTA, not the accumulated graph; one
+    final join propagates merged labels back through the previous
+    assignment. Label stability: min-id labels compose (min over merged
+    supernodes = min over their members), so the output is identical to
+    a from-scratch run on old ∪ new edges. Integral vertex ids only —
+    the refinement/min-label argument needs components in the id
+    domain.
+    """
+    from graphframes_spark.graphframe import GraphFrame
+    from graphframes_spark.util import GraphFramesError
+
+    if not has_integral_id_type(graph.vertices):
+        raise GraphFramesError(
+            "incremental connected components requires integral vertex ids "
+            "(components must live in the id domain); run the full "
+            "connectedComponents on string-id graphs."
+        )
+    prev = prev_components.select(
+        F.col(ID), F.col(COMPONENT).alias("_prev_comp")
+    )
+    # current assignment over the updated vertex set: previous component,
+    # or self for newly arrived vertices
+    assign = (
+        graph.vertices.select(ID)
+        .join(prev, on=ID, how="left")
+        .select(
+            ID,
+            F.coalesce(F.col("_prev_comp"), F.col(ID)).alias("_comp"),
+        )
+    )
+    new_edges = graph.edges.select(SRC, DST)
+    mapped = (
+        new_edges.join(
+            assign.select(F.col(ID).alias(SRC), F.col("_comp").alias("_csrc")),
+            on=SRC,
+        )
+        .join(
+            assign.select(F.col(ID).alias(DST), F.col("_comp").alias("_cdst")),
+            on=DST,
+        )
+        .select(F.col("_csrc").alias(SRC), F.col("_cdst").alias(DST))
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
+    # contracted graph: only components touched by a cross-component new
+    # edge need to participate; untouched components keep their label
+    touched = (
+        mapped.select(F.col(SRC).alias(ID))
+        .union(mapped.select(F.col(DST).alias(ID)))
+        .distinct()
+    )
+    merged = connected_components(
+        GraphFrame(touched, mapped),
+        checkpoint_interval=checkpoint_interval,
+    ).select(F.col(ID).alias("_comp"), F.col(COMPONENT).alias("_merged"))
+    return assign.join(merged, on="_comp", how="left").select(
+        ID,
+        F.coalesce(F.col("_merged"), F.col("_comp")).alias(COMPONENT),
+    )
+
+
 def connected_components(
     graph: "GraphFrame",
     algorithm: str = "graphframes",

@@ -1389,3 +1389,59 @@ def test_triad_census_reciprocal_triangle(spark):
     assert row["null_dyads"] == 0
     assert row["cyclic_triangles"] == 2
     assert row["transitive_triangles"] == 6
+
+
+# ------------------------------------------- incremental connected components
+
+
+def test_incremental_cc_matches_full_recompute(spark):
+    """Edges split into old/new batches: incremental update of the old
+    assignment with the new batch must equal a from-scratch run on the
+    union — including a merge of two previous components, a brand-new
+    vertex attaching, and untouched components keeping their label."""
+    v_old = spark.range(0, 8).select("id")
+    e_old = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 6)], ["src", "dst"]
+    )
+    prev = GraphFrame(v_old, e_old).connectedComponents()
+
+    # new batch: merge {0,1,2} with {3,4}; attach new vertex 8 to 5;
+    # component {7} and {5,6} structure otherwise untouched
+    v_new = spark.range(0, 9).select("id")
+    e_new = spark.createDataFrame([(2, 3), (8, 5)], ["src", "dst"])
+    inc = {
+        r["id"]: r["component"]
+        for r in GraphFrame(v_new, e_new)
+        .incrementalConnectedComponents(prev)
+        .collect()
+    }
+    full = {
+        r["id"]: r["component"]
+        for r in GraphFrame(v_new, e_old.union(e_new))
+        .connectedComponents()
+        .collect()
+    }
+    assert inc == full
+    assert inc[7] == 7  # untouched singleton keeps its label
+    assert inc[8] == 5  # new vertex joins the min-id component of {5,6,8}
+    assert inc[3] == 0  # merged component takes the global min id
+
+
+def test_incremental_cc_empty_delta(spark):
+    v = spark.range(0, 5).select("id")
+    e_old = spark.createDataFrame([(0, 1), (2, 3)], ["src", "dst"])
+    prev = GraphFrame(v, e_old).connectedComponents()
+    empty = spark.createDataFrame([], "src long, dst long")
+    inc = {
+        r["id"]: r["component"]
+        for r in GraphFrame(v, empty).incrementalConnectedComponents(prev).collect()
+    }
+    assert inc == {r["id"]: r["component"] for r in prev.collect()}
+
+
+def test_incremental_cc_rejects_string_ids(spark):
+    v = spark.createDataFrame([("a",), ("b",)], ["id"])
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    prev = spark.createDataFrame([("a", "a"), ("b", "a")], ["id", "component"])
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e).incrementalConnectedComponents(prev)

@@ -247,22 +247,24 @@ def cdlp_mismatches(
     graph: GraphFrame,
     expected: DataFrame,
     max_iterations: int,
-    is_directed: bool = True,
+    graph_is_directed: bool = True,
 ) -> DataFrame:
     """Rows where labelPropagation disagrees with the expected CDLP
     communities; empty ⟺ validated (TestLDBCCases.scala:139-151).
 
-    ``is_directed`` describes the GRAPH (the Graphalytics case), not the
-    propagation mode, and the inversion happens internally: Graphalytics
-    CDLP on a DIRECTED graph counts each edge's label in both directions
-    (in- and out-neighbors, with multiplicity), which is exactly
-    ``labelPropagation(isDirected=False)`` over the raw directed edge
-    list; the undirected cases arrive pre-symmetrized from
+    ``graph_is_directed`` describes the GRAPH (the Graphalytics case) —
+    deliberately renamed from the earlier ``is_directed``, whose meaning
+    was the propagation mode, so stale call sites fail loudly instead of
+    silently flipping semantics. The inversion happens internally:
+    Graphalytics CDLP on a DIRECTED graph counts each edge's label in
+    both directions (in- and out-neighbors, with multiplicity), which is
+    exactly ``labelPropagation(isDirected=False)`` over the raw directed
+    edge list; the undirected cases arrive pre-symmetrized from
     ``read_graph`` so incoming-only propagation
     (``labelPropagation(isDirected=True)``) sees every neighbor exactly
     once, matching the reference test's setup."""
     got = graph.labelPropagation(
-        maxIter=max_iterations, isDirected=not is_directed
+        maxIter=max_iterations, isDirected=not graph_is_directed
     ).select("id", "label")
     return got.join(expected, on="id", how="left").filter(
         F.col("label") != F.col("community")

@@ -161,7 +161,11 @@ class RandomWalkWithRestart:
         walks_dtype = T.ArrayType(id_type)
 
         if prev is None:
-            if self._deterministic:
+            if self._num_walks_per_node < 1:
+                # sequence(1, 0) would count DOWN ([1, 0]); both modes
+                # must agree that no walks start
+                fresh_ids = F.array().cast("array<string>")
+            elif self._deterministic:
                 fresh_ids = F.transform(
                     F.sequence(F.lit(1), F.lit(self._num_walks_per_node)),
                     lambda k: F.concat_ws(
@@ -220,8 +224,13 @@ class RandomWalkWithRestart:
                 nbr_pick = F.element_at(F.shuffle(F.col(NBRS_COL)), 1)
             walks = (
                 walks.join(neighbors, F.col(ID) == F.col(CURR_COL), "left")
+                # strict <: identical in distribution (P(draw == p) = 0
+                # for the continuous rand() path, and the hash draw is
+                # k/1e9 in [0, 1)), but it makes restart_probability=0.0
+                # EXACTLY never-restart — a zero-valued hash draw must
+                # not restart, which the forced-walk oracle relies on
                 .withColumn(
-                    "doRestart", restart_draw <= F.lit(self._restart_probability)
+                    "doRestart", restart_draw < F.lit(self._restart_probability)
                 )
                 .withColumn(
                     "nextNode",

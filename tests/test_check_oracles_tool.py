@@ -35,16 +35,20 @@ def test_int_width_mismatch_is_canonicalized_not_flagged():
     pd.testing.assert_frame_equal(cs, co)
 
 
-def test_nullable_int_promotion_is_allowed():
-    # both engines render nullable int columns as NaN-bearing float64;
-    # that split is NOT a driver-hash hazard
-    s = pd.DataFrame({"v": pd.Series([1, None, 3], dtype="float64")})
-    o = pd.DataFrame({"v": pd.Series([1, 2, 3], dtype="int64")}).astype(
-        {"v": "int64"}
-    )
-    s.loc[1, "v"] = float("nan")
+def test_nullable_int_promotion_lands_in_float_float_branch():
+    # both engines render nullable int columns as NaN-bearing float64 —
+    # a genuine nullable pair is float-vs-float and passes; an
+    # int-vs-NaN-float pair can never be value-equal, so the split is
+    # flagged rather than exempted
+    s = pd.DataFrame({"v": pd.Series([1.0, float("nan"), 3.0])})
+    o = pd.DataFrame({"v": pd.Series([1.0, float("nan"), 3.0])})
     _, _, problems = canonicalize_pair(s, o)
     assert problems == []
+
+    s2 = pd.DataFrame({"v": pd.Series([1.0, float("nan"), 3.0])})
+    o2 = pd.DataFrame({"v": pd.Series([1, 2, 3], dtype="int64")})
+    _, _, problems2 = canonicalize_pair(s2, o2)
+    assert problems2 and "int-vs-float" in problems2[0]
 
 
 def test_float_vs_float_ok():

@@ -60,7 +60,9 @@ def test_cdlp_validation(spark, mini_case):
     g = ldbc.read_graph(spark, root, name, directed=False)
     expected = ldbc.read_expected(spark, root, name, "CDLP")
     assert (
-        ldbc.cdlp_mismatches(g, expected, max_iterations=2, is_directed=False).count()
+        ldbc.cdlp_mismatches(
+            g, expected, max_iterations=2, graph_is_directed=False
+        ).count()
         == 0
     )
 

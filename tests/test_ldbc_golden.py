@@ -205,10 +205,12 @@ def test_golden_cdlp(spark, golden_cases, directed):
     g, root, name, props = _load(spark, golden_cases, directed)
     expected = ldbc.read_expected(spark, root, name, "CDLP")
     iters = int(props[f"graph.{name}.cdlp.max-iterations"])
-    # is_directed describes the graph; cdlp_mismatches maps it to the
-    # spec-correct propagation mode internally
+    # graph_is_directed describes the graph; cdlp_mismatches maps it to
+    # the spec-correct propagation mode internally
     assert (
-        ldbc.cdlp_mismatches(g, expected, iters, is_directed=directed).count()
+        ldbc.cdlp_mismatches(
+            g, expected, iters, graph_is_directed=directed
+        ).count()
         == 0
     )
 

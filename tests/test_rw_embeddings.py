@@ -312,3 +312,18 @@ def test_word2vec_planted_cluster_ranking(blob_graph, tmp_path):
                 s = cos(vecs[str(i)], vecs[str(j)])
                 (within if (i < n) == (j < n) else cross).append(s)
     assert sum(within) / len(within) > sum(cross) / len(cross)
+
+
+def test_zero_walks_per_node_yields_no_walks(blob_graph, tmp_path):
+    """sequence(1, 0) counts DOWN in Spark, so deterministic mode must
+    guard numWalksPerNode < 1 explicitly — both modes agree: no walks."""
+    for det in (True, False):
+        rw = (
+            RandomWalkWithRestart()
+            .setNumWalksPerNode(0)
+            .setBatchSize(2)
+            .setNumBatches(1)
+            .setDeterministic(det)
+            .setTemporaryPrefix(str(tmp_path / f"z{det}"))
+        )
+        assert rw.onGraph(blob_graph).run().count() == 0

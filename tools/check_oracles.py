@@ -46,10 +46,12 @@ def canonicalize_pair(s: pd.DataFrame, o: pd.DataFrame):
     ``dp_pack`` red while the old ``check_dtype=False`` compare said ok).
 
     - int vs int (any width): both to int64 — equal-width not required.
-    - float vs float: both to float64.
-    - int vs float: a dtype SPLIT (failure) unless the float side is a
-      NaN-bearing nullable-int promotion, which both engines produce
-      identically for nullable integer columns.
+    - float vs float: both to float64 (NaN-bearing nullable-int
+      promotions land here: both engines render nullable integer
+      columns as float64-with-NaN).
+    - int vs float: always a dtype SPLIT (failure) — an int64 column
+      cannot hold the NaNs a genuine nullable pair would share, so
+      equal values are impossible anyway and the split is the signal.
     - datetimes: ISO strings; the midnight suffix is stripped only when
       BOTH sides are date-granular (all values midnight or date-only),
       so a genuine timestamp column is compared at full precision.
@@ -87,19 +89,13 @@ def canonicalize_pair(s: pd.DataFrame, o: pd.DataFrame):
             elif not s_int and not o_int:
                 s[c], o[c] = sc.astype("float64"), oc.astype("float64")
             else:
-                fcol = oc if s_int else sc
-                nn = fcol.dropna()
-                nullable_promo = fcol.isna().any() and bool(
-                    (nn == nn.round()).all()
-                )
                 s[c], o[c] = sc.astype("float64"), oc.astype("float64")
-                if not nullable_promo:
-                    which = "oracle" if s_int else "spark"
-                    problems.append(
-                        f"{c}: int-vs-float dtype split ({which} side is "
-                        "float, e.g. DuckDB HUGEINT/DECIMAL) — driver "
-                        "hash would mismatch even on equal values"
-                    )
+                which = "oracle" if s_int else "spark"
+                problems.append(
+                    f"{c}: int-vs-float dtype split ({which} side is "
+                    "float, e.g. DuckDB HUGEINT/DECIMAL) — driver "
+                    "hash would mismatch even on equal values"
+                )
             continue
         if sc.dtype == object:
             s[c] = sc.astype(str)

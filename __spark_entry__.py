@@ -274,7 +274,10 @@ def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental connected components (lib/connected_components.py
     incremental_connected_components — beyond-reference delta-update
     operator): order edges are split by o_orderkey % 5 into an "old"
-    batch (components computed from scratch) and a "new" batch applied
+    batch (whose component assignment is CLOSED-FORM on this bipartite
+    fixture — old-linked orders sit with their customer, new orders are
+    still singletons — so the query's cost is the incremental operator,
+    not a from-scratch warm-up CC) and a "new" batch applied
     incrementally; the updated assignment must be IDENTICAL to the
     from-scratch run on all edges, so the oracle is the same closed form
     as connected_components."""
@@ -283,14 +286,24 @@ def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = customer.select(F.col("c_custkey").alias("id")).unionByName(
         orders.select((F.col("o_orderkey") + ORDER_OFFSET).alias("id"))
     )
-    e = orders.select(
+    prev = customer.select(
+        F.col("c_custkey").alias("id"), F.col("c_custkey").alias("component")
+    ).unionByName(
+        orders.select(
+            (F.col("o_orderkey") + ORDER_OFFSET).alias("id"),
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                F.col("o_orderkey") + ORDER_OFFSET,  # new: still singleton
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("component"),
+        )
+    )
+    new_e = orders.filter(F.col("o_orderkey") % 5 == 0).select(
         F.col("o_custkey").alias("src"),
         (F.col("o_orderkey") + ORDER_OFFSET).alias("dst"),
-        (F.col("o_orderkey") % 5 == 0).alias("_is_new"),
     )
-    old_g = GraphFrame(v, e.filter(~F.col("_is_new")).select("src", "dst"))
-    prev = old_g.connectedComponents()
-    delta_g = GraphFrame(v, e.filter(F.col("_is_new")).select("src", "dst"))
+    delta_g = GraphFrame(v, new_e)
     return delta_g.incrementalConnectedComponents(prev).select("id", "component")
 
 

@@ -2219,15 +2219,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (describe_graph, dp_dup_coverage, dp_ivf_exact, dp_lsh_exact,
     dp_redact, dp_temp_sample, dp_word_freq, transitivity, triangles,
     plus dp_pack whose oracle HUGEINT typing is fixed this round),
-    (b) the two queries changed/added this round (dp_stream_near_dup now
-    drains the real streaming operator; cc_skew_broadcast is the new
-    manual skew-join CC mode), and (c) 38 green back-fills spanning the
-    core operator families, all driver-verified in earlier rounds.
-    After this window every oracled registry query has at least one
-    driver-green row (cumulative 124 of 131; the remaining 7 are
-    seeded rows-only by design with deterministic in-window companions).
-    Queries past position 50 remain runnable, benchmarked, and under
-    pytest + the local oracle selfcheck (tools/check_oracles.py).
+    (b) the four queries changed/added this round (dp_stream_near_dup
+    now drains the real streaming operator; cc_skew_broadcast is the
+    manual skew-join CC mode; random_walks_det is the full-trace
+    walk-engine oracle; cc_incremental is the delta-update CC), and
+    (c) 36 green back-fills spanning the core operator families, all
+    driver-verified in earlier rounds. After this window every oracled
+    registry query has at least one driver-green row (cumulative 126 of
+    133; the remaining 7 are seeded rows-only by design with
+    deterministic in-window companions). Queries past position 50
+    remain runnable, benchmarked, and under pytest + the local oracle
+    selfcheck (tools/check_oracles.py — full-registry runs green at
+    sf0.01 and sf0.1 this round under the driver-fidelity dtype-strict
+    comparator).
     """
     return {
         # ---- round-7 window ----

@@ -156,6 +156,28 @@ def read_expected(
             f"known: {', '.join(sorted(_EXPECTED_SCHEMAS))}"
         )
     path = os.path.join(case_root, f"{case_name}-{algorithm}")
+    if algorithm == "SSSP":
+        # Graphalytics encodes unreachable SSSP distances as the literal
+        # lowercase "infinity", which Spark's CSV double parser turns
+        # into NULL (it accepts only "Inf"/"Infinity"); a NULL expected
+        # value would make the mismatch filter silently DROP that row
+        # instead of validating it, so parse as string and map the
+        # sentinel explicitly.
+        raw = (
+            spark.read.option("delimiter", " ")
+            .option("header", "false")
+            .schema("id long, distance string")
+            .csv(path)
+        )
+        return raw.select(
+            "id",
+            F.when(
+                F.lower(F.col("distance")).isin("infinity", "inf", "+infinity"),
+                F.lit(float("inf")),
+            )
+            .otherwise(F.col("distance").cast("double"))
+            .alias("distance"),
+        )
     return (
         spark.read.option("delimiter", " ")
         .option("header", "false")

@@ -38,16 +38,22 @@ def _skewed_join(a: DataFrame, b: DataFrame, hubs: list) -> DataFrame:
     """Manual skew-aware join on ``src`` (reference
     GraphFrame.scala:1106-1126 / TwoPhase.scala:160-173): rows whose key
     is a driver-collected high-degree hub go through a broadcast join,
-    the rest through a plain shuffle join, results unioned. ``b`` must
-    not carry columns beyond (src, min_nbr[, cnt]); only (src, min_nbr)
-    survive."""
+    the rest through a plain shuffle join, results unioned. Hub
+    membership is tested with broadcast semi/anti joins against the
+    (small) hub set rather than an ``isin`` literal list — the Catalyst
+    plan stays constant-size however many keys exceed the threshold.
+    ``b`` must not carry columns beyond (src, min_nbr[, cnt]); only
+    (src, min_nbr) survive."""
     b = b.select(SRC, MIN_NBR)
     if not hubs:
         return a.join(b, on=SRC)
-    is_hub = F.col(SRC).isin(hubs)
-    hash_joined = a.filter(~is_hub).join(b.filter(~is_hub), on=SRC)
-    broadcast_joined = a.filter(is_hub).join(
-        F.broadcast(b.filter(is_hub)), on=SRC
+    hub_df = a.sparkSession.createDataFrame([(h,) for h in hubs], [SRC])
+    hash_joined = a.join(F.broadcast(hub_df), on=SRC, how="left_anti").join(
+        b.join(F.broadcast(hub_df), on=SRC, how="left_anti"), on=SRC
+    )
+    broadcast_joined = a.join(F.broadcast(hub_df), on=SRC, how="left_semi").join(
+        F.broadcast(b.join(F.broadcast(hub_df), on=SRC, how="left_semi")),
+        on=SRC,
     )
     return hash_joined.unionAll(broadcast_joined)
 
@@ -189,7 +195,12 @@ def incremental_connected_components(
         F.col(ID), F.col(COMPONENT).alias("_prev_comp")
     )
     # current assignment over the updated vertex set: previous component,
-    # or self for newly arrived vertices
+    # or self for newly arrived vertices. Materialized ONCE (lineage
+    # cut): it is the only full-vertex-set relation here and feeds five
+    # consumers (two delta-map joins, the touched-set union via them,
+    # the returned plan, and the caller's actions) — without the cut the
+    # delta-proportional cost contract collapses into repeated
+    # full-size joins.
     assign = (
         graph.vertices.select(ID)
         .join(prev, on=ID, how="left")
@@ -197,6 +208,7 @@ def incremental_connected_components(
             ID,
             F.coalesce(F.col("_prev_comp"), F.col(ID)).alias("_comp"),
         )
+        .localCheckpoint(eager=True)
     )
     new_edges = graph.edges.select(SRC, DST)
     mapped = (
@@ -211,6 +223,8 @@ def incremental_connected_components(
         .select(F.col("_csrc").alias(SRC), F.col("_cdst").alias(DST))
         .filter(F.col(SRC) != F.col(DST))
         .distinct()
+        # delta-sized; scanned by touched (twice) and the contracted CC
+        .localCheckpoint(eager=True)
     )
     # contracted graph: only components touched by a cross-component new
     # edge need to participate; untouched components keep their label
@@ -285,30 +299,21 @@ def connected_components(
         return randomized_contraction(
             graph, checkpoint_interval, use_labels_as_components
         )
-    spark = graph.spark
+    from contextlib import nullcontext
+
+    from graphframes_spark.harness import aqe_disabled
+
     manual_skew = broadcast_threshold != -1
-    if manual_skew:
-        saved_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            return _two_phase_loop(
-                graph,
-                checkpoint_interval,
-                use_labels_as_components,
-                max_iter,
-                storage_level,
-                broadcast_threshold,
-            )
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
-    return _two_phase_loop(
-        graph,
-        checkpoint_interval,
-        use_labels_as_components,
-        max_iter,
-        storage_level,
-        -1,
-    )
+    guard = aqe_disabled(graph.spark) if manual_skew else nullcontext()
+    with guard:
+        return _two_phase_loop(
+            graph,
+            checkpoint_interval,
+            use_labels_as_components,
+            max_iter,
+            storage_level,
+            broadcast_threshold,
+        )
 
 
 def _two_phase_loop(

@@ -95,3 +95,25 @@ def test_all_midnight_timestamps_compare_consistently():
     cs, co, problems = canonicalize_pair(s, o)
     assert problems == []
     pd.testing.assert_frame_equal(cs, co)
+
+
+def test_subsecond_timestamps_compare_at_full_precision():
+    # sub-second mismatch must FAIL the value compare, not truncate away
+    s = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 05:30:00.123"])})
+    o = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 05:30:00.456"])})
+    cs, co, problems = canonicalize_pair(s, o)
+    assert problems == []
+    assert cs["ts"][0] != co["ts"][0]
+
+    # equal sub-second values still compare equal
+    s2 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 05:30:00.123"])})
+    o2 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 05:30:00.123"])})
+    cs2, co2, _ = canonicalize_pair(s2, o2)
+    assert (cs2["ts"] == co2["ts"]).all()
+
+    # whole-second pairs keep the round-trippable second-granular form
+    s3 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 05:30:00"])})
+    o3 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 05:30:00"])})
+    cs3, co3, _ = canonicalize_pair(s3, o3)
+    assert cs3["ts"][0] == "2024-01-01 05:30:00"
+    assert (cs3["ts"] == co3["ts"]).all()

@@ -109,8 +109,18 @@ def test_sssp_validation(spark, weighted_case):
     expected = ldbc.read_expected(spark, root, name, "SSSP")
     src = int(ldbc.read_properties(root, name)[f"graph.{name}.sssp.source-vertex"])
     assert ldbc.sssp_mismatches(g, expected, src).count() == 0
+    # the unreachable sentinel is genuinely VALIDATED, not dropped: the
+    # "infinity" literal must parse to +inf (not NULL)
+    assert (
+        expected.filter("id = 5").collect()[0]["distance"] == float("inf")
+    )
     # a wrong expected row is caught
     bad = expected.limit(0).union(
         spark.createDataFrame([(4, 99.0)], "id long, distance double")
     )
     assert ldbc.sssp_mismatches(g, bad, src).count() == 1
+    # a wrong FINITE claim about an unreachable vertex is caught too
+    bad_unreachable = expected.filter("id != 5").union(
+        spark.createDataFrame([(5, 99.0)], "id long, distance double")
+    )
+    assert ldbc.sssp_mismatches(g, bad_unreachable, src).count() == 1

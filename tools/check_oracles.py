@@ -64,8 +64,26 @@ def canonicalize_pair(s: pd.DataFrame, o: pd.DataFrame):
         s_dt = pd.api.types.is_datetime64_any_dtype(sc)
         o_dt = pd.api.types.is_datetime64_any_dtype(oc)
         if s_dt or o_dt:
-            ss = sc.dt.strftime("%Y-%m-%d %H:%M:%S") if s_dt else sc.astype(str)
-            oo = oc.dt.strftime("%Y-%m-%d %H:%M:%S") if o_dt else oc.astype(str)
+            # full microsecond precision: truncating to whole seconds
+            # would hide sub-second mismatches the driver hash sees
+            ss = (
+                sc.dt.strftime("%Y-%m-%d %H:%M:%S.%f") if s_dt else sc.astype(str)
+            )
+            oo = (
+                oc.dt.strftime("%Y-%m-%d %H:%M:%S.%f") if o_dt else oc.astype(str)
+            )
+
+            def _whole_second(col: pd.Series) -> bool:
+                nn = col.dropna()
+                if len(nn) == 0:
+                    return True
+                return bool(
+                    (nn.str.endswith(".000000") | ~nn.str.contains(".", regex=False)).all()
+                )
+
+            if _whole_second(ss) and _whole_second(oo):
+                ss = ss.str.replace(".000000", "", regex=False)
+                oo = oo.str.replace(".000000", "", regex=False)
             if _all_midnight_or_dateonly(ss) and _all_midnight_or_dateonly(oo):
                 ss = ss.str.replace(" 00:00:00", "", regex=False)
                 oo = oo.str.replace(" 00:00:00", "", regex=False)
@@ -164,7 +182,13 @@ def main() -> int:
             record(name, "fail", detail=f"oracle raised {type(ex).__name__}")
             print(f"FAIL {name}: oracle raised {type(ex).__name__}: {ex}")
             continue
-        s, o, dtype_problems = canonicalize_pair(sdf, odf)
+        try:
+            s, o, dtype_problems = canonicalize_pair(sdf, odf)
+        except Exception as ex:  # e.g. extension Int64-with-NA astype
+            failures.append(name)
+            record(name, "fail", detail=f"canonicalize raised {type(ex).__name__}")
+            print(f"FAIL {name}: canonicalize raised {type(ex).__name__}: {ex}")
+            continue
         if list(s.columns) != list(o.columns):
             failures.append(name)
             record(name, "fail", detail="column mismatch")

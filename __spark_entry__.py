@@ -417,12 +417,19 @@ def q_random_walks_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .setTemporaryPrefix(tempfile.mkdtemp(prefix="rw_det_"))
     )
     out = rw.onGraph(g).run()
-    return out.select(
+    result = out.select(
         F.col("random_walk_uuid"),
         F.concat_ws(" ", F.col("random_walk").cast("array<string>")).alias(
             "walk"
         ),
-    )
+    # eager localCheckpoint pins the rows in the block manager so the
+    # spilled per-batch parquet directories can be removed immediately
+    # (they would otherwise accumulate in /tmp across driver runs)
+    ).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(rw._temporary_prefix, ignore_errors=True)
+    return result
 
 
 def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2165,11 +2172,19 @@ def q_dp_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(F.col("doc_id") + F.lit(1_600_000_000)).alias("ts"),
     )
     src_dir = tempfile.mkdtemp(prefix="dp_stream_near_dup_src_")
-    docs.write.mode("overwrite").parquet(src_dir)
+    # coalesce(1): a single staged file guarantees the availableNow run
+    # drains in ONE micro-batch even if the session caps
+    # maxFilesPerTrigger — with multiple micro-batches the watermark
+    # could advance between batches and evict dedup state mid-corpus
+    docs.coalesce(1).write.mode("overwrite").parquet(src_dir)
 
     stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+    # watermark wider than the full event-time spread (doc_id seconds):
+    # even under a multi-batch drain no in-corpus row can be evicted or
+    # declared late, keeping the one-survivor-per-group contract exact
     kept_stream = stream_near_dup_candidates(
-        stream, ts_col="ts", text_col="text", shingle_len=3
+        stream, ts_col="ts", text_col="text", shingle_len=3,
+        watermark_delay="3650 days",
     )
     sink = f"dp_stream_near_dup_{uuid.uuid4().hex[:12]}"
     (

@@ -58,15 +58,37 @@ def _skewed_join(a: DataFrame, b: DataFrame, hubs: list) -> DataFrame:
     return hash_joined.unionAll(broadcast_joined)
 
 
+# Hard cap on the driver-collected hub set. The hubs are broadcast to
+# every executor as a hash relation; a threshold so low that millions of
+# keys qualify would OOM the driver/broadcast long before the join runs.
+# Failing loudly here converts a silent OOM into an actionable message
+# (raise the threshold, or use the default AQE mode which handles skew
+# without any driver collect).
+MAX_HUBS = 1_000_000
+
+
 def _collect_hubs(min_nbrs_with_cnt: DataFrame, broadcast_threshold: int) -> list:
     """Driver-side set of high-degree join keys (bounded: only keys with
-    degree above the threshold; the reference collects the same set)."""
-    return [
+    degree above the threshold; the reference collects the same set).
+    Raises if more than ``MAX_HUBS`` keys qualify — a pathologically low
+    threshold would otherwise collect a graph-sized key set."""
+    from graphframes_spark.util import GraphFramesError
+
+    hubs = [
         r[0]
         for r in min_nbrs_with_cnt.filter(F.col(CNT) > broadcast_threshold)
         .select(SRC)
+        .limit(MAX_HUBS + 1)
         .collect()
     ]
+    if len(hubs) > MAX_HUBS:
+        raise GraphFramesError(
+            f"manual skew-join mode: more than {MAX_HUBS} keys exceed "
+            f"broadcast_threshold={broadcast_threshold}; the hub set must "
+            "be small enough to broadcast. Raise the threshold, or use "
+            "the default AQE mode (broadcast_threshold=-1)."
+        )
+    return hubs
 
 
 def _symmetrize(ee: DataFrame) -> DataFrame:
@@ -200,16 +222,36 @@ def incremental_connected_components(
     # consumers (two delta-map joins, the touched-set union via them,
     # the returned plan, and the caller's actions) — without the cut the
     # delta-proportional cost contract collapses into repeated
-    # full-size joins.
+    # full-size joins. The min-member-id invariant guard (component must
+    # never exceed the member id — a necessary condition for labels
+    # produced by connectedComponents on integral ids) rides the same
+    # materialization job via Observation: zero extra scans.
+    from pyspark.sql import Observation
+
+    guard = Observation()
     assign = (
         graph.vertices.select(ID)
         .join(prev, on=ID, how="left")
+        .observe(
+            guard,
+            F.sum(
+                F.when(F.col("_prev_comp") > F.col(ID), 1).otherwise(0)
+            ).alias("bad_labels"),
+        )
         .select(
             ID,
             F.coalesce(F.col("_prev_comp"), F.col(ID)).alias("_comp"),
         )
         .localCheckpoint(eager=True)
     )
+    if (guard.get.get("bad_labels") or 0) > 0:
+        raise GraphFramesError(
+            "prev_components violates the min-member-id invariant "
+            "(found component > id): incremental update composes min-id "
+            "labels and would be silently wrong on relabeled input; pass "
+            "an assignment produced by connectedComponents, or rerun the "
+            "full algorithm."
+        )
     new_edges = graph.edges.select(SRC, DST)
     mapped = (
         new_edges.join(

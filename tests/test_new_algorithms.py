@@ -1445,3 +1445,31 @@ def test_incremental_cc_rejects_string_ids(spark):
     prev = spark.createDataFrame([("a", "a"), ("b", "a")], ["id", "component"])
     with pytest.raises(GraphFramesError):
         GraphFrame(v, e).incrementalConnectedComponents(prev)
+
+
+def test_incremental_cc_rejects_relabeled_assignment(spark):
+    """A prev_components violating the min-member-id invariant (label >
+    member id — e.g. a user relabeled components to group maxima) must
+    be rejected loudly: the min-label composition argument does not hold
+    for it, so silently computing would produce wrong output."""
+    v = spark.range(0, 4).select("id")
+    e = spark.createDataFrame([(2, 3)], ["src", "dst"])
+    bad_prev = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 2), (3, 3)], ["id", "component"]
+    )
+    with pytest.raises(GraphFramesError, match="min-member-id"):
+        GraphFrame(v, e).incrementalConnectedComponents(bad_prev).collect()
+
+
+def test_manual_skew_mode_hub_cap(spark, monkeypatch):
+    """A pathologically low broadcast_threshold that would collect a
+    graph-sized hub set to the driver fails loudly instead of OOMing."""
+    from graphframes_spark.lib import connected_components as cc_mod
+
+    monkeypatch.setattr(cc_mod, "MAX_HUBS", 2)
+    v = spark.range(0, 12).select("id")
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)], ["src", "dst"]
+    )
+    with pytest.raises(GraphFramesError, match="hub set"):
+        GraphFrame(v, e).connectedComponents(broadcastThreshold=1)

@@ -1697,10 +1697,29 @@ def q_kmin_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Randomized MIS — rand() is not oracle-replicable; rows-only check
-    (pytest asserts the independence/maximality invariants)."""
-    g = _nation_canon_graph(spark, sf_dir)
-    return g.maximalIndependentSet(seed=42).select("id")
+    """FULL-OUTPUT oracle for the MIS engine in deterministic mode
+    (lib/mis.py, md5 nomination draws — round 8): on a perfect matching
+    over customers (edges (2k-1, 2k)) the marking probability provably
+    stays 1/2 every round (effective degree = partner's 1/2 < 2, and
+    2p > 1/2 caps), so the Ghaffari dynamics reduce to: the pair settles
+    at the first round where exactly one endpoint's md5 draw nominates,
+    and that nominator joins the MIS — closed-form in SQL over the same
+    md5 primitive. This exercises the real iterative engine (nomination,
+    neighbor veto, isolated-join, arena removal, per-round checkpoints)
+    with every draw replayed bit-for-bit by DuckDB; the randomized
+    rand() mode stays pytest-covered and q_mis_regions keeps the
+    seed-independent invariant oracle on the clique graph."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    v = customer.select(F.col("c_custkey").cast("long").alias("id"))
+    e = (
+        v.filter(F.col("id") % 2 == 1)
+        .select(F.col("id").alias("src"))
+        .join(v.select(F.col("id").alias("dst")), F.col("src") + 1 == F.col("dst"))
+    )
+    g = GraphFrame(v, e)
+    return g.maximalIndependentSet(seed=7, maxIter=64, deterministic=True).select(
+        "id"
+    )
 
 
 def q_mis_regions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1018,6 +1018,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_regionkey AS region, CAST(1 AS BIGINT) AS n_selected
             FROM nation GROUP BY n_regionkey
         """,
+        # deterministic-mode MIS on the customer perfect matching: p is
+        # provably 1/2 every round, so pair (a, a+1) settles at the first
+        # round where exactly one endpoint's md5 draw is <= 1/2, and the
+        # nominator wins; unpaired vertices are isolated -> join round 1.
+        # Same draw primitive as lib/mis.py _det_draw (seed 7, rounds
+        # 1..64): first 12 md5 hex chars over 16^12.
+        "mis": """
+            WITH ids AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+            pairs AS (
+                SELECT a.id AS a, b.id AS b
+                FROM ids a JOIN ids b ON b.id = a.id + 1
+                WHERE a.id % 2 = 1
+            ),
+            unpaired AS (
+                SELECT id FROM ids
+                WHERE id NOT IN (SELECT a FROM pairs UNION ALL SELECT b FROM pairs)
+            ),
+            noms AS (
+                SELECT p.a, p.b, t.r,
+                       (('0x' || substr(md5(concat_ws(chr(31), '7',
+                            CAST(t.r AS VARCHAR), CAST(p.a AS VARCHAR))), 1, 12))::BIGINT
+                         / 281474976710656.0) <= 0.5 AS na,
+                       (('0x' || substr(md5(concat_ws(chr(31), '7',
+                            CAST(t.r AS VARCHAR), CAST(p.b AS VARCHAR))), 1, 12))::BIGINT
+                         / 281474976710656.0) <= 0.5 AS nb
+                FROM pairs p CROSS JOIN generate_series(1, 64) t(r)
+            ),
+            settle AS (
+                SELECT a, b, min(r) AS rstar FROM noms WHERE na <> nb GROUP BY a, b
+            )
+            SELECT CASE WHEN n.na THEN s.a ELSE s.b END AS id
+            FROM settle s
+            JOIN noms n ON n.a = s.a AND n.b = s.b AND n.r = s.rstar
+            UNION ALL
+            SELECT id FROM unpaired
+        """,
         "kmin_sampling": f"""
             WITH adj AS ({_NATION_EDGES_SQL}),
             deg AS (SELECT src AS id, count(DISTINCT dst) AS d FROM adj GROUP BY src)

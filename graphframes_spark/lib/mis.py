@@ -43,14 +43,55 @@ HAS_NOMINATED_NBR = "notJoinMIS"
 IS_MIS = "isMIS"
 
 
+def _det_draw(iteration: int, seed: int):
+    """Deterministic uniform draw in [0, 1) from (seed, round, id): first
+    12 hex chars of md5 over 16^12 — the engine-wide cross-engine random
+    primitive (see datapipe/sampling.py ``sample_rank``). Unlike
+    ``rand()``, a task retry or AQE stage re-execution re-computes the
+    IDENTICAL value, and an external system (or the DuckDB oracle:
+    ``('0x' || substr(md5(concat_ws(chr(31), ...)), 1, 12))::BIGINT``)
+    can replay the nomination sequence bit-for-bit."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.lit(str(seed)),
+                    F.lit(str(iteration)),
+                    F.col(ID).cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**12))
+
+
 def maximal_independent_set(
-    graph: "GraphFrame", seed: int = 42, max_iter: int = 100
+    graph: "GraphFrame",
+    seed: int = 42,
+    max_iter: int = 100,
+    deterministic: bool = False,
 ) -> DataFrame:
-    """IDs of a maximal independent set: DF[id]."""
+    """IDs of a maximal independent set: DF[id].
+
+    ``deterministic=True`` (beyond-reference, same pattern as
+    ``RandomWalkWithRestart.setDeterministic``) replaces the per-round
+    ``rand(seed)`` nomination draw with a pure md5 hash of
+    (seed, round, id): the output becomes a fixed function of the graph
+    — stable under task retry, speculative execution, AND replayable by
+    an external SQL engine. AQE stays enabled in this mode (the
+    rand-under-AQE hazard the reference guards against,
+    MaximalIndependentSet.scala:104-107, cannot occur with a
+    deterministic expression)."""
+    from contextlib import nullcontext
+
     spark = graph.spark
     harness = IterationHarness(spark, checkpoint_interval=1)
 
-    with aqe_disabled(spark):
+    with nullcontext() if deterministic else aqe_disabled(spark):
         vertices = harness.pin(
             graph.vertices.select(F.col(ID), F.lit(0.5).cast("double").alias(PROB))
         )
@@ -67,8 +108,9 @@ def maximal_independent_set(
         mis_df = graph.vertices.select(F.col(ID), F.lit(False).alias(IS_MIS))
 
         rng = random.Random(seed)
-        for _ in harness.iterations(max_iter):
+        for iteration in harness.iterations(max_iter):
             iter_seed = rng.getrandbits(63)
+            draw = _det_draw(iteration, seed) if deterministic else F.rand(iter_seed)
             effective_degrees = (
                 edges.join(vertices, vertices[ID] == edges[DST])
                 .groupBy(SRC)
@@ -87,7 +129,7 @@ def maximal_independent_set(
                         ).otherwise(F.lit(0.5))
                     ),
                 )
-                .withColumn(NOMINATED, F.col(PROB) >= F.rand(iter_seed))
+                .withColumn(NOMINATED, F.col(PROB) >= draw)
                 .select(ID, NOMINATED, PROB)
             )
 

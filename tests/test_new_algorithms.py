@@ -101,6 +101,20 @@ def test_mis_chain(spark):
     _assert_is_mis(g, mis)
 
 
+def test_mis_deterministic_mode(spark):
+    """deterministic=True: still a valid MIS, and byte-identical across
+    runs (md5 draws, no rand()) — including on a chain, where the
+    Ghaffari p-dynamics (halving/doubling) are exercised for real."""
+    g = chain_graph(spark, 12)
+    mis1 = {r["id"] for r in g.maximalIndependentSet(seed=5, deterministic=True).collect()}
+    mis2 = {r["id"] for r in g.maximalIndependentSet(seed=5, deterministic=True).collect()}
+    assert mis1 == mis2
+    _assert_is_mis(g, mis1)
+    g2 = star_graph(spark, 6)
+    mis3 = {r["id"] for r in g2.maximalIndependentSet(seed=5, deterministic=True).collect()}
+    _assert_is_mis(g2, mis3)
+
+
 def test_mis_with_isolated(spark):
     v = spark.createDataFrame([(i,) for i in range(5)], ["id"])
     e = spark.createDataFrame([(0, 1)], ["src", "dst"])

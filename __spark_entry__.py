@@ -1452,8 +1452,12 @@ def q_dp_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN — no SQL oracle (bucket recall is by design < 1);
-    driver records a rows-only check."""
+    """Approximate hyperplane-LSH ANN, FULL-OUTPUT oracled (round 8 —
+    previously rows-only): the sketch now uses the portable LCG plane
+    scheme, so DuckDB re-derives the 4-plane sign buckets bit-for-bit
+    and replays the bucket join + exact cosine rerank — recall < 1 is
+    fine because the oracle reproduces the same approximation, not the
+    brute-force answer."""
     from graphframes_spark.datapipe import lsh_topk
 
     emb = _emb(spark, sf_dir)
@@ -1740,8 +1744,16 @@ def q_mis_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded-random walks — values are run-dependent (rand()/shuffle());
-    rows-only check: 2 walks per nation, each of deterministic length 6."""
+    """FULL-TRACE oracle on a GENERAL graph (round 8 — previously
+    rows-only): ``setDrawHash("md5")`` makes every restart draw, every
+    neighbor-index draw, and the k-min neighbor ranking itself a pure
+    md5 function DuckDB computes identically, so the oracle re-derives
+    all 50 six-element walk traces on the nation clique graph —
+    restarts (p=0.1), per-batch neighbor re-sampling, batch spill and
+    cross-batch concatenation included. The rand()/shuffle() default
+    stays rows-only by design (pytest-covered); ``random_walks_det``
+    keeps the forced-graph oracle for the xxhash64 deterministic mode."""
+    import shutil
     import tempfile
 
     from graphframes_spark.rw import RandomWalkWithRestart
@@ -1754,13 +1766,17 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .setBatchSize(3)
         .setNumBatches(2)
         .setGlobalSeed(42)
+        .setDeterministic(True)
+        .setDrawHash("md5")
         .setTemporaryPrefix(tempfile.mkdtemp(prefix="gfs_rw_"))
     )
     walks = rw.run()
-    return walks.select(
+    result = walks.select(
         F.col("random_walk_uuid").alias("walk_id"),
-        F.size("random_walk").alias("walk_len"),
-    )
+        F.concat_ws(" ", F.col("random_walk").cast("array<string>")).alias("walk"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(rw._temporary_prefix, ignore_errors=True)
+    return result
 
 
 def q_random_walk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1819,8 +1835,13 @@ def q_random_walk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sampling_convolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-min sampling uses Spark-side xxhash64 — not oracle-replicable;
-    rows-only check (pytest covers exact mean/concat semantics)."""
+    """FULL-OUTPUT oracle for the SAMPLED convolution path (round 8 —
+    previously rows-only): ``rank_hash="md5"`` makes the k-min neighbor
+    selection a pure function both engines compute identically, so the
+    mean-of-3-sampled-neighbors values (which encode WHICH 3 of the 4
+    clique neighbors were drawn) hash-match against DuckDB replaying the
+    same md5 ranking. The xxhash64 default stays pytest-covered and
+    ``sampling_convolution_full`` keeps the k>=degree degeneration."""
     from graphframes_spark.embeddings import sampling_convolution
 
     g = _nation_graph(spark, sf_dir)
@@ -1830,8 +1851,13 @@ def q_sampling_convolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vector"
         ),
     )
-    out = sampling_convolution(g, emb, k=3, seed=7, concat_self=True)
-    return out.select("id", F.size("vector").alias("dim"))
+    out = sampling_convolution(g, emb, k=3, seed=7, concat_self=True, rank_hash="md5")
+    return out.select(
+        "id",
+        F.size("vector").alias("dim"),
+        F.round(F.element_at("vector", 3), 6).alias("nbr_mean0"),
+        F.round(F.element_at("vector", 4), 6).alias("nbr_mean1"),
+    )
 
 
 def q_sampling_convolution_full(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,6 +61,16 @@ COSINE_PLANES_PER_BAND = 4
 COSINE_BANDS = 8
 
 
+def _lcg_plane_sql(pexpr: str, dexpr: str) -> str:
+    """SQL for one plane component of the engine-portable sign-LSH scheme
+    (datapipe/dedup.py ``_plane_component``): 3-round Lehmer LCG seeded
+    from (plane, dimension), all-int32-safe arithmetic."""
+    h = f"((CAST({pexpr} AS BIGINT)*131 + CAST({dexpr} AS BIGINT) + 1) % 65521)"
+    for _ in range(3):
+        h = f"(({h} * 17364 + 575) % 65521)"
+    return f"({h} % 2001 - 1000)"
+
+
 def _embedding_banded_oracle_sql() -> str:
     """Replicates the banded hyperplane-LSH candidate generation
     bit-for-bit (datapipe/dedup.py banded_hyperplane_sketches): the same
@@ -69,11 +79,7 @@ def _embedding_banded_oracle_sql() -> str:
     identical in DuckDB), and order-independent integer dot products, so
     the candidate set — not just the final filter — is hash-verified."""
 
-    def w(pexpr: str, dexpr: str) -> str:
-        h = f"((CAST({pexpr} AS BIGINT)*131 + CAST({dexpr} AS BIGINT) + 1) % 65521)"
-        for _ in range(3):
-            h = f"(({h} * 17364 + 575) % 65521)"
-        return f"({h} % 2001 - 1000)"
+    w = _lcg_plane_sql
 
     dots = [
         "list_sum(list_transform(range(1, len(q)+1), d -> q[d] * "
@@ -101,6 +107,48 @@ def _embedding_banded_oracle_sql() -> str:
         FROM b a JOIN b c
           ON a.band = c.band AND a.sketch = c.sketch AND a.vec_id < c.vec_id
         WHERE list_cosine_similarity(a.v, c.v) >= {COSINE_T}
+    """
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """Replays the APPROXIMATE hyperplane-LSH top-k path exactly (round 8
+    — previously rows-only): since hyperplane_sketch became the
+    single-band case of the portable LCG scheme, the oracle re-derives
+    each vector's 4-plane sign bucket bit-for-bit, joins on it, and
+    reranks by exact cosine with the same neighbor-id tiebreak — so the
+    bucket recall pattern itself (which neighbors are missing vs brute
+    force) is part of the verified output."""
+    dots = [
+        "list_sum(list_transform(range(1, len(q)+1), d -> q[d] * "
+        + _lcg_plane_sql(str(j), "d-1")
+        + "))"
+        for j in range(4)
+    ]
+    sketch = " + ".join(
+        f"(CASE WHEN ({dots[j]}) > 0 THEN {1 << j} ELSE 0 END)" for j in range(4)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        s AS (SELECT vec_id, v, {sketch} AS sketch FROM e),
+        scored AS (
+            SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(a.v, c.v) AS sim
+            FROM s a JOIN s c ON a.sketch = c.sketch AND a.vec_id <> c.vec_id
+            WHERE a.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank
+        FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= 5
     """
 
 
@@ -221,8 +269,86 @@ def _hash2vec_literal_rows() -> str:
     )
 
 
+def _random_walks_oracle_sql() -> str:
+    """Replays q_random_walks' md5-draw walk engine trace-for-trace.
+
+    Mirrors rw.py exactly: the per-batch iteration seeds come from
+    ``random.Random(42)`` and the per-step seeds from
+    ``random.Random(iter_seed)`` (deterministic Python, embedded here as
+    literals); neighbors are re-sampled per batch ranked by
+    ``md5(concat_ws(chr(31), src, dst, iter_seed))`` with dst tiebreak;
+    each step restarts when the 'r'-salted md5 unit draw of
+    (walk_id, step_seed) is < 0.1, else hops to the neighbor at index
+    ``('n'-salted draw) % degree``. The emitted walk is
+    [start, c1..c5]: batch 1 contributes steps 1-3, batch 2 steps 4-5
+    (its third step advances the cursor but is never emitted)."""
+    import random
+
+    rng = random.Random(42)
+    it1 = rng.getrandbits(63)
+    it2 = rng.getrandbits(63)
+    b1 = random.Random(it1)
+    b2 = random.Random(it2)
+    s11, s12, s13 = (b1.getrandbits(63) for _ in range(3))
+    s21, s22, _ = (b2.getrandbits(63) for _ in range(3))
+
+    def unit(seed: int, salt: str) -> str:
+        return (
+            "(('0x' || substr(md5(concat_ws(chr(31), w.walk_id, "
+            f"'{seed}', '{salt}')), 1, 12))::BIGINT)"
+        )
+
+    def nbr_table(name: str, seed: int) -> str:
+        return f"""
+            {name} AS (
+                SELECT src, dst,
+                       row_number() OVER (
+                           PARTITION BY src
+                           ORDER BY md5(concat_ws(chr(31), CAST(src AS VARCHAR),
+                                                  CAST(dst AS VARCHAR), '{seed}')), dst
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY src) AS deg
+                FROM adj
+            )"""
+
+    blocks = [
+        f"adj AS (SELECT DISTINCT src, dst FROM ({_NATION_EDGES_SQL}))",
+        nbr_table("nb1", it1),
+        nbr_table("nb2", it2),
+        """
+            w0 AS (
+                SELECT CAST(n_nationkey AS VARCHAR) || '#' || k.k AS walk_id,
+                       CAST(n_nationkey AS BIGINT) AS start,
+                       CAST(n_nationkey AS BIGINT) AS curr,
+                       CAST(n_nationkey AS VARCHAR) AS path
+                FROM nation, (VALUES ('1'), ('2')) k(k)
+            )""",
+    ]
+    prev = "w0"
+    for i, (seed, nb) in enumerate(
+        [(s11, "nb1"), (s12, "nb1"), (s13, "nb1"), (s21, "nb2"), (s22, "nb2")], 1
+    ):
+        restart = f"{unit(seed, 'r')} / 281474976710656.0 < 0.1"
+        nxt = f"CASE WHEN {restart} THEN w.start ELSE n.dst END"
+        blocks.append(f"""
+            w{i} AS (
+                SELECT w.walk_id, w.start,
+                       {nxt} AS curr,
+                       w.path || ' ' || CAST({nxt} AS VARCHAR) AS path
+                FROM {prev} w JOIN {nb} n
+                  ON n.src = w.curr
+                 AND n.rn = CASE WHEN {restart} THEN 1
+                                 ELSE ({unit(seed, 'n')} % n.deg) + 1 END
+            )""")
+        prev = f"w{i}"
+    return (
+        "WITH " + ",".join(blocks) + f"\nSELECT walk_id, path AS walk FROM {prev}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "random_walks": _random_walks_oracle_sql(),
         "out_degrees": """
             SELECT o_custkey AS id, CAST(count(*) AS INTEGER) AS out_degree
             FROM orders GROUP BY o_custkey
@@ -1013,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         # exact-mode degenerations of the approximate paths: same result set
         # as brute force, so they share its oracle
         "dp_lsh_exact": _ANN_EXACT_SQL,
+        "dp_lsh_topk": _lsh_topk_oracle_sql(),
         "dp_ivf_exact": _ANN_EXACT_SQL,
         "mis_regions": """
             SELECT n_regionkey AS region, CAST(1 AS BIGINT) AS n_selected
@@ -1127,6 +1254,33 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_filter(codes, x -> x % 16 = 1))
                          / (total * 1.0), 6) AS f1
             FROM d
+        """,
+        # md5-ranked k-min neighbor sampling replayed exactly: the 3
+        # sampled neighbors of each nation are the 3 smallest by
+        # md5(concat_ws(chr(31), src, dst, '7')) with dst tiebreak —
+        # identical hex strings in both engines, so the means encode the
+        # same selection. Every nation sits in a 5-clique (degree 4), so
+        # the concat-self vector is always 2 self + 2 mean dims.
+        "sampling_convolution": f"""
+            WITH adj AS (SELECT DISTINCT src, dst FROM ({_NATION_EDGES_SQL})),
+            ranked AS (
+                SELECT src, dst,
+                       row_number() OVER (
+                           PARTITION BY src
+                           ORDER BY md5(concat_ws(chr(31), CAST(src AS VARCHAR),
+                                                  CAST(dst AS VARCHAR), '7')), dst
+                       ) AS rn
+                FROM adj
+            ),
+            m AS (
+                SELECT src AS id, avg(CAST(dst AS DOUBLE)) AS m0
+                FROM ranked WHERE rn <= 3 GROUP BY src
+            )
+            SELECT CAST(m.id AS BIGINT) AS id,
+                   CAST(4 AS INTEGER) AS dim,
+                   round(m.m0, 6) AS nbr_mean0,
+                   round(m.m0 * 2, 6) AS nbr_mean1
+            FROM m
         """,
         "sampling_convolution_full": """
             WITH nb AS (

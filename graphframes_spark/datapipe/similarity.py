@@ -50,26 +50,17 @@ def _dot(a: Column, b: Column) -> Column:
 
 def hyperplane_sketch(vec: Column, num_planes: int, dim_hint: int = 64) -> Column:
     """Sign sketch of ``vec`` against ``num_planes`` deterministic random
-    hyperplanes, packed into a long. Plane components are derived from
-    xxhash64(plane, dim) — reproducible without a broadcast side-table."""
-    bits = []
-    for p in range(num_planes):
-        plane = F.transform(
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda d: (
-                F.pmod(F.xxhash64(F.lit(p), d), F.lit(2001)) - F.lit(1000)
-            ).cast("double"),
-        )
-        dot = F.aggregate(
-            F.zip_with(vec, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        out = out + F.shiftleft(b, i)
-    return out
+    hyperplanes, packed into a long (``dim_hint`` retained for API
+    compatibility; the planes adapt to the vector's size). Since round 8
+    this is the single-band case of the engine-portable banded scheme
+    (``datapipe.dedup.banded_hyperplane_sketches``): 3-round-LCG integer
+    plane components over the 4096-quantized vector, so bucket
+    membership is bit-identical across engines AND partitionings — the
+    DuckDB oracle replays the approximate path's buckets exactly (the
+    previous xxhash64 planes were retry-stable but not replayable)."""
+    from graphframes_spark.datapipe.dedup import banded_hyperplane_sketches
+
+    return F.element_at(banded_hyperplane_sketches(vec, num_planes, 1), 1)["sketch"]
 
 
 def brute_force_topk(

@@ -263,11 +263,14 @@ def sampling_convolution(
     concat_self: bool = True,
     use_edge_direction: bool = False,
     id_as_string: bool = False,
+    rank_hash: str = "xxhash64",
 ) -> DataFrame:
     """One sampled-neighbor convolution: mean of <= k neighbor vectors,
     optionally concatenated after the vertex's own vector
-    (SamplingConvolution.scala:24-177). Embeddings: DF[id, vector]."""
-    nbrs = sampled_neighbors(graph.edges, k, seed, use_edge_direction)
+    (SamplingConvolution.scala:24-177). Embeddings: DF[id, vector].
+    ``rank_hash="md5"`` makes the k-min neighbor selection replayable by
+    an external SQL engine (see ``sampled_neighbors``)."""
+    nbrs = sampled_neighbors(graph.edges, k, seed, use_edge_direction, rank_hash)
     pairs = nbrs.select(F.col(ID), F.explode(F.col(NBRS_COL)).alias("_nbr"))
     if id_as_string:
         pairs = pairs.select(

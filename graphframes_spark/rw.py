@@ -50,24 +50,56 @@ BATCH_COL = "random_walk_batch_it"
 
 
 def sampled_neighbors(
-    edges: DataFrame, max_nbrs: int, seed: int, use_edge_direction: bool = False
+    edges: DataFrame,
+    max_nbrs: int,
+    seed: int,
+    use_edge_direction: bool = False,
+    rank_hash: str = "xxhash64",
+    ordered: bool = False,
 ) -> DataFrame:
     """DF[id, random_walk_nbrs]: stable uniform sample of <= max_nbrs
-    neighbors per vertex — k smallest by xxhash64(src, dst, seed)
-    (reference KMinSampling semantics via a row_number window)."""
+    neighbors per vertex — k smallest by hash(src, dst, seed)
+    (reference KMinSampling semantics via a row_number window).
+
+    ``rank_hash="md5"`` ranks by the md5 hex string of
+    ``concat_ws(chr(31), src, dst, seed)`` instead of xxhash64: the same
+    uniform selection, but replayable by any engine with an md5 builtin
+    (the DuckDB oracle recomputes the identical k-min set). ``ordered``
+    returns the array sorted by (rank, dst) rather than collect order —
+    required whenever a downstream draw indexes into the array
+    (``element_at``): plain ``collect_list`` order is task-scheduling-
+    dependent, which would silently fork deterministic walks on retry."""
     e = edges.select(SRC, DST)
     if not use_edge_direction:
         e = e.union(edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))).distinct()
-    ranked = e.withColumn(
-        "_rand_rank", F.xxhash64(F.col(SRC), F.col(DST), F.lit(seed))
+    if rank_hash == "md5":
+        rank = F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.col(SRC).cast("string"),
+                F.col(DST).cast("string"),
+                F.lit(str(seed)),
+            )
+        )
+    elif rank_hash == "xxhash64":
+        rank = F.xxhash64(F.col(SRC), F.col(DST), F.lit(seed))
+    else:
+        raise GraphFramesError(f"unknown rank_hash {rank_hash!r}")
+    ranked = e.withColumn("_rand_rank", rank)
+    # dst tiebreak makes the order total (hash ties are ~impossible but
+    # a total order costs nothing and keeps both engines byte-aligned)
+    w = Window.partitionBy(SRC).orderBy("_rand_rank", DST)
+    kept = ranked.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_nbrs
     )
-    w = Window.partitionBy(SRC).orderBy("_rand_rank")
-    return (
-        ranked.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_nbrs)
-        .groupBy(F.col(SRC).alias(ID))
-        .agg(F.collect_list(DST).alias(NBRS_COL))
-    )
+    if ordered:
+        agg = F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_rand_rank"), F.col(DST)))),
+            lambda s: s[DST],
+        )
+    else:
+        agg = F.collect_list(DST)
+    return kept.groupBy(F.col(SRC).alias(ID)).agg(agg.alias(NBRS_COL))
 
 
 class RandomWalkWithRestart:
@@ -86,6 +118,7 @@ class RandomWalkWithRestart:
         self._starting_iteration = 1
         self._restart_probability = 0.1
         self._deterministic = False
+        self._draw_hash = "xxhash64"
 
     def onGraph(self, graph: GraphFrame) -> "RandomWalkWithRestart":
         self._graph = graph
@@ -140,10 +173,23 @@ class RandomWalkWithRestart:
 
     def setDeterministic(self, value: bool) -> "RandomWalkWithRestart":
         """Hash-based randomness: walk ids become ``<start>#<k>`` and
-        every restart/neighbor draw is ``xxhash64(walk_id, step_seed)``
-        instead of ``rand()``/``shuffle()`` — reproducible run-to-run
-        and retry-stable on a cluster."""
+        every restart/neighbor draw is a pure hash of
+        (walk_id, step_seed) instead of ``rand()``/``shuffle()`` —
+        reproducible run-to-run and retry-stable on a cluster. Neighbor
+        arrays are additionally (rank, dst)-sorted so indexed draws
+        cannot depend on ``collect_list`` task order."""
         self._deterministic = value
+        return self
+
+    def setDrawHash(self, value: str) -> "RandomWalkWithRestart":
+        """Hash family for deterministic-mode draws and neighbor-sample
+        ranking: ``"xxhash64"`` (default, cheapest) or ``"md5"`` —
+        slower, but every draw is replayable by any engine with an md5
+        builtin (the DuckDB oracle re-derives full walk traces on a
+        general graph). Only meaningful with ``setDeterministic(True)``."""
+        if value not in ("xxhash64", "md5"):
+            raise GraphFramesError(f"unknown draw hash {value!r}")
+        self._draw_hash = value
         return self
 
     # ----------------------------------------------------------------- run
@@ -197,7 +243,36 @@ class RandomWalkWithRestart:
         rng = random.Random(iter_seed)
         for _ in range(self._batch_size):
             step_seed = rng.getrandbits(63)
-            if self._deterministic:
+            if self._deterministic and self._draw_hash == "md5":
+                # md5-unit draws (first 12 hex chars over 16^12) with a
+                # salt per draw kind: bit-replayable by the DuckDB
+                # oracle via the same three builtins
+                def _md5_unit(salt: str, _seed=step_seed):
+                    return F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "\x1f",
+                                    F.col(WALK_ID_COL),
+                                    F.lit(str(_seed)),
+                                    F.lit(salt),
+                                )
+                            ),
+                            1,
+                            12,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+
+                restart_draw = _md5_unit("r") / F.lit(float(16**12))
+                nbr_pick = F.element_at(
+                    F.col(NBRS_COL),
+                    (F.pmod(_md5_unit("n"), F.size(F.col(NBRS_COL))) + 1).cast(
+                        "int"
+                    ),
+                )
+            elif self._deterministic:
                 # pure hash of (walk id, step seed): identical across
                 # runs and task retries, uniform enough for walk draws
                 restart_draw = (
@@ -263,7 +338,12 @@ class RandomWalkWithRestart:
         for i in range(self._starting_iteration, self._num_batches + 1):
             iter_seed = rng.getrandbits(63)
             neighbors = sampled_neighbors(
-                self._graph.edges, self._max_nbrs, iter_seed, self._use_edge_direction
+                self._graph.edges,
+                self._max_nbrs,
+                iter_seed,
+                self._use_edge_direction,
+                rank_hash=self._draw_hash if self._deterministic else "xxhash64",
+                ordered=self._deterministic,
             )
             prev = (
                 None if i == 1 else spark.read.parquet(self._batch_path(i - 1))

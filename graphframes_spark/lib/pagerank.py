@@ -94,12 +94,14 @@ def page_rank(
         .sendMsgToDst(Pregel.src("pagerank") / Pregel.src(_OUT_DEG))
         .aggMsgs(F.sum(Pregel.msg()))
         .requiredSrcColumns("pagerank", _OUT_DEG)
-        # wider checkpoint cadence than the Pregel default (2): the
-        # per-checkpoint Catalyst planning round-trip is the dominant
-        # fixed cost of this recipe (~2s each at sf0.1 — interval 5
-        # measured 1.5x faster end-to-end), and a 5-superstep lineage of
-        # narrow (id, rank) state is still a trivial recovery unit
-        .setCheckpointInterval(5)
+        # interval 2 (the Pregel default) re-measured fastest in round 8:
+        # each superstep's plan embeds the previous one TWICE (message
+        # path + join-back), so within-window analysis/planning cost is
+        # ~2^interval — the round-4 "interval 5 is 1.5x faster" result
+        # predates the single-message fast path that shrank per-superstep
+        # materialization cost. Curve (sf0.1 min-of-3, tools/
+        # bench_pregel_floor.py): 1→7.3s, 2→6.7s, 5→8.2s, 10→20.0s.
+        .setCheckpointInterval(2)
     )
 
     if tol is not None:
@@ -181,7 +183,7 @@ def _weighted_page_rank(
         .sendMsgToDst(Pregel.src("pagerank") * Pregel.edge("_pr_w"))
         .aggMsgs(F.sum(Pregel.msg()))
         .requiredSrcColumns("pagerank")
-        .setCheckpointInterval(5)
+        .setCheckpointInterval(2)  # see page_rank: 2^interval planning cost
     )
     if tol is not None:
         pregel = (
@@ -253,7 +255,7 @@ def parallel_personalized_page_rank(
             )
         )
         .requiredSrcColumns("pageranks", _OUT_DEG)
-        .setCheckpointInterval(5)  # see pageRank: planning is the fixed cost
+        .setCheckpointInterval(2)  # see page_rank: 2^interval planning cost
         .setMaxIter(max_iter)
         .run()
         .select(ID, "pageranks")

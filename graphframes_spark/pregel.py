@@ -273,6 +273,13 @@ class Pregel:
         if self._needs_edge_attrs():
             edge_shape.append(F.struct("*").alias(EDGE))
         edges = graph.edges.select(*edge_shape).repartition(F.col("edge_src"))
+        # NOT checkpointed in fused mode (A/B'd round 8): collapsing the
+        # edge side to a LogicalRDD leaf made every superstep's eager
+        # re-analysis ~5x SLOWER (0.3s -> 1.7s/superstep at sf0.1) and the
+        # checkpoint-window optimizer pass 2.8x slower — LogicalRDD leaves
+        # are costlier to re-analyze/dedup than the parquet-scan subtree
+        # they replace, and the cross-window edge-shuffle reuse never
+        # materialized as a win at this scale.
         if not fused:
             edges = harness.pin(edges)
 

@@ -650,11 +650,14 @@ def q_louvain_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_louvain_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Louvain at data scale — no SQL oracle (the contraction hierarchy
-    is not SQL-expressible; driver records a rows-only check, and
-    louvain_regions carries the exact-oracle evidence). Weighted
-    co-purchase graph: parts linked by #distinct co-ordering orders
-    (>= 2), communities from 2 passes; returns per-community sizes."""
+    """Louvain at data scale, full-output oracled (round 8): the
+    co-purchase weights are distinct-order COUNTS, so every gain the
+    engine computes is an integer-valued double — IEEE-exact and
+    aggregation-order-independent — and the DuckDB oracle replays the
+    whole contraction hierarchy (2 passes x 6 synchronized rounds,
+    freeze-on-converge, Sotera direction gates, min-member relabel)
+    round-for-round. Weighted co-purchase graph: parts linked by
+    #distinct co-ordering orders (>= 2); returns per-community sizes."""
     li = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .select("l_partkey", "l_orderkey")

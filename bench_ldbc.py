@@ -120,6 +120,12 @@ def main() -> None:
             "shortest_paths": lambda: g.shortestPaths(
                 landmarks=[0], isDirected=False
             ),
+            # round 8: PageRank joins the protocol (Graphalytics PR is part
+            # of the reference's golden suite; 10 fixed iterations like the
+            # reference's LDBC PR config)
+            "pagerank": lambda: g.pageRank(
+                resetProbability=0.15, maxIter=10
+            ).vertices,
         }
 
         results: dict[str, list[float]] = {name: [] for name in ops}
@@ -139,6 +145,45 @@ def main() -> None:
         avg = {
             name: round(sum(ts) / len(ts), 3) for name, ts in results.items()
         }
+
+        # Optional: checkpoint-interval curve for fixed-iteration Pregel
+        # at THIS graph scale (SPARK_GRAFT_LDBC_PR_CURVE=1). One pass per
+        # interval (each is minutes at 10x); built on Pregel directly so
+        # the public pageRank API keeps its measured default cadence.
+        pr_curve: dict[str, float] = {}
+        if os.environ.get("SPARK_GRAFT_LDBC_PR_CURVE"):
+            from pyspark.sql import functions as F2
+
+            from graphframes_spark.lib import pagerank as pr_mod
+            from graphframes_spark.pregel import Pregel
+
+            prepared = pr_mod._prepared_graph(g)
+            n = prepared.vertices.count()
+            for interval in (1, 2, 4):
+                new_rank = F2.lit(0.15 / n) + F2.lit(0.85) * F2.coalesce(
+                    Pregel.msg(), F2.lit(0.0)
+                )
+                t0 = time.time()
+                res = (
+                    prepared.pregel.withVertexColumn(
+                        "pagerank", F2.lit(1.0 / n), new_rank
+                    )
+                    .sendMsgToDst(
+                        Pregel.src("pagerank") / Pregel.src(pr_mod._OUT_DEG)
+                    )
+                    .aggMsgs(F2.sum(Pregel.msg()))
+                    .requiredSrcColumns("pagerank", pr_mod._OUT_DEG)
+                    .setCheckpointInterval(interval)
+                    .setMaxIter(10)
+                    .run()
+                )
+                res.count()
+                pr_curve[str(interval)] = round(time.time() - t0, 3)
+                res.unpersist()
+                print(
+                    f"# pr_interval_{interval}: {pr_curve[str(interval)]}s",
+                    file=sys.stderr,
+                )
         print(
             json.dumps(
                 {
@@ -157,6 +202,11 @@ def main() -> None:
                     "cdlp_iters": CDLP_ITERS,
                     "cpus": cpus,
                     "scale": scale,
+                    **(
+                        {"pagerank_interval_curve_sec": pr_curve}
+                        if pr_curve
+                        else {}
+                    ),
                 }
             )
         )

@@ -346,9 +346,192 @@ def _random_walks_oracle_sql() -> str:
     )
 
 
+def _louvain_rounds_sql(
+    sfx: str, adj: str, kc: str, asg0: str, n_rounds: int
+) -> tuple[str, str]:
+    """Unrolled synchronized local-moving rounds for the Louvain oracle.
+
+    Emits CTE text replaying lib/louvain.py::_local_moving round-for-round
+    on a prepared level (adjacency ``adj``[u,v,w], completed degrees
+    ``kc``[id,k], initial assignment ``asg0``[id,comm]):
+    per round — neighbor-community attachment, candidate set (own ∪
+    neighbors), Σ_tot, the gain ``k_uc − k_u·tot_excl/(2m)`` with the
+    engine's exact operation order, argmax with stay-then-min-id
+    tie-breaks, and the alternating Sotera direction gate (even rounds
+    move down, odd rounds up). The engine's break-on-no-moves is replayed
+    by a scalar freeze flag: once a round moves nothing, all later rounds
+    copy the assignment through unchanged. Every quantity is an
+    integer-valued double (< 2^53), so sums are order-independent and the
+    single gain division rounds identically in DuckDB and Spark — the
+    replay is bit-exact, not approximate.
+
+    Returns (cte_text, final_assignment_name)."""
+    ctes: list[str] = [
+        f"frz{sfx}0 AS MATERIALIZED (SELECT FALSE AS f)",
+    ]
+    for r in range(n_rounds):
+        prev = f"{asg0}" if r == 0 else f"asg{sfx}{r}"
+        gate = "<" if r % 2 == 0 else ">"
+        ctes.append(f"""
+            nbr{sfx}{r} AS MATERIALIZED (
+                SELECT a.u, s.comm AS c, sum(a.w) AS k_uc
+                FROM {adj} a JOIN {prev} s ON s.id = a.v
+                GROUP BY a.u, s.comm
+            ),
+            cand{sfx}{r} AS MATERIALIZED (
+                SELECT u, c, max(k_uc) AS k_uc FROM (
+                    SELECT u, c, k_uc FROM nbr{sfx}{r}
+                    UNION ALL
+                    SELECT id AS u, comm AS c, 0.0 AS k_uc FROM {prev}
+                ) GROUP BY u, c
+            ),
+            sig{sfx}{r} AS MATERIALIZED (
+                SELECT s.comm AS c, sum(k.k) AS tot
+                FROM {kc} k JOIN {prev} s ON s.id = k.id
+                GROUP BY s.comm
+            ),
+            sc{sfx}{r} AS MATERIALIZED (
+                SELECT cd.u, cd.c, own.comm AS own,
+                       cd.k_uc - ku.k * (sg.tot
+                           - CASE WHEN cd.c = own.comm THEN ku.k
+                                  ELSE 0.0 END) / (SELECT two_m FROM mval)
+                           AS gain
+                FROM cand{sfx}{r} cd
+                JOIN sig{sfx}{r} sg ON sg.c = cd.c
+                JOIN {kc} ku ON ku.id = cd.u
+                JOIN {prev} own ON own.id = cd.u
+            ),
+            best{sfx}{r} AS MATERIALIZED (
+                SELECT u, own, c FROM (
+                    SELECT u, own, c, row_number() OVER (
+                        PARTITION BY u
+                        ORDER BY gain DESC,
+                                 CASE WHEN c = own THEN 0 ELSE 1 END,
+                                 c
+                    ) AS rn FROM sc{sfx}{r}
+                ) WHERE rn = 1
+            ),
+            dec{sfx}{r} AS MATERIALIZED (
+                SELECT u, own,
+                       CASE WHEN c {gate} own THEN c ELSE own END AS newc
+                FROM best{sfx}{r}
+            ),
+            mv{sfx}{r} AS MATERIALIZED (
+                SELECT count(*) FILTER (WHERE newc != own) AS n
+                FROM dec{sfx}{r}
+            ),
+            asg{sfx}{r + 1} AS MATERIALIZED (
+                SELECT u AS id,
+                       CASE WHEN (SELECT f FROM frz{sfx}{r}) THEN own
+                            ELSE newc END AS comm
+                FROM dec{sfx}{r}
+            ),
+            frz{sfx}{r + 1} AS MATERIALIZED (
+                SELECT (SELECT f FROM frz{sfx}{r})
+                       OR (SELECT n FROM mv{sfx}{r}) = 0 AS f
+            )""")
+    return ",".join(ctes), f"asg{sfx}{n_rounds}"
+
+
+def _louvain_copurchase_oracle_sql() -> str:
+    """Full-output replay of q_louvain_copurchase (2 passes x 6 rounds).
+
+    The co-purchase weights are distinct-order counts, so every degree,
+    Σ_tot, and gain the engine computes is an integer-valued double —
+    IEEE-exact and aggregation-order-independent — which makes the
+    contraction hierarchy replayable: pass 1 local moving on the part
+    graph, contraction to supervertices, pass 2 local moving on the
+    contracted graph (gated on pass 1 having moved and shrunk, exactly
+    like louvain()'s break conditions), then min-member-id stable
+    relabel and the per-community size rollup."""
+    r1, asg1_final = _louvain_rounds_sql("a", "adj1", "k1c", "asg1_0", 6)
+    r2, asg2_final = _louvain_rounds_sql("b", "adj2", "k2c", "asg2_0", 6)
+    return f"""
+        WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_partkey, l_orderkey FROM lineitem
+        ),
+        ce1 AS MATERIALIZED (
+            SELECT a.l_partkey AS a, b.l_partkey AS b,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        verts1 AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+        mval AS MATERIALIZED (SELECT 2.0 * sum(w) AS two_m FROM ce1),
+        k1 AS MATERIALIZED (
+            SELECT id, sum(w) AS k FROM (
+                SELECT a AS id, w FROM ce1
+                UNION ALL SELECT b AS id, w FROM ce1
+            ) GROUP BY id
+        ),
+        k1c AS MATERIALIZED (
+            SELECT v.id, coalesce(k1.k, 0.0) AS k
+            FROM verts1 v LEFT JOIN k1 ON k1.id = v.id
+        ),
+        adj1 AS MATERIALIZED (
+            SELECT a AS u, b AS v, w FROM ce1 WHERE a != b
+            UNION ALL
+            SELECT b AS u, a AS v, w FROM ce1 WHERE a != b
+        ),
+        asg1_0 AS MATERIALIZED (SELECT id, id AS comm FROM verts1),
+        {r1},
+        p1any AS MATERIALIZED (SELECT (SELECT n FROM mva0) > 0 AS p),
+        ce2 AS MATERIALIZED (
+            SELECT least(x.comm, y.comm) AS a,
+                   greatest(x.comm, y.comm) AS b, sum(e.w) AS w
+            FROM ce1 e
+            JOIN {asg1_final} x ON x.id = e.a
+            JOIN {asg1_final} y ON y.id = e.b
+            GROUP BY 1, 2
+        ),
+        verts2 AS MATERIALIZED (SELECT DISTINCT comm AS id FROM {asg1_final}),
+        p2run AS MATERIALIZED (
+            SELECT (SELECT p FROM p1any)
+                   AND (SELECT count(*) FROM verts2)
+                       < (SELECT count(*) FROM verts1) AS p
+        ),
+        k2 AS MATERIALIZED (
+            SELECT id, sum(w) AS k FROM (
+                SELECT a AS id, w FROM ce2
+                UNION ALL SELECT b AS id, w FROM ce2
+            ) GROUP BY id
+        ),
+        k2c AS MATERIALIZED (
+            SELECT v.id, coalesce(k2.k, 0.0) AS k
+            FROM verts2 v LEFT JOIN k2 ON k2.id = v.id
+        ),
+        adj2 AS MATERIALIZED (
+            SELECT a AS u, b AS v, w FROM ce2 WHERE a != b
+            UNION ALL
+            SELECT b AS u, a AS v, w FROM ce2 WHERE a != b
+        ),
+        asg2_0 AS MATERIALIZED (SELECT id, id AS comm FROM verts2),
+        {r2},
+        total2 AS MATERIALIZED (
+            SELECT t.id,
+                   CASE WHEN (SELECT p FROM p2run) THEN a2.comm
+                        ELSE t.comm END AS comm
+            FROM {asg1_final} t JOIN {asg2_final} a2 ON a2.id = t.comm
+        ),
+        stable AS MATERIALIZED (
+            SELECT comm AS sv, min(id) AS community
+            FROM total2 GROUP BY comm
+        ),
+        final AS MATERIALIZED (
+            SELECT t.id, s.community
+            FROM total2 t JOIN stable s ON s.sv = t.comm
+        )
+        SELECT community, count(*) AS size
+        FROM final GROUP BY community
+        ORDER BY size DESC, community
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "random_walks": _random_walks_oracle_sql(),
+        "louvain_copurchase": _louvain_copurchase_oracle_sql(),
         "out_degrees": """
             SELECT o_custkey AS id, CAST(count(*) AS INTEGER) AS out_degree
             FROM orders GROUP BY o_custkey

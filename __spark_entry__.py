@@ -2277,41 +2277,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
     verifies the FIRST 50 entries against ``oracle_sql()``.
 
-    Round-7 rotation closes the driver-evidence gap: the first 50 slots
-    carry (a) the 10 queries that had never been in a driver window
-    (describe_graph, dp_dup_coverage, dp_ivf_exact, dp_lsh_exact,
-    dp_redact, dp_temp_sample, dp_word_freq, transitivity, triangles,
-    plus dp_pack whose oracle HUGEINT typing is fixed this round),
-    (b) the four queries changed/added this round (dp_stream_near_dup
-    now drains the real streaming operator; cc_skew_broadcast is the
-    manual skew-join CC mode; random_walks_det is the full-trace
-    walk-engine oracle; cc_incremental is the delta-update CC), and
-    (c) 36 green back-fills spanning the core operator families, all
-    driver-verified in earlier rounds. After this window every oracled
-    registry query has at least one driver-green row (cumulative 126 of
-    133; the remaining 7 are seeded rows-only by design with
-    deterministic in-window companions). Queries past position 50
-    remain runnable, benchmarked, and under pytest + the local oracle
-    selfcheck (tools/check_oracles.py — full-registry runs green at
-    sf0.01 and sf0.1 this round under the driver-fidelity dtype-strict
+    Round-8 rotation: the first 50 slots carry (a) the five queries whose
+    oracles are NEW since the round-7 window was recorded — mis
+    (deterministic md5-draw MIS, full-output oracle), random_walks
+    (md5-draw walk engine, full-trace oracle), sampling_convolution
+    (verifies WHICH neighbors were sampled), dp_lsh_topk (portable-LCG
+    hyperplane buckets), louvain_copurchase (bit-exact 2-pass contraction
+    replay) — (b) every query whose code round 8 touched: the Pregel
+    checkpoint-cadence retune covers pagerank / pagerank_weighted /
+    pagerank_tol / pagerank_personalized / ppr / katz / eigenvector, and
+    (c) green back-fills across the operator families, all
+    driver-verified in earlier rounds. Cumulative driver evidence after
+    round 7: all 126 previously-oracled registry queries have at least
+    one driver-green row; the rows-only set is now just pic and
+    dp_ivf_topk (irreducibly seeded KMeans internals). Queries past
+    position 50 remain runnable, benchmarked, and under pytest + the
+    local oracle selfcheck (tools/check_oracles.py — full-registry runs
+    green at sf0.01 and sf0.1 under the driver-fidelity dtype-strict
     comparator).
     """
     return {
-        # ---- round-7 window ----
-        # (a) never-driver-verified until now
-        "dp_pack": q_dp_pack,
-        "dp_temp_sample": q_dp_temp_sample,
-        "dp_word_freq": q_dp_word_freq,
-        "dp_dup_coverage": q_dp_dup_coverage,
-        "dp_redact": q_dp_redact,
-        "dp_lsh_exact": q_dp_lsh_exact,
-        "dp_ivf_exact": q_dp_ivf_exact,
-        "triangles": q_triangles,
-        "transitivity": q_transitivity,
-        "describe_graph": q_describe_graph,
-        # (b) changed / added this round
+        # ---- round-8 window ----
+        # (a) oracles new since the round-7 driver window
+        "mis": q_mis,
+        "random_walks": q_random_walks,
+        "sampling_convolution": q_sampling_convolution,
+        "dp_lsh_topk": q_dp_lsh_topk,
+        "louvain_copurchase": q_louvain_copurchase,
+        # (b) code touched round 8 (Pregel checkpoint-cadence retune)
+        "katz": q_katz,
+        "eigenvector": q_eigenvector,
+        "pagerank_tol": q_pagerank_tol,
+        "pagerank_personalized": q_pagerank_personalized,
+        # round-7 carryovers kept in-window (streaming + skew-CC modes)
         "dp_stream_near_dup": q_dp_stream_near_dup,
         "cc_skew_broadcast": q_cc_skew_broadcast,
+        "transitivity": q_transitivity,
         # (c) green back-fills across the operator families
         "out_degrees": q_out_degrees,
         "in_degrees": q_in_degrees,
@@ -2352,6 +2353,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_det": q_random_walks_det,
         "cc_incremental": q_cc_incremental,
         # ------------- past the driver's 50-entry correctness window:
+        # rotated out this round (all driver-green in the r7 window)
+        "dp_pack": q_dp_pack,
+        "dp_temp_sample": q_dp_temp_sample,
+        "dp_word_freq": q_dp_word_freq,
+        "dp_dup_coverage": q_dp_dup_coverage,
+        "dp_redact": q_dp_redact,
+        "dp_lsh_exact": q_dp_lsh_exact,
+        "dp_ivf_exact": q_dp_ivf_exact,
+        "triangles": q_triangles,
+        "describe_graph": q_describe_graph,
         # (dp_ann_topk and dp_token_counts yielded their back-fill slots
         # to the new random_walks_det / cc_incremental oracles; both are
         # driver-green from earlier rounds and stay just below)
@@ -2362,8 +2373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variants are marked in SURVEY §8
         "hits": q_hits,
         "betweenness": q_betweenness,
-        "eigenvector": q_eigenvector,
-        "katz": q_katz,
         "harmonic_centrality": q_harmonic_centrality,
         "eccentricity": q_eccentricity,
         "clustering_coefficient": q_clustering_coefficient,
@@ -2424,9 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_contamination": q_dp_contamination,
         "dp_multimodal_features": q_dp_multimodal_features,
         "dp_multimodal_meta": q_dp_multimodal_meta,
-        "pagerank_personalized": q_pagerank_personalized,
         "motif_mutual": q_motif_mutual,
-        "pagerank_tol": q_pagerank_tol,
         "shortest_paths_undirected": q_shortest_paths_undirected,
         "triangle_count_approx": q_triangle_count_approx,
         "cc_string_labels": q_cc_string_labels,
@@ -2434,13 +2441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_clique": q_lpa_clique,
         "pagerank_clique": q_pagerank_clique,
         "pg_copurchase": q_pg_copurchase,
-        "mis": q_mis,
-        "random_walks": q_random_walks,
         "pic": q_pic,
-        "sampling_convolution": q_sampling_convolution,
-        "dp_lsh_topk": q_dp_lsh_topk,
         "dp_ivf_topk": q_dp_ivf_topk,
-        "louvain_copurchase": q_louvain_copurchase,
     }
 
 

@@ -28,7 +28,10 @@ Prints ONE JSON line; run with
 ``python bench_ldbc.py [> BENCH_ldbc.json]``.
 Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_LDBC_REPEATS (default
 2 measured after 1 warmup), SPARK_GRAFT_LDBC_SCALE (default 1.0 —
-fraction of wiki-Talk size, for quick smoke runs).
+multiple of wiki-Talk size: 0.02 for smoke runs, 10 for the scale-rung
+run recorded in BENCH_ldbc_10x.json — 24M vertices / 50M edges),
+SPARK_GRAFT_LDBC_PR_CURVE=1 to also measure the fixed-iteration Pregel
+checkpoint-interval curve (1/2/4) at this graph scale.
 """
 
 from __future__ import annotations
@@ -57,6 +60,14 @@ def build_session(cpus: int) -> SparkSession:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("graphframes_spark-ldbc-bench")
         .config("spark.driver.memory", "48g")
+        # same status-store/GC hygiene as bench.py: without these the SQL
+        # status store pins thousands of dead SQLPlanMetric arrays and
+        # localCheckpoint blocks accumulate across the 12 op passes —
+        # measured as bimodal pass times (CDLP 29s vs 292s in ONE suite)
+        .config("spark.sql.ui.retainedExecutions", "16")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.sql.maxPlanStringLength", str(4 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
         .config("spark.sql.adaptive.enabled", "true")

@@ -105,6 +105,9 @@ HEADLINE = [
     "cc_skew_broadcast",
     "random_walks_det",
     "cc_incremental",
+    # round-8 additions (newly deterministic/oracled engine modes)
+    "mis",
+    "random_walks",
 ]
 
 

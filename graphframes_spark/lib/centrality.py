@@ -153,7 +153,7 @@ def katz_centrality(
         .aggMsgs(F.sum(Pregel.msg()))
         .requiredSrcColumns("katz")
         .setMaxIter(max_iter)
-        .setCheckpointInterval(2)  # see pagerank.py: 2^interval planning cost
+        .setCheckpointInterval(5)  # see pagerank.py: short runs stay fused
     )
     result = pregel.run()
     if normalized:
@@ -209,7 +209,7 @@ def eigenvector_centrality(
         .aggMsgs(F.sum(Pregel.msg()))
         .requiredSrcColumns("eigenvector")
         .setMaxIter(max_iter)
-        .setCheckpointInterval(2)  # see pagerank.py: 2^interval planning cost
+        .setCheckpointInterval(5)  # see pagerank.py: short runs stay fused
     )
     result = pregel.run()
     if normalized:

@@ -94,14 +94,16 @@ def page_rank(
         .sendMsgToDst(Pregel.src("pagerank") / Pregel.src(_OUT_DEG))
         .aggMsgs(F.sum(Pregel.msg()))
         .requiredSrcColumns("pagerank", _OUT_DEG)
-        # interval 2 (the Pregel default) re-measured fastest in round 8:
-        # each superstep's plan embeds the previous one TWICE (message
-        # path + join-back), so within-window analysis/planning cost is
-        # ~2^interval — the round-4 "interval 5 is 1.5x faster" result
-        # predates the single-message fast path that shrank per-superstep
-        # materialization cost. Curve (sf0.1 min-of-3, tools/
-        # bench_pregel_floor.py): 1→7.3s, 2→6.7s, 5→8.2s, 10→20.0s.
-        .setCheckpointInterval(2)
+        # interval 5, deliberately wider than the Pregel default (2) —
+        # round 8 A/B'd 2 vs 5 both ways and 5 dominates: short recipes
+        # (maxIter <= 5: katz/ppr/eigenvector defaults) stay ONE fully
+        # fused job with zero checkpoints (interval 2 cost them 2.7-5.5x
+        # in the headline bench), 10-iteration PageRank is a wash at
+        # sf0.1 (7.69s @2 vs 7.63s @5), and at the 10x scale rung wider
+        # cadence wins outright (BENCH_ldbc_10x pagerank_interval_curve:
+        # 1→265s, 2→152s, 4→123s). See SCALE.md "checkpoint-cadence
+        # optimum moves with scale".
+        .setCheckpointInterval(5)
     )
 
     if tol is not None:
@@ -183,7 +185,7 @@ def _weighted_page_rank(
         .sendMsgToDst(Pregel.src("pagerank") * Pregel.edge("_pr_w"))
         .aggMsgs(F.sum(Pregel.msg()))
         .requiredSrcColumns("pagerank")
-        .setCheckpointInterval(2)  # see page_rank: 2^interval planning cost
+        .setCheckpointInterval(5)  # see page_rank: short runs stay fused
     )
     if tol is not None:
         pregel = (
@@ -255,7 +257,7 @@ def parallel_personalized_page_rank(
             )
         )
         .requiredSrcColumns("pageranks", _OUT_DEG)
-        .setCheckpointInterval(2)  # see page_rank: 2^interval planning cost
+        .setCheckpointInterval(5)  # see page_rank: short runs stay fused
         .setMaxIter(max_iter)
         .run()
         .select(ID, "pageranks")

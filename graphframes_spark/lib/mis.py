@@ -168,9 +168,9 @@ def maximal_independent_set(
                 )
             )
             # the MIS accumulator must be eagerly checkpointed every round
-            # (MaximalIndependentSet.scala:167-178)
+            # (MaximalIndependentSet.scala:167-178); eager=True already
+            # materializes it — no separate count() action needed
             mis_df = harness.checkpoint(updated_mis, eager=True)
-            mis_df.count()
 
             nbrs_of_mis = edges.join(
                 joined_mis, joined_mis[ID] == edges[DST]

@@ -1564,10 +1564,29 @@ def q_svdpp_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Power iteration clustering — ml-internal initialization is not
-    SQL-replicable; rows-only check."""
-    g = _nation_graph(spark, sf_dir)
-    return g.powerIterationClustering(k=5, maxIter=20).select("id", "cluster")
+    """Deterministic PIC (round 8): orders of every 100th customer form
+    disjoint cliques of varying sizes. The degree-normalized vector is
+    the exact fixed point of the Lin-Cohen power iteration on disjoint
+    cliques, so the 1-D embedding — and therefore the gap-cut cluster
+    assignment — has a closed-form oracle: emb(v) = (s-1)/Σ(s-1) for
+    clique size s, clusters = ascending size-bands split at the k-1
+    largest embedding gaps."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sel = orders.filter(F.col("o_custkey") % 100 == 0).select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.col("o_custkey").alias("ck"),
+    )
+    siz = sel.groupBy("ck").agg(F.count("*").alias("s")).filter(F.col("s") >= 2)
+    verts = sel.join(siz, on="ck")
+    e = (
+        verts.select(F.col("id").alias("src"), F.col("ck"))
+        .join(verts.select(F.col("id").alias("dst"), F.col("ck")), on="ck")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    g = GraphFrame(verts.select("id"), e)
+    a = g.powerIterationClustering(k=3, maxIter=8, deterministic=True)
+    return a.select("id", "cluster")
 
 
 def q_pic_regions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1410,6 +1410,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS off_clique
             FROM nation
         """,
+        "pic": """
+            WITH sel AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS id, o_custkey AS ck
+                FROM orders WHERE o_custkey % 100 = 0
+            ),
+            siz AS (
+                SELECT ck, COUNT(*) AS s FROM sel GROUP BY ck
+                HAVING COUNT(*) >= 2
+            ),
+            verts AS (
+                SELECT sel.id, siz.s FROM sel JOIN siz ON sel.ck = siz.ck
+            ),
+            tot AS (SELECT CAST(SUM(s - 1) AS DOUBLE) AS t FROM verts),
+            emb AS (
+                SELECT id, ROUND(CAST(s - 1 AS DOUBLE) / t, 10) AS e
+                FROM verts, tot
+            ),
+            d AS (SELECT DISTINCT e FROM emb),
+            g AS (
+                SELECT e, e - LAG(e) OVER (ORDER BY e) AS gap FROM d
+            ),
+            cuts AS (
+                SELECT e AS cut FROM g WHERE gap IS NOT NULL
+                ORDER BY gap DESC, e ASC LIMIT 2
+            ),
+            lab AS (
+                SELECT d.e,
+                       (SELECT COUNT(*) FROM cuts WHERE cuts.cut <= d.e)
+                       AS cluster
+                FROM d
+            )
+            SELECT emb.id AS id, CAST(lab.cluster AS INT) AS cluster
+            FROM emb JOIN lab ON emb.e = lab.e
+        """,
         "pic_regions": """
             SELECT CAST(n.n_nationkey AS BIGINT) AS id,
                    CAST(r.rep AS BIGINT) AS cluster_rep

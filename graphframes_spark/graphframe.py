@@ -1062,11 +1062,15 @@ class GraphFrame:
     aggregate_neighbors = aggregateNeighbors
 
     def powerIterationClustering(
-        self, k: int, maxIter: int = 20, weightCol: Optional[str] = None
+        self,
+        k: int,
+        maxIter: int = 20,
+        weightCol: Optional[str] = None,
+        deterministic: bool = False,
     ) -> DataFrame:
         from graphframes_spark.lib.pic import power_iteration_clustering
 
-        return power_iteration_clustering(self, k, maxIter, weightCol)
+        return power_iteration_clustering(self, k, maxIter, weightCol, deterministic)
 
     def svdPlusPlus(
         self,

@@ -73,7 +73,10 @@ def page_rank(
         )
 
     prepared = _prepared_graph(graph)
-    n = prepared.vertices.count()
+    # count the raw vertex table: the left join with out-degrees (unique
+    # key) preserves row count, and skipping it avoids running the
+    # groupBy+join once just to size the graph
+    n = graph.vertices.count()
     if n == 0:
         spark = graph.spark
         empty_v = graph.vertices.withColumn("pagerank", F.lit(0.0)).limit(0)

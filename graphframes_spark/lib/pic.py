@@ -27,9 +27,24 @@ if TYPE_CHECKING:
 
 
 def power_iteration_clustering(
-    graph: "GraphFrame", k: int, max_iter: int = 20, weight_col: Optional[str] = None
+    graph: "GraphFrame",
+    k: int,
+    max_iter: int = 20,
+    weight_col: Optional[str] = None,
+    deterministic: bool = False,
 ) -> DataFrame:
-    """Cluster assignment per vertex: DF[id, cluster: int]."""
+    """Cluster assignment per vertex: DF[id, cluster: int].
+
+    ``deterministic=True`` (beyond-reference) runs an in-engine Lin-Cohen
+    power iteration with a deterministic gap-cut clustering instead of
+    delegating to ml (whose internal k-means init is seeded): see
+    :func:`_deterministic_pic`. Output labels are canonical (segments of
+    the 1-D embedding in ascending order get cluster 0..k-1), so the
+    result is bit-stable across runs, partitionings, and retries.
+    """
+    if deterministic:
+        return _deterministic_pic(graph, k, max_iter, weight_col)
+
     from pyspark.ml.clustering import PowerIterationClustering
 
     if graph.edges.isEmpty():
@@ -70,3 +85,106 @@ def power_iteration_clustering(
     return result.join(mapping, on=ID, how="inner").select(
         F.col("_orig").alias(ID), F.col("cluster")
     )
+
+
+def _deterministic_pic(
+    graph: "GraphFrame", k: int, max_iter: int, weight_col: Optional[str]
+) -> DataFrame:
+    """Deterministic Lin-Cohen PIC: power iteration + gap-cut clustering.
+
+    The affinity matrix is the edge list as given (callers symmetrize for
+    classic PIC semantics). Iterates ``v <- W v`` with ``W = D^-1 A`` on
+    the Pregel engine; because all entries stay positive and ``W`` is
+    linear, L1-normalizing once at the END is exactly equivalent to
+    normalizing every step (scaling commutes), so the loop needs no
+    per-superstep global reduce. The final 1-D embedding is rounded to 10
+    decimals and clustered by cutting at the k-1 largest gaps between
+    DISTINCT embedding values (ties broken by larger gap, then smaller
+    value); cluster labels are the ascending segment index 0..k-1.
+
+    Scale notes: per-iteration cost is one message shuffle over the edge
+    list (same shape as PageRank); the gap-cut sorts only the DISTINCT
+    rounded embedding values and collects at most k-1 cut points to the
+    driver — no all-pairs work, no unbounded collect.
+    """
+    from pyspark.sql import Window
+
+    from graphframes_spark.pregel import Pregel
+
+    if graph.edges.isEmpty():
+        return (
+            graph.vertices.select(ID)
+            .withColumn("cluster", F.lit(0).cast("int"))
+            .limit(0)
+        )
+
+    from graphframes_spark.graphframe import GraphFrame
+
+    w_expr = (
+        F.col(weight_col).cast("double") if weight_col is not None else F.lit(1.0)
+    )
+    rowsum = graph.edges.groupBy(F.col(SRC).alias(ID)).agg(
+        F.sum(w_expr).alias("_pic_s")
+    )
+    v = graph.vertices.select(ID).join(rowsum, on=ID, how="left_outer").select(
+        ID, F.coalesce(F.col("_pic_s"), F.lit(0.0)).alias("_pic_s")
+    )
+    total = v.agg(F.sum("_pic_s")).collect()[0][0] or 0.0
+    if total <= 0.0:
+        return graph.vertices.select(ID).withColumn(
+            "cluster", F.lit(0).cast("int")
+        )
+
+    prepared = GraphFrame(v, graph.edges)
+    msg = (
+        Pregel.src("_pic_v") * Pregel.edge(weight_col).cast("double")
+        if weight_col is not None
+        else Pregel.src("_pic_v")
+    )
+    update = F.when(
+        F.col("_pic_s") > 0,
+        F.coalesce(Pregel.msg(), F.lit(0.0)) / F.col("_pic_s"),
+    ).otherwise(F.lit(0.0))
+    ranks = (
+        prepared.pregel.withVertexColumn(
+            "_pic_v", F.col("_pic_s") / F.lit(float(total)), update
+        )
+        .sendMsgToDst(msg)
+        .aggMsgs(F.sum(Pregel.msg()))
+        .requiredSrcColumns("_pic_v")
+        .setCheckpointInterval(5)
+        .setMaxIter(max_iter)
+        .run()
+        .select(ID, "_pic_v")
+    )
+
+    total_v = ranks.agg(F.sum("_pic_v")).collect()[0][0] or 0.0
+    if total_v <= 0.0:
+        return graph.vertices.select(ID).withColumn(
+            "cluster", F.lit(0).cast("int")
+        )
+    emb = ranks.select(
+        ID, F.round(F.col("_pic_v") / F.lit(float(total_v)), 10).alias("_pic_emb")
+    )
+
+    distinct = emb.select("_pic_emb").distinct()
+    gaps = distinct.withColumn(
+        "_pic_gap",
+        F.col("_pic_emb") - F.lag("_pic_emb").over(Window.orderBy("_pic_emb")),
+    )
+    # at most k-1 cut points: a bounded driver collect (like the hub lists
+    # in connected_components), turned into a literal CASE expression so
+    # the labeling join is a pure projection — no theta-join
+    cuts = [
+        r["_pic_emb"]
+        for r in gaps.filter(F.col("_pic_gap").isNotNull())
+        .orderBy(F.col("_pic_gap").desc(), F.col("_pic_emb").asc())
+        .limit(max(k - 1, 0))
+        .collect()
+    ]
+    cluster = F.lit(0)
+    for c in cuts:
+        cluster = cluster + F.when(
+            F.col("_pic_emb") >= F.lit(float(c)), 1
+        ).otherwise(0)
+    return emb.select(ID, cluster.cast("int").alias("cluster"))

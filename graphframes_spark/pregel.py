@@ -267,12 +267,14 @@ class Pregel:
         # actually reads it — otherwise every superstep would shuffle a
         # duplicate copy of each edge row for nothing.
         edge_shape = [
-            F.col(SRC).alias("edge_src"),
-            F.col(DST).alias("edge_dst"),
+            F.col(SRC).alias("_pregel_edge_src"),
+            F.col(DST).alias("_pregel_edge_dst"),
         ]
         if self._needs_edge_attrs():
             edge_shape.append(F.struct("*").alias(EDGE))
-        edges = graph.edges.select(*edge_shape).repartition(F.col("edge_src"))
+        edges = graph.edges.select(*edge_shape).repartition(
+            F.col("_pregel_edge_src")
+        )
         # NOT checkpointed in fused mode (A/B'd round 8): collapsing the
         # edge side to a LogicalRDD leaf made every superstep's eager
         # re-analysis ~5x SLOWER (0.3s -> 1.7s/superstep at sf0.1) and the
@@ -284,19 +286,24 @@ class Pregel:
             edges = harness.pin(edges)
 
         if self._required_src_columns:
-            src_cols = [
-                F.col(c)
-                for c in dict.fromkeys([ID, ACTIVE_FLAG_COL] + self._required_src_columns)
-            ]
+            src_names: Optional[list[str]] = list(
+                dict.fromkeys([ID, ACTIVE_FLAG_COL] + self._required_src_columns)
+            )
         else:
-            src_cols = [F.col("*")]
+            src_names = None  # all state columns
         if self._required_dst_columns:
-            dst_cols = [
-                F.col(c)
-                for c in dict.fromkeys([ID, ACTIVE_FLAG_COL] + self._required_dst_columns)
-            ]
+            dst_names: Optional[list[str]] = list(
+                dict.fromkeys([ID, ACTIVE_FLAG_COL] + self._required_dst_columns)
+            )
         else:
-            dst_cols = [F.col("*")]
+            dst_names = None
+
+        carries_edge_attrs = self._needs_edge_attrs()
+        for reserved in ("_pregel_edge_src", "_pregel_edge_dst"):
+            if reserved in graph.vertices.columns:
+                raise GraphFramesError(
+                    f"vertex column name {reserved!r} is reserved by Pregel"
+                )
 
         LAST_RUN_SUPERSTEP_SECONDS.clear()
         import time as _time
@@ -312,15 +319,41 @@ class Pregel:
             else:
                 src_vertices = current
 
-            src_with_edges = src_vertices.select(F.struct(*src_cols).alias(SRC)).join(
-                edges, Pregel.src(ID) == F.col("edge_src")
+            # Join state to edges on PLAIN columns, wrapping into the
+            # src/dst structs only AFTER each join: state comes out of the
+            # previous superstep hash(id)-partitioned (the msg-agg join's
+            # output), and a plain id == edge_src condition lets that
+            # partitioning satisfy the join's distribution requirement.
+            # The old select(struct(...)) BEFORE the join hid `id` inside
+            # a fresh struct, erasing outputPartitioning and forcing a
+            # full vertex-state exchange every superstep on both the src
+            # and dst sides.
+            src_names_eff = src_names or src_vertices.columns
+            src_proj = (
+                src_vertices.select(*src_names_eff) if src_names else src_vertices
             )
+            src_keep = [
+                F.struct(*[F.col(c) for c in src_names_eff]).alias(SRC),
+                F.col("_pregel_edge_dst"),
+            ]
+            if carries_edge_attrs:
+                src_keep.append(F.col(EDGE))
+            src_with_edges = src_proj.join(
+                edges, F.col(ID) == F.col("_pregel_edge_src")
+            ).select(*src_keep)
 
             if needs_dst_state:
+                dst_names_eff = dst_names or current.columns
+                dst_proj = current.select(*dst_names_eff) if dst_names else current
+                triplet_keep = [F.col(SRC)]
+                if carries_edge_attrs:
+                    triplet_keep.append(F.col(EDGE))
+                triplet_keep.append(
+                    F.struct(*[F.col(c) for c in dst_names_eff]).alias(DST)
+                )
                 triplets = src_with_edges.join(
-                    current.select(F.struct(*dst_cols).alias(DST)),
-                    F.col("edge_dst") == Pregel.dst(ID),
-                ).drop("edge_src", "edge_dst")
+                    dst_proj, F.col("_pregel_edge_dst") == F.col(ID)
+                ).select(*triplet_keep)
                 if self._skip_messages_from_non_active:
                     triplets = triplets.filter(
                         Pregel.src(ACTIVE_FLAG_COL) | Pregel.dst(ACTIVE_FLAG_COL)
@@ -328,8 +361,8 @@ class Pregel:
             else:
                 # dst state unused by messages: synthesize dst.id from the edge
                 triplets = src_with_edges.withColumn(
-                    DST, F.struct(F.col("edge_dst").alias(ID))
-                ).drop("edge_src", "edge_dst")
+                    DST, F.struct(F.col("_pregel_edge_dst").alias(ID))
+                ).drop("_pregel_edge_dst")
 
             if len(self._send_msgs) == 1:
                 # single-message fast path: explode over a 1-element

@@ -173,6 +173,38 @@ def test_power_iteration_clustering(spark):
     assert res.select("cluster").distinct().count() == 2
 
 
+def test_pic_deterministic_cliques(spark):
+    # disjoint cliques of sizes 3 and 6: embedding = (s-1)/Σ(s-1), two
+    # distinct values, one gap cut → size-bands in ascending order
+    sizes = [3, 6]
+    ids, edges, off = [], [], 0
+    for s in sizes:
+        members = list(range(off, off + s))
+        ids += members
+        edges += [(a, b) for a in members for b in members if a != b]
+        off += s
+    v = spark.createDataFrame([(i,) for i in ids], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    g = GraphFrame(v, e)
+    res = g.powerIterationClustering(k=2, maxIter=6, deterministic=True)
+    got = {r["id"]: r["cluster"] for r in res.collect()}
+    # canonical labels: ascending embedding → small clique first
+    assert all(got[i] == 0 for i in range(3))
+    assert all(got[i] == 1 for i in range(3, 9))
+    # bit-stable across runs
+    res2 = g.powerIterationClustering(k=2, maxIter=6, deterministic=True)
+    assert {(r["id"], r["cluster"]) for r in res2.collect()} == set(got.items())
+
+
+def test_pic_deterministic_empty_edges(spark):
+    v = spark.createDataFrame([(1,), (2,)], ["id"])
+    e = spark.createDataFrame([], "src long, dst long")
+    g = GraphFrame(v, e)
+    res = g.powerIterationClustering(k=2, deterministic=True)
+    assert res.count() == 0
+    assert set(res.columns) == {"id", "cluster"}
+
+
 def test_pic_string_ids(friends):
     res = friends.powerIterationClustering(k=2, maxIter=10)
     assert set(res.columns) == {"id", "cluster"}

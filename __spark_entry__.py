@@ -2302,14 +2302,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (md5-draw walk engine, full-trace oracle), sampling_convolution
     (verifies WHICH neighbors were sampled), dp_lsh_topk (portable-LCG
     hyperplane buckets), louvain_copurchase (bit-exact 2-pass contraction
-    replay) — (b) every query whose code round 8 touched: the Pregel
-    checkpoint-cadence retune covers pagerank / pagerank_weighted /
-    pagerank_tol / pagerank_personalized / ppr / katz / eigenvector, and
-    (c) green back-fills across the operator families, all
-    driver-verified in earlier rounds. Cumulative driver evidence after
-    round 7: all 126 previously-oracled registry queries have at least
-    one driver-green row; the rows-only set is now just pic and
-    dp_ivf_topk (irreducibly seeded KMeans internals). Queries past
+    replay), pic (NEW round 8: deterministic Lin-Cohen PIC, closed-form
+    fixed-point oracle on order cliques) — (b) every query whose code
+    round 8 touched: the Pregel checkpoint-cadence retune + the
+    partitioning-preserving superstep-join restructure cover pagerank /
+    pagerank_weighted / pagerank_tol / pagerank_personalized / ppr /
+    katz / eigenvector / seeded_lpa / lpa_clique and the cc/scc/kcore/
+    cycles family, and (c/d) green back-fills across the operator
+    families, all driver-verified in earlier rounds. Cumulative driver
+    evidence after round 7: all previously-oracled registry queries have
+    at least one driver-green row; the rows-only set is now just
+    dp_ivf_topk (irreducibly seeded ml-KMeans centroids). Queries past
     position 50 remain runnable, benchmarked, and under pytest + the
     local oracle selfcheck (tools/check_oracles.py — full-registry runs
     green at sf0.01 and sf0.1 under the driver-fidelity dtype-strict
@@ -2332,10 +2335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_stream_near_dup": q_dp_stream_near_dup,
         "cc_skew_broadcast": q_cc_skew_broadcast,
         "transitivity": q_transitivity,
-        # (c) green back-fills across the operator families
-        "out_degrees": q_out_degrees,
-        "in_degrees": q_in_degrees,
-        "degrees": q_degrees,
+        # (c) queries whose runtime code round 8 touched (Pregel superstep
+        # join restructure + deterministic PIC + label-propagation engine)
+        "pic": q_pic,
+        "seeded_lpa": q_seeded_lpa,
+        "lpa_clique": q_lpa_clique,
+        # (d) green back-fills across the operator families
         "triplets": q_triplets,
         "motif_two_hop": q_motif_two_hop,
         "motif_negation": q_motif_negation,
@@ -2399,7 +2404,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": q_triad_census,
         "wl_labels": q_wl_labels,
         "belief_propagation": q_belief_propagation,
-        "seeded_lpa": q_seeded_lpa,
         "coloring_regions": q_coloring_regions,
         "contract_regions": q_contract_regions,
         "modularity_regions": q_modularity_regions,
@@ -2457,7 +2461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_approx": q_triangle_count_approx,
         "cc_string_labels": q_cc_string_labels,
         "cc_clique": q_cc_clique,
-        "lpa_clique": q_lpa_clique,
+        "out_degrees": q_out_degrees,
+        "in_degrees": q_in_degrees,
+        "degrees": q_degrees,
         "pagerank_clique": q_pagerank_clique,
         "pg_copurchase": q_pg_copurchase,
         "pic": q_pic,

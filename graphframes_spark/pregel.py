@@ -182,6 +182,42 @@ class Pregel:
                 return True
         return False
 
+    def _update_refs_dynamic_state(self) -> bool:
+        """True if any update expression references a DYNAMIC vertex column
+        (a withVertexColumn name or the active flag) — i.e. the join-back
+        genuinely needs the previous superstep's state.
+
+        When False, the aggregated messages can join back onto the STATIC
+        vertex relation instead of ``current``: the fused-window logical
+        plan then embeds the previous superstep ONCE (message path only)
+        instead of twice, so plan size — and Catalyst planning time per
+        checkpoint window — grows LINEARLY in the checkpoint interval
+        instead of exponentially (~2^interval). PageRank-family recipes
+        (update = f(static cols, msg)) all qualify.
+
+        Same conservative string-form analysis as :meth:`_needs_dst_state`:
+        absence of a column name in the expression string implies absence
+        of a reference; a bare ``*`` is treated as referencing everything.
+        """
+        dynamic = [name for name, _, _ in self._with_vertex_columns]
+        dynamic.append(ACTIVE_FLAG_COL)
+        exprs = [upd for _, _, upd in self._with_vertex_columns]
+        exprs.append(self._update_active_expr)
+        for expr in exprs:
+            s = str(expr)
+            # star column references print with the '*' adjacent to a
+            # closing delimiter — "Column<'*'>", "struct(*)", "count(*)" —
+            # while multiplication prints in prefix form "*(a, b)" or
+            # space-padded "a * b"; only flag the former (conservative:
+            # a flagged expression just falls back to the current-state
+            # join, never the other way around)
+            if re.search(r"\*\s*[)',]", s):
+                return True
+            for name in dynamic:
+                if re.search(rf"\b{re.escape(name)}\b", s):
+                    return True
+        return False
+
     def _needs_dst_state(self) -> bool:
         """True if any message expression references dst state beyond dst.id.
 
@@ -244,6 +280,13 @@ class Pregel:
             *orig_cols, self._initial_active_expr.alias(ACTIVE_FLAG_COL), *init_cols
         )
 
+        # Static-rebase join-back (see _update_refs_dynamic_state): when the
+        # update expressions need no previous dynamic state, join the
+        # aggregated messages onto the static vertex relation — the fused
+        # window's plan then grows linearly in the interval, not ~2^interval.
+        static_rebase = not self._update_refs_dynamic_state()
+        static_v = graph.vertices.select(*orig_cols) if static_rebase else None
+
         # Early stopping / all-inactive voting need a per-superstep probe.
         # Instead of separate isEmpty() jobs (which re-execute the message
         # pipeline: cheap when messages are plentiful, a full extra pass
@@ -284,6 +327,8 @@ class Pregel:
         # materialized as a win at this scale.
         if not fused:
             edges = harness.pin(edges)
+            if static_v is not None:
+                static_v = harness.pin(static_v)
 
         if self._required_src_columns:
             src_names: Optional[list[str]] = list(
@@ -298,7 +343,6 @@ class Pregel:
         else:
             dst_names = None
 
-        carries_edge_attrs = self._needs_edge_attrs()
         for reserved in ("_pregel_edge_src", "_pregel_edge_dst"):
             if reserved in graph.vertices.columns:
                 raise GraphFramesError(
@@ -319,41 +363,30 @@ class Pregel:
             else:
                 src_vertices = current
 
-            # Join state to edges on PLAIN columns, wrapping into the
-            # src/dst structs only AFTER each join: state comes out of the
-            # previous superstep hash(id)-partitioned (the msg-agg join's
-            # output), and a plain id == edge_src condition lets that
-            # partitioning satisfy the join's distribution requirement.
-            # The old select(struct(...)) BEFORE the join hid `id` inside
-            # a fresh struct, erasing outputPartitioning and forcing a
-            # full vertex-state exchange every superstep on both the src
-            # and dst sides.
-            src_names_eff = src_names or src_vertices.columns
-            src_proj = (
-                src_vertices.select(*src_names_eff) if src_names else src_vertices
+            # Struct-wrap the state BEFORE the join (round 8 A/B'd the
+            # "plain-column join first, wrap after" variant that lets the
+            # state's hash(id) partitioning elide its exchange — and
+            # REVERTED it: removing the state-side shuffle stage takes
+            # away AQE's runtime SMJ→broadcast conversion, which is
+            # exactly what the shrinking-frontier voting algorithms live
+            # on; sssp went 8.7s→13.6s, scc 9.3s→13.7s at sf0.1, and even
+            # fused fixed-iteration recipes saw no win, their cost being
+            # planning-dominated, not exchange-dominated).
+            src_struct = F.struct(
+                *[F.col(c) for c in src_names] if src_names else [F.col("*")]
             )
-            src_keep = [
-                F.struct(*[F.col(c) for c in src_names_eff]).alias(SRC),
-                F.col("_pregel_edge_dst"),
-            ]
-            if carries_edge_attrs:
-                src_keep.append(F.col(EDGE))
-            src_with_edges = src_proj.join(
-                edges, F.col(ID) == F.col("_pregel_edge_src")
-            ).select(*src_keep)
+            src_with_edges = src_vertices.select(src_struct.alias(SRC)).join(
+                edges, Pregel.src(ID) == F.col("_pregel_edge_src")
+            )
 
             if needs_dst_state:
-                dst_names_eff = dst_names or current.columns
-                dst_proj = current.select(*dst_names_eff) if dst_names else current
-                triplet_keep = [F.col(SRC)]
-                if carries_edge_attrs:
-                    triplet_keep.append(F.col(EDGE))
-                triplet_keep.append(
-                    F.struct(*[F.col(c) for c in dst_names_eff]).alias(DST)
+                dst_struct = F.struct(
+                    *[F.col(c) for c in dst_names] if dst_names else [F.col("*")]
                 )
                 triplets = src_with_edges.join(
-                    dst_proj, F.col("_pregel_edge_dst") == F.col(ID)
-                ).select(*triplet_keep)
+                    current.select(dst_struct.alias(DST)),
+                    F.col("_pregel_edge_dst") == Pregel.dst(ID),
+                ).drop("_pregel_edge_src", "_pregel_edge_dst")
                 if self._skip_messages_from_non_active:
                     triplets = triplets.filter(
                         Pregel.src(ACTIVE_FLAG_COL) | Pregel.dst(ACTIVE_FLAG_COL)
@@ -362,7 +395,7 @@ class Pregel:
                 # dst state unused by messages: synthesize dst.id from the edge
                 triplets = src_with_edges.withColumn(
                     DST, F.struct(F.col("_pregel_edge_dst").alias(ID))
-                ).drop("_pregel_edge_dst")
+                ).drop("_pregel_edge_src", "_pregel_edge_dst")
 
             if len(self._send_msgs) == 1:
                 # single-message fast path: explode over a 1-element
@@ -399,7 +432,8 @@ class Pregel:
                 obs = Observation()
                 agg_df = agg_df.withColumn("_pregel_has_msg", F.lit(1))
 
-            with_msg = current.join(agg_df, on=[ID], how="left_outer")
+            join_base = static_v if static_rebase else current
+            with_msg = join_base.join(agg_df, on=[ID], how="left_outer")
             if obs is not None:
                 with_msg = with_msg.observe(
                     obs, F.count(F.col("_pregel_has_msg")).alias("msg_cnt")

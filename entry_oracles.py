@@ -1324,6 +1324,54 @@ def oracle_sql() -> dict[str, str]:
         "dp_lsh_exact": _ANN_EXACT_SQL,
         "dp_lsh_topk": _lsh_topk_oracle_sql(),
         "dp_ivf_exact": _ANN_EXACT_SQL,
+        "dp_ivf_topk": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            cents AS (
+                SELECT vec_id AS cid, v AS cv,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       ) - 1 AS cell
+                FROM e
+                QUALIFY cell < 8
+            ),
+            assign AS (
+                SELECT c.vec_id AS neighbor_id, c.v, ct.cell
+                FROM e c CROSS JOIN cents ct
+                QUALIFY row_number() OVER (
+                    PARTITION BY c.vec_id
+                    ORDER BY list_cosine_similarity(c.v, ct.cv) DESC,
+                             ct.cell ASC
+                ) = 1
+            ),
+            probes AS (
+                SELECT q.vec_id AS query_id, q.v AS qv, ct.cell
+                FROM e q CROSS JOIN cents ct
+                WHERE q.vec_id < 10
+                QUALIFY row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.v, ct.cv) DESC,
+                             ct.cell ASC
+                ) <= 3
+            ),
+            scored AS (
+                SELECT p.query_id, a.neighbor_id,
+                       list_cosine_similarity(p.qv, a.v) AS sim
+                FROM probes p JOIN assign a ON p.cell = a.cell
+                WHERE p.query_id <> a.neighbor_id
+            )
+            SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank
+            FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC,
+                                                   neighbor_id ASC) AS rk
+                FROM scored
+            ) WHERE rk <= 5
+        """,
         "mis_regions": """
             SELECT n_regionkey AS region, CAST(1 AS BIGINT) AS n_selected
             FROM nation GROUP BY n_regionkey

@@ -129,6 +129,7 @@ def build_ivf_index(
     id_col: str = "id",
     vec_col: str = "embedding",
     seed: int = 42,
+    deterministic: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the IVF coarse quantizer and assign the corpus to cells —
     returns ``(assigned, centroids)``:
@@ -145,7 +146,44 @@ def build_ivf_index(
     once and amortized across query batches — the realistic 100 TB ANN
     shape (index build is the expensive pass; searches are cheap
     cell-pruned scans).
+
+    ``deterministic=True`` (beyond-reference, round 8) replaces the
+    seeded ml-KMeans quantizer with a hash-seeded MEDOID codebook: the
+    ``num_cells`` corpus rows with the smallest ``md5(id)`` become the
+    cell centroids (FAISS-style sampled coarse codebook, zero Lloyd
+    rounds), and every corpus row is assigned to its max-cosine centroid
+    with ties broken by cell index. Bit-stable across runs, retries, and
+    partitionings, and every step is plain relational algebra — the
+    whole IVF pipeline then has a full-value SQL oracle. At scale: the
+    seed pick is a distributed top-``num_cells`` (TakeOrdered), the
+    assignment one broadcast of ``num_cells`` centroids.
     """
+    if deterministic:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("_cv")
+        )
+        seeds = (
+            c.withColumn("_h", F.md5(F.col("neighbor_id").cast("string")))
+            .orderBy("_h", "neighbor_id")
+            .limit(num_cells)
+        )
+        # window over at most num_cells rows (post-limit): bounded
+        cent_df = seeds.withColumn(
+            "_cell",
+            F.row_number().over(Window.orderBy("_h", "neighbor_id")) - 1,
+        ).select("_cell", F.col("_cv").alias("_centroid"))
+        aw = Window.partitionBy("neighbor_id").orderBy(
+            F.desc("_asim"), F.asc("_cell")
+        )
+        assigned = (
+            c.crossJoin(F.broadcast(cent_df))
+            .withColumn("_asim", _dot(F.col("_cv"), F.col("_centroid")))
+            .withColumn("_arank", F.row_number().over(aw))
+            .filter(F.col("_arank") == 1)
+            .select("neighbor_id", "_cv", "_cell")
+        )
+        return assigned, cent_df
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -227,15 +265,19 @@ def ivf_topk(
     id_col: str = "id",
     vec_col: str = "embedding",
     seed: int = 42,
+    deterministic: bool = False,
 ) -> DataFrame:
     """IVF two-stage ANN: KMeans coarse cells + exact rerank in the
     ``nprobe`` closest cells. Output schema matches ``brute_force_topk``.
 
     One-call composition of :func:`build_ivf_index` +
     :func:`ivf_search`; split the calls (and persist the index) to
-    amortize the build across query batches.
+    amortize the build across query batches. ``deterministic=True``
+    uses the hash-seeded medoid quantizer (see :func:`build_ivf_index`).
     """
-    assigned, cent_df = build_ivf_index(corpus, num_cells, id_col, vec_col, seed)
+    assigned, cent_df = build_ivf_index(
+        corpus, num_cells, id_col, vec_col, seed, deterministic
+    )
     return ivf_search(assigned, cent_df, queries, k, nprobe, id_col, vec_col)
 
 

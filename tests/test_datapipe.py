@@ -176,6 +176,22 @@ def test_ivf_topk(vec_corpus):
     assert {r["query_id"] for r in rows} == {1}
 
 
+def test_ivf_topk_deterministic(vec_corpus):
+    kw = dict(k=3, num_cells=4, nprobe=2, deterministic=True)
+    a = dp.ivf_topk(vec_corpus, vec_corpus.filter("id = 1"), **kw).collect()
+    b = dp.ivf_topk(vec_corpus, vec_corpus.filter("id = 1"), **kw).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # bit-stable
+    assert 0 < len(a) <= 3
+    # with nprobe = num_cells the deterministic path degenerates to exact
+    # brute force: same neighbors as brute_force_topk in the same order
+    full = dp.ivf_topk(
+        vec_corpus, vec_corpus.filter("id = 1"),
+        k=3, num_cells=4, nprobe=4, deterministic=True,
+    ).collect()
+    brute = dp.brute_force_topk(vec_corpus, vec_corpus.filter("id = 1"), k=3).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, brute))
+
+
 # ------------------------------------------------------------- multimodal
 
 

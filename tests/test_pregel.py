@@ -227,3 +227,56 @@ def test_column_repr_canary_for_dst_detection(spark):
     assert "id" in m, f"dst.id repr changed: {s}"
     # src-only expressions must NOT trip the dst detector
     assert not re.search(r"\bdst\b", str(Pregel.src("rank")))
+
+
+def test_static_rebase_eligibility_detection(spark):
+    """Pins _update_refs_dynamic_state both ways: a false negative would
+    rebase a recipe whose update genuinely needs previous state (WRONG
+    results); a false positive merely forfeits the linear-plan-growth
+    optimization. Also a version-pinned canary for the '*' repr forms the
+    star check relies on (multiplication prints '*(a, b)' / 'a * b';
+    star references print adjacent to a closing delimiter)."""
+    from graphframes_spark.graphframe import GraphFrame
+
+    v = spark.createDataFrame([(1,), (2,)], ["id"])
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    g = GraphFrame(v, e)
+
+    def builder(update):
+        return (
+            g.pregel.withVertexColumn("x", F.lit(0.0), update)
+            .sendMsgToDst(Pregel.src("x"))
+            .aggMsgs(F.sum(Pregel.msg()))
+        )
+
+    # message-only update (pagerank shape, incl. multiplication): eligible
+    pr_shape = F.lit(0.1) + F.lit(0.9) * F.coalesce(Pregel.msg(), F.lit(0.0))
+    assert not builder(pr_shape)._update_refs_dynamic_state()
+    # update referencing its own dynamic column: NOT eligible
+    assert builder(F.coalesce(Pregel.msg(), F.col("x")))._update_refs_dynamic_state()
+    # update referencing the active flag: NOT eligible
+    from graphframes_spark.pregel import ACTIVE_FLAG_COL
+
+    assert builder(
+        F.when(F.col(ACTIVE_FLAG_COL), Pregel.msg()).otherwise(F.lit(0.0))
+    )._update_refs_dynamic_state()
+    # SQL-string expr referencing the dynamic column: NOT eligible
+    assert builder(F.expr("coalesce(_pregel_msg, x)"))._update_refs_dynamic_state()
+    # bare-star update: conservatively NOT eligible
+    assert builder(F.col("*"))._update_refs_dynamic_state()
+    # static-column reference only (id is static): eligible
+    assert not builder(
+        F.coalesce(Pregel.msg(), F.col("id").cast("double"))
+    )._update_refs_dynamic_state()
+    # repr canary: multiplication prints in a form the star check ignores
+    import re
+
+    mult = str(F.lit(0.9) * F.coalesce(Pregel.msg(), F.lit(0.0)))
+    assert "*(" in mult or " * " in mult, f"multiplication repr changed: {mult}"
+    assert not builder(pr_shape)._update_refs_dynamic_state(), (
+        f"multiplication repr now trips the star check: {mult}"
+    )
+    star = str(F.col("*"))
+    assert re.search(r"\*\s*[)',]", star) or star.endswith("'*'>"), (
+        f"star repr changed: {star}"
+    )

@@ -111,6 +111,10 @@ HEADLINE = [
     # design (a correctness stress, not a perf-representative op) and
     # would dominate the total at ~26s.
     "random_walks",
+    # round-8 second-session additions (deterministic PIC power iteration
+    # and the hash-seeded-medoid IVF quantizer — both newly full-oracled)
+    "pic",
+    "dp_ivf_topk",
 ]
 
 

@@ -10,7 +10,7 @@ to cut lineage; optional early stop on no messages or all-inactive voting.
 
 Scale notes:
 - the edge relation is pre-shaped once (src/dst extracted, attrs nested)
-  and hash-repartitioned on ``edge_src``; in voting mode it is persisted
+  and hash-repartitioned on ``_pregel_edge_src``; in voting mode it is persisted
   so every per-superstep probe action reuses one shuffle, while pure
   maxIter runs stay cache-free — supersteps fuse into one job per
   checkpoint window and Catalyst's ReusedExchange dedups the edge
@@ -175,7 +175,7 @@ class Pregel:
         Same string-form analysis as :meth:`_needs_dst_state` (reference
         Pregel.scala:399-420); conservative on anything it cannot
         classify. When False the pre-shaped edge relation carries only
-        (edge_src, edge_dst) — no ``struct("*")`` duplicate of the edge
+        (_pregel_edge_src, _pregel_edge_dst) — no ``struct("*")`` duplicate of the edge
         row rides through every superstep's join/shuffle."""
         for _, msg_expr, _ in self._send_msgs:
             if re.search(r"\bedge\b", str(msg_expr)):

@@ -192,6 +192,24 @@ def test_ivf_topk_deterministic(vec_corpus):
     assert sorted(map(tuple, full)) == sorted(map(tuple, brute))
 
 
+def test_ivf_deterministic_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "id long, embedding array<double>")
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "id long, embedding array<double>")
+    few = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(5)],
+        "id long, embedding array<double>",
+    )
+    assert dp.ivf_topk(empty, one, k=3, num_cells=4, deterministic=True).count() == 0
+    # more cells than corpus rows: every row is its own (singleton) cell;
+    # nprobe=2 singleton cells minus the self row leaves exactly 1 neighbor
+    assert (
+        dp.ivf_topk(few, few.filter("id = 0"), k=3, num_cells=16, deterministic=True)
+        .count() == 1
+    )
+    # self is always excluded, so a 1-row corpus yields nothing
+    assert dp.ivf_topk(one, one, k=3, num_cells=2, deterministic=True).count() == 0
+
+
 # ------------------------------------------------------------- multimodal
 
 

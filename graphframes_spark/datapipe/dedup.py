@@ -325,14 +325,27 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 7,
     num_bands: int = 8,
+    num_bits: int = 48,
 ) -> DataFrame:
     """Pairs within ``max_hamming`` SimHash bits, via bit-band LSH.
 
-    With 48 bits in ``num_bands`` equal chunks and ``max_hamming <
+    With ``num_bits`` in ``num_bands`` equal chunks and ``max_hamming <
     num_bands``, the pigeonhole principle guarantees two qualifying
     documents agree on at least one full chunk — the banding is lossless,
     so the result equals the brute-force answer while joining only on
-    6-bit-chunk buckets.
+    chunk buckets.
+
+    **Size the signature to the corpus** (round-8 lesson, measured in
+    ``BENCH_dp_scale.json``): each band has ``2^(num_bits/num_bands)``
+    buckets and candidate volume grows ~``N²/2^chunk`` once buckets
+    saturate — the 48-bit default (6-bit chunks, 64 buckets/band) went
+    super-linear (t(4x)/t(1x) = 12.8) at a 500k-doc base while
+    minhash-LSH stayed linear. Pass ``num_bits=96`` (12-bit chunks, 4096
+    buckets/band at num_bands=8) for corpora beyond ~10⁵ docs; prefer
+    ``minhash_lsh_dedup`` when the corpus outgrows what the signature
+    width can keep sub-quadratic (its bucket space grows with the
+    corpus). ``num_bits=96`` requires ``num_bands ∈ {2, 4, 8}`` so every
+    band falls inside one 48-bit signature word.
 
     ``id_col`` must be unique: signatures are computed per id (one
     vote-aggregate over all rows sharing the id), so duplicate ids get a
@@ -340,52 +353,77 @@ def simhash_pairs(
     first if your input can repeat ids (same contract as
     ``minhash_lsh_dedup``).
     """
-    assert max_hamming < num_bands and 48 % num_bands == 0
-    chunk = 48 // num_bands
+    assert num_bits in (48, 96) and max_hamming < num_bands
+    assert num_bits % num_bands == 0
+    chunk = num_bits // num_bands
+    if num_bits == 96:
+        assert 48 % chunk == 0, "96-bit bands must not straddle signature words"
     # same values as simhash48(), computed as explode -> one md5 per
     # distinct token -> 48 codegen sum-aggregates (map-side partial agg;
     # far cheaper than 48 per-row HOF folds re-walking the token array)
+    n_words = num_bits // 48
+    word_cols = [
+        F.conv(F.substring(F.md5("_t"), 1 + 12 * w, 12), 16, 10)
+        .cast("long")
+        .alias(f"_h{w}")
+        for w in range(n_words)
+    ]
     tok = df.select(
         F.col(id_col).alias(ID),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("_t"),
-    ).select(
-        ID, F.conv(F.substring(F.md5("_t"), 1, 12), 16, 10).cast("long").alias("_h")
-    )
+    ).select(ID, *word_cols)
     votes = tok.groupBy(ID).agg(
         *[
             F.sum(
                 F.when(
-                    F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                    F.shiftright(F.col(f"_h{b // 48}"), b % 48).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
                 ).otherwise(-1)
             ).alias(f"_v{b}")
-            for b in range(48)
+            for b in range(num_bits)
         ]
     )
-    sim = F.lit(0).cast("long")
-    for b in range(48):
-        sim = sim + F.shiftleft(
-            F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-            b,
-        )
+    sims = []
+    for w in range(n_words):
+        sim = F.lit(0).cast("long")
+        for i in range(48):
+            b = w * 48 + i
+            sim = sim + F.shiftleft(
+                F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+                i,
+            )
+        sims.append(sim.alias(f"_sim{w}"))
     # left join: rows with zero tokens have no votes -> all bits 0,
     # matching the HOF fold over an empty array
+    sim_names = [f"_sim{w}" for w in range(n_words)]
     sh = (
         df.select(F.col(id_col).alias(ID))
-        .join(votes.select(ID, sim.alias("_sim")), on=ID, how="left")
-        .select(ID, F.coalesce(F.col("_sim"), F.lit(0).cast("long")).alias("_sim"))
+        .join(votes.select(ID, *sims), on=ID, how="left")
+        .select(
+            ID,
+            *[
+                F.coalesce(F.col(n), F.lit(0).cast("long")).alias(n)
+                for n in sim_names
+            ],
+        )
         .localCheckpoint(eager=True)
     )
+    # band b covers global bits [b*chunk, (b+1)*chunk), always inside one
+    # 48-bit signature word (asserted above for 96-bit mode)
     bands = sh.select(
         ID,
-        "_sim",
+        *sim_names,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("_sim"), b * chunk)
+                        F.shiftright(
+                            F.col(f"_sim{(b * chunk) // 48}"), (b * chunk) % 48
+                        )
                         .bitwiseAND(F.lit((1 << chunk) - 1))
                         .alias("chunk"),
                     )
@@ -393,18 +431,33 @@ def simhash_pairs(
                 ]
             )
         ).alias("_b"),
-    ).select(ID, "_sim", "_b.band", "_b.chunk")
-    left = bands.select(F.col(ID).alias("id_a"), F.col("_sim").alias("_sa"), "band", "chunk")
-    right = bands.select(F.col(ID).alias("id_b"), F.col("_sim").alias("_sb"), "band", "chunk")
+    ).select(ID, *sim_names, "_b.band", "_b.chunk")
+    left = bands.select(
+        F.col(ID).alias("id_a"),
+        *[F.col(n).alias(f"_sa{w}") for w, n in enumerate(sim_names)],
+        "band",
+        "chunk",
+    )
+    right = bands.select(
+        F.col(ID).alias("id_b"),
+        *[F.col(n).alias(f"_sb{w}") for w, n in enumerate(sim_names)],
+        "band",
+        "chunk",
+    )
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"_sa{w}").bitwiseXOR(F.col(f"_sb{w}")))
+            for w in range(n_words)
+        ),
+        F.lit(0),
+    )
     # hamming filter BEFORE the distinct: it is per-candidate-cheap, cuts
     # failing candidates ahead of the dedup shuffle, and lets the distinct
     # key carry just the two ids (signatures are functionally dependent)
     out = (
         left.join(right, on=["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= F.lit(max_hamming)
-        )
+        .filter(hamming <= F.lit(max_hamming))
         .select("id_a", "id_b")
         .distinct()
     )

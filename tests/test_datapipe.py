@@ -104,6 +104,40 @@ def test_simhash_identical_and_pairs(docs):
     assert (3, 4) in pairs
 
 
+def test_simhash_pairs_96_bit_lossless(spark):
+    """96-bit mode (the scale knob for corpora beyond the 48-bit bucket
+    space) must equal a pure-Python brute force over the FULL 96-bit
+    hamming distance — the pigeonhole banding is lossless by construction
+    and identical-text docs always pair."""
+    import hashlib
+
+    docs = [(i, f"alpha beta gamma delta epsilon zeta doc{i // 3}") for i in range(30)]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dp.simhash_pairs(df, max_hamming=7, num_bands=8, num_bits=96).collect()
+    }
+
+    def sig96(text):
+        votes = [0] * 96
+        for t in set(text.split()):
+            h = hashlib.md5(t.encode()).hexdigest()
+            w0, w1 = int(h[0:12], 16), int(h[12:24], 16)
+            for i in range(48):
+                votes[i] += 1 if (w0 >> i) & 1 else -1
+                votes[48 + i] += 1 if (w1 >> i) & 1 else -1
+        return sum(1 << i for i, x in enumerate(votes) if x > 0)
+
+    sigs = {i: sig96(t) for i, t in docs}
+    brute = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 7
+    }
+    assert got == brute and (0, 1) in got  # same-text triple pairs up
+
+
 def test_embedding_cosine_pairs_and_dedup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

@@ -2471,7 +2471,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "as_reversed": q_as_reversed,
         "pagerank_clique": q_pagerank_clique,
         "pg_copurchase": q_pg_copurchase,
-        "pic": q_pic,
     }
 
 

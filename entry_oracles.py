@@ -211,14 +211,22 @@ def _minhash_oracle_sql() -> str:
 
 
 def _simhash_oracle_sql() -> str:
+    """Brute-force replay of the DEFAULT 96-bit SimHash (dedup.py
+    simhash_pairs, num_bits=96 since round 9): two 48-bit signature words
+    from md5 hex chars [1,12] and [13,24], full 96-bit hamming — the
+    banding is pigeonhole-lossless so Spark's bucketed join must equal
+    this all-pairs answer exactly."""
     sums = ",\n               ".join(
-        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(48)
+        f"sum(CASE WHEN (hv{b // 48} >> {b % 48}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(96)
     )
-    packed = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
-        for b in range(48)
-    )
+    packed = [
+        " + ".join(
+            f"(CASE WHEN s{w * 48 + i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+            for i in range(48)
+        )
+        for w in range(2)
+    ]
     return f"""
         WITH toks AS (
             SELECT doc_id,
@@ -227,13 +235,16 @@ def _simhash_oracle_sql() -> str:
             FROM documents
         ),
         h AS (
-            SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS hv FROM toks
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 12))::BIGINT AS hv0,
+                   ('0x' || substr(md5(tok), 13, 12))::BIGINT AS hv1
+            FROM toks
         ),
         sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
-        sim AS (SELECT doc_id, {packed} AS sim FROM sums)
+        sim AS (SELECT doc_id, {packed[0]} AS sim0, {packed[1]} AS sim1 FROM sums)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sim, b.sim)) <= {HAMMING_T}
+        WHERE bit_count(xor(a.sim0, b.sim0)) + bit_count(xor(a.sim1, b.sim1)) <= {HAMMING_T}
     """
 
 

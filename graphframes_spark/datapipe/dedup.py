@@ -325,7 +325,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 7,
     num_bands: int = 8,
-    num_bits: int = 48,
+    num_bits: int = 96,
 ) -> DataFrame:
     """Pairs within ``max_hamming`` SimHash bits, via bit-band LSH.
 
@@ -335,17 +335,23 @@ def simhash_pairs(
     so the result equals the brute-force answer while joining only on
     chunk buckets.
 
-    **Size the signature to the corpus** (round-8 lesson, measured in
-    ``BENCH_dp_scale.json``): each band has ``2^(num_bits/num_bands)``
-    buckets and candidate volume grows ~``N²/2^chunk`` once buckets
-    saturate — the 48-bit default (6-bit chunks, 64 buckets/band) went
-    super-linear (t(4x)/t(1x) = 12.8) at a 500k-doc base while
-    minhash-LSH stayed linear. Pass ``num_bits=96`` (12-bit chunks, 4096
-    buckets/band at num_bands=8) for corpora beyond ~10⁵ docs; prefer
-    ``minhash_lsh_dedup`` when the corpus outgrows what the signature
-    width can keep sub-quadratic (its bucket space grows with the
-    corpus). ``num_bits=96`` requires ``num_bands ∈ {2, 4, 8}`` so every
-    band falls inside one 48-bit signature word.
+    **The default signature is 96 bits — the scale-safe setting** (the
+    round-8 lesson, measured in ``BENCH_dp_scale.json``): each band has
+    ``2^(num_bits/num_bands)`` buckets and candidate volume grows
+    ~``N²/2^chunk`` once buckets saturate. The old 48-bit default (6-bit
+    chunks, 64 buckets/band) went super-linear (t(4x)/t(1x) = 12.8) at a
+    500k-doc base while minhash-LSH stayed linear; 96-bit signatures
+    (12-bit chunks, 4096 buckets/band at num_bands=8) defer saturation by
+    ~64x, and their extra cost at small corpora is a second md5 substring
+    per token plus 48 more codegen sum-aggregates — negligible. Pass
+    ``num_bits=48`` only for tiny corpora where the narrower hamming
+    space is specifically wanted; prefer ``minhash_lsh_dedup`` when the
+    corpus outgrows what any fixed signature width can keep sub-quadratic
+    (its bucket space grows with the corpus). In 96-bit mode any
+    ``num_bands`` whose chunk width (``num_bits/num_bands``) divides 48
+    is accepted (2, 4, 6, 8, 12, 16, 24, 32, 48, 96): a chunk width
+    dividing 48 aligns every band boundary with the word boundary at bit
+    48, so no band straddles the two 48-bit signature words.
 
     ``id_col`` must be unique: signatures are computed per id (one
     vote-aggregate over all rows sharing the id), so duplicate ids get a

@@ -41,6 +41,13 @@ def power_iteration_clustering(
     :func:`_deterministic_pic`. Output labels are canonical (segments of
     the 1-D embedding in ascending order get cluster 0..k-1), so the
     result is bit-stable across runs, partitionings, and retries.
+
+    Deterministic-mode contract: if the rounded 1-D embedding has fewer
+    than ``k`` distinct values (e.g. a perfectly symmetric graph, or
+    ``k`` larger than the vertex count), fewer than ``k`` clusters are
+    returned — there are not enough gaps to cut. Edge weights must be
+    non-negative (Lin-Cohen affinities are similarities); a negative
+    weight raises rather than silently producing a meaningless gap-cut.
     """
     if deterministic:
         return _deterministic_pic(graph, k, max_iter, weight_col)
@@ -100,16 +107,20 @@ def _deterministic_pic(
     per-superstep global reduce. The final 1-D embedding is rounded to 10
     decimals and clustered by cutting at the k-1 largest gaps between
     DISTINCT embedding values (ties broken by larger gap, then smaller
-    value); cluster labels are the ascending segment index 0..k-1.
+    value); cluster labels are the ascending segment index 0..k-1. If
+    fewer than k distinct rounded values exist there are fewer than k-1
+    gaps, so fewer than k clusters come back (documented contract).
 
     Scale notes: per-iteration cost is one message shuffle over the edge
-    list (same shape as PageRank); the gap-cut sorts only the DISTINCT
-    rounded embedding values and collects at most k-1 cut points to the
-    driver — no all-pairs work, no unbounded collect.
+    list (same shape as PageRank); the gap-cut range-partitions the
+    DISTINCT rounded embedding values, computes lags locally per range
+    partition, and stitches partition boundaries through a per-partition
+    max relation whose size is the partition count — no global
+    single-partition sort (a plan-audit assertion pins this), no
+    all-pairs work; only the at-most-k-1 cut points reach the driver.
     """
-    from pyspark.sql import Window
-
     from graphframes_spark.pregel import Pregel
+    from graphframes_spark.util import GraphFramesError
 
     if graph.edges.isEmpty():
         return (
@@ -123,13 +134,24 @@ def _deterministic_pic(
     w_expr = (
         F.col(weight_col).cast("double") if weight_col is not None else F.lit(1.0)
     )
+    # one edge scan yields the affinity total (== the vertex rowsum total,
+    # since edgeless vertices contribute 0) and the validity check
+    stats = graph.edges.agg(
+        F.sum(w_expr).alias("_t"), F.min(w_expr).alias("_m")
+    ).collect()[0]
+    if stats["_m"] is not None and stats["_m"] < 0:
+        raise GraphFramesError(
+            "power_iteration_clustering(deterministic=True) requires "
+            "non-negative edge weights (Lin-Cohen affinities are "
+            f"similarities); found min weight {stats['_m']}"
+        )
     rowsum = graph.edges.groupBy(F.col(SRC).alias(ID)).agg(
         F.sum(w_expr).alias("_pic_s")
     )
     v = graph.vertices.select(ID).join(rowsum, on=ID, how="left_outer").select(
         ID, F.coalesce(F.col("_pic_s"), F.lit(0.0)).alias("_pic_s")
     )
-    total = v.agg(F.sum("_pic_s")).collect()[0][0] or 0.0
+    total = stats["_t"] or 0.0
     if total <= 0.0:
         return graph.vertices.select(ID).withColumn(
             "cluster", F.lit(0).cast("int")
@@ -167,11 +189,10 @@ def _deterministic_pic(
         ID, F.round(F.col("_pic_v") / F.lit(float(total_v)), 10).alias("_pic_emb")
     )
 
-    distinct = emb.select("_pic_emb").distinct()
-    gaps = distinct.withColumn(
-        "_pic_gap",
-        F.col("_pic_emb") - F.lag("_pic_emb").over(Window.orderBy("_pic_emb")),
+    n_part = max(
+        int(graph.spark.conf.get("spark.sql.shuffle.partitions", "200")), 1
     )
+    gaps = _distinct_value_gaps(emb.select("_pic_emb"), n_part)
     # at most k-1 cut points: a bounded driver collect (like the hub lists
     # in connected_components), turned into a literal CASE expression so
     # the labeling join is a pure projection — no theta-join
@@ -188,3 +209,57 @@ def _deterministic_pic(
             F.col("_pic_emb") >= F.lit(float(c)), 1
         ).otherwise(0)
     return emb.select(ID, cluster.cast("int").alias("cluster"))
+
+
+def _distinct_value_gaps(values: DataFrame, n_part: int) -> DataFrame:
+    """DF[_pic_emb, _pic_gap]: each distinct value's gap to its
+    predecessor (null for the global minimum) — computed WITHOUT a global
+    single-partition sort/window.
+
+    Two-level shape: range partitioning makes buckets contiguous and
+    ordered (every value in bucket p < every value in bucket p+1; values
+    are distinct so no boundary duplicates), so each value's predecessor
+    is either its in-bucket lag or, for a bucket's minimum, the previous
+    non-empty bucket's max. The boundary maxes are one row per bucket —
+    bounded by ``n_part``, a config constant — so they come to the driver
+    and fold into a literal CASE; the lag window is then PARTITIONED by
+    the range bucket (tests/test_plan_audit.py asserts the physical plan
+    carries no ``Exchange SinglePartition`` feeding a Window).
+    localCheckpoint pins the sampled range boundaries so the bucket ids
+    are consistent across the two reads.
+
+    ``values`` must carry a single column ``_pic_emb``; rows need not be
+    distinct (a distinct is applied here).
+    """
+    from pyspark.sql import Window
+
+    distinct = (
+        values.distinct()
+        .repartitionByRange(n_part, F.col("_pic_emb"))
+        .withColumn("_pic_part", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    part_max = {
+        r["_pic_part"]: r["_pm"]
+        for r in distinct.groupBy("_pic_part")
+        .agg(F.max("_pic_emb").alias("_pm"))
+        .collect()
+    }
+    # range buckets are value-ordered, so the running max of lower-id
+    # buckets IS the previous non-empty bucket's max
+    prev_max_expr = F.lit(None).cast("double")
+    running = None
+    for p in sorted(part_max):
+        if running is not None:
+            prev_max_expr = F.when(
+                F.col("_pic_part") == p, F.lit(float(running))
+            ).otherwise(prev_max_expr)
+        running = part_max[p] if running is None else max(running, part_max[p])
+    local_w = Window.partitionBy("_pic_part").orderBy("_pic_emb")
+    return distinct.select(
+        "_pic_emb",
+        (
+            F.col("_pic_emb")
+            - F.coalesce(F.lag("_pic_emb").over(local_w), prev_max_expr)
+        ).alias("_pic_gap"),
+    )

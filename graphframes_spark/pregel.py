@@ -198,9 +198,15 @@ class Pregel:
         Same conservative string-form analysis as :meth:`_needs_dst_state`:
         absence of a column name in the expression string implies absence
         of a reference; a bare ``*`` is treated as referencing everything.
+        Spark resolves column names case-insensitively, so the match is
+        case-insensitive too, and any dynamic name that is not a plain
+        identifier (where ``\\b`` word boundaries are unreliable) forces
+        the conservative current-state join.
         """
         dynamic = [name for name, _, _ in self._with_vertex_columns]
         dynamic.append(ACTIVE_FLAG_COL)
+        if any(not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name) for name in dynamic):
+            return True
         exprs = [upd for _, _, upd in self._with_vertex_columns]
         exprs.append(self._update_active_expr)
         for expr in exprs:
@@ -214,7 +220,7 @@ class Pregel:
             if re.search(r"\*\s*[)',]", s):
                 return True
             for name in dynamic:
-                if re.search(rf"\b{re.escape(name)}\b", s):
+                if re.search(rf"\b{re.escape(name)}\b", s, re.IGNORECASE):
                     return True
         return False
 

@@ -82,6 +82,36 @@ PRUNING_CASES = {
 }
 
 
+# Deterministic-PIC's gap-cut must not funnel the distinct embedding
+# values through one task: the round-8 review flagged the original
+# unpartitioned Window.orderBy lag (single-partition global sort over up
+# to O(n) distinct values). The two-level replacement range-partitions
+# the values and lags locally per bucket — assert the physical plan has
+# no SinglePartition exchange, and that the gaps equal the naive global
+# lag on a value set spanning many buckets.
+def test_pic_gap_plan_has_no_single_partition_window(spark):
+    from pyspark.sql import functions as F
+
+    from graphframes_spark.lib.pic import _distinct_value_gaps
+
+    vals = spark.range(5000).select(
+        (F.col("id").cast("double") * 0.001 + F.pow(F.col("id") % 7, 2)).alias(
+            "_pic_emb"
+        )
+    )
+    gaps = _distinct_value_gaps(vals, n_part=16)
+    plan = gaps._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, (
+        "deterministic-PIC gap computation funnels through one partition:\n"
+        + plan
+    )
+    got = {r["_pic_emb"]: r["_pic_gap"] for r in gaps.collect()}
+    ordered = sorted(got)
+    assert got[ordered[0]] is None
+    for a, b in zip(ordered, ordered[1:]):
+        assert got[b] == pytest.approx(b - a), (a, b, got[b])
+
+
 @pytest.mark.parametrize("name", sorted(PRUNING_CASES))
 def test_parquet_scan_column_pruning(spark, name):
     fn = entry_mod.queries()[name]

@@ -125,7 +125,14 @@ def page_rank(
 
     ranks = pregel.run().select(ID, "pagerank")
 
-    out_v = graph.vertices.join(ranks, on=ID, how="left_outer")
+    # The Pregel state holds every original vertex exactly once, so when
+    # the input vertex relation carries nothing beyond the id there is
+    # nothing to re-attach — the join would only re-shuffle the result to
+    # produce itself. (Common case: graphs built from bare edge lists.)
+    if graph.vertices.columns == [ID]:
+        out_v = ranks
+    else:
+        out_v = graph.vertices.join(ranks, on=ID, how="left_outer")
     deg = prepared.vertices
     out_e = (
         graph.edges.join(deg.withColumnRenamed(ID, SRC), on=SRC, how="left_outer")
@@ -203,7 +210,10 @@ def _weighted_page_rank(
         pregel = pregel.setMaxIter(max_iter)
 
     ranks = pregel.run().select(ID, "pagerank")
-    out_v = graph.vertices.join(ranks, on=ID, how="left_outer")
+    if graph.vertices.columns == [ID]:  # see page_rank: nothing to re-attach
+        out_v = ranks
+    else:
+        out_v = graph.vertices.join(ranks, on=ID, how="left_outer")
     out_e = norm_e.withColumnRenamed("_pr_w", "weight")
     return GraphFrame(out_v, out_e)
 
@@ -271,7 +281,10 @@ def parallel_personalized_page_rank(
 
         ranks = ranks.withColumn("pageranks", array_to_vector(F.col("pageranks")))
 
-    out_v = graph.vertices.join(ranks, on=ID, how="left_outer")
+    if graph.vertices.columns == [ID]:  # see page_rank: nothing to re-attach
+        out_v = ranks
+    else:
+        out_v = graph.vertices.join(ranks, on=ID, how="left_outer")
     deg = prepared.vertices
     out_e = (
         graph.edges.join(deg.withColumnRenamed(ID, SRC), on=SRC, how="left_outer")

@@ -29,7 +29,12 @@ Prints ONE JSON line; run with
 Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_LDBC_REPEATS (default
 2 measured after 1 warmup), SPARK_GRAFT_LDBC_SCALE (default 1.0 —
 multiple of wiki-Talk size: 0.02 for smoke runs, 10 for the scale-rung
-run recorded in BENCH_ldbc_10x.json — 24M vertices / 50M edges),
+run recorded in BENCH_ldbc_10x.json — 24M vertices / 50M edges; 50 for
+the reference-validation-scale rung in BENCH_ldbc_50x.json — 120M
+vertices / ~250M edges, matching the reference's published CC
+validation scale), SPARK_GRAFT_LDBC_MEM (driver heap, default 48g —
+use ~100g for the 50x rung), SPARK_GRAFT_LDBC_OPS (comma-separated
+subset of wcc,cdlp,shortest_paths,pagerank; default all),
 SPARK_GRAFT_LDBC_PR_CURVE=1 to also measure the fixed-iteration Pregel
 checkpoint-interval curve (1/2/4) at this graph scale.
 """
@@ -56,10 +61,11 @@ CDLP_ITERS = 10  # benchmarks/.../LDBCBenchmarkSuite.scala:137-147
 
 
 def build_session(cpus: int) -> SparkSession:
+    mem = os.environ.get("SPARK_GRAFT_LDBC_MEM", "48g")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("graphframes_spark-ldbc-bench")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", mem)
         # same status-store/GC hygiene as bench.py: without these the SQL
         # status store pins thousands of dead SQLPlanMetric arrays and
         # localCheckpoint blocks accumulate across the 12 op passes —
@@ -138,6 +144,10 @@ def main() -> None:
                 resetProbability=0.15, maxIter=10
             ).vertices,
         }
+        op_subset = os.environ.get("SPARK_GRAFT_LDBC_OPS")
+        if op_subset:
+            keep = [s.strip() for s in op_subset.split(",") if s.strip()]
+            ops = {name: ops[name] for name in keep}
 
         results: dict[str, list[float]] = {name: [] for name in ops}
         for it in range(1 + repeats):  # first pass = warmup

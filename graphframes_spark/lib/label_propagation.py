@@ -8,10 +8,16 @@ frequent label among incoming messages with a deterministic tie-break
 
 Where the reference folds ``collect_list`` into a per-row count map
 (LabelPropagation.scala:132-140) — unbounded per-row state on hub
-vertices — we aggregate with ``mode(deterministic=true)``: the same
-winner and tie-break, computed as a partial-aggregatable map-side
-combine whose state is bounded by the number of distinct labels, so a
-10^7-degree hub never materializes a 10^7-element array in one row.
+vertices — we reduce messages in TWO levels: count by (vertex, label)
+(a codegen hash aggregate with map-side partial combine over primitive
+longs), then ``min_by(label, (-count, label))`` per vertex (also a
+codegen declarative aggregate). Same winner and tie-break as
+``mode(deterministic=true)`` — most frequent label, ties to the lowest —
+but no per-group object hash map: round 8 measured mode()'s
+ObjectHashAggregate allocation churn on hub vertices as 27-59s
+pass-to-pass GC variance at the 5M-edge LDBC shape, which the two-level
+shape removes. State stays bounded by the number of distinct labels, so
+a 10^7-degree hub never materializes a degree-sized array in one row.
 
 Deviation from the reference: a vertex that receives no messages keeps
 its current label (the reference nulls it); this matches GraphX CDLP and
@@ -25,13 +31,43 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphframes_spark.pregel import Pregel
+from graphframes_spark.pregel import MSG_COL_NAME, Pregel
 from graphframes_spark.util import DST, ID, SRC
 
 if TYPE_CHECKING:
     from graphframes_spark.graphframe import GraphFrame
 
 LABEL_ID = "label"
+
+#: ablation switch for the two-level majority-vote reduction (see module
+#: docstring); False falls back to the single-level mode() aggregate
+USE_TWO_LEVEL_MODE = True
+
+
+def _two_level_mode(msg_df: DataFrame) -> DataFrame:
+    """DF[id, msg] -> DF[id, msg]: most frequent msg per id, ties to the
+    lowest — ``mode(deterministic=true)`` semantics as two codegen hash
+    aggregates (count by (id, msg), then min_by over (-count, msg))
+    instead of one per-group object hash map. See module docstring."""
+    counts = msg_df.groupBy(ID, MSG_COL_NAME).agg(
+        F.count(F.lit(1)).alias("_lpa_cnt")
+    )
+    return counts.groupBy(ID).agg(
+        F.min_by(
+            F.col(MSG_COL_NAME),
+            F.struct(
+                (-F.col("_lpa_cnt")).alias("_neg_cnt"),
+                F.col(MSG_COL_NAME).alias("_msg"),
+            ),
+        ).alias(MSG_COL_NAME)
+    )
+
+
+def _majority_vote(pregel: Pregel) -> Pregel:
+    """Attach the majority-vote reduction to a CDLP-family Pregel."""
+    if USE_TWO_LEVEL_MODE:
+        return pregel.setMsgReducer(_two_level_mode)
+    return pregel.aggMsgs(F.mode(Pregel.msg(), deterministic=True))
 
 
 def label_propagation(
@@ -61,8 +97,8 @@ def label_propagation(
             Pregel.dst(LABEL_ID)
         )
 
-    # mode(deterministic=True) = most frequent incoming label, ties -> lowest
-    pregel = pregel.aggMsgs(F.mode(Pregel.msg(), deterministic=True))
+    # most frequent incoming label, ties -> lowest (two-level reduction)
+    pregel = _majority_vote(pregel)
 
     labels = pregel.run().select(ID, LABEL_ID)
     return graph.vertices.join(labels, on=ID, how="inner")
@@ -81,10 +117,9 @@ def seeded_label_propagation(
     ``seeds`` is DF[id, <label_col>]: those vertices hold their label
     FIXED; every other vertex starts unlabeled (NULL) and — first-touch
     finality — permanently adopts the most frequent label among its
-    labeled neighbors in the superstep it is first reached
-    (``mode(deterministic=true)``, ties to the lowest label — the same
-    bounded partial-aggregatable combine as labelPropagation, never a
-    degree-sized array on a hub). The result is nearest-seed labeling
+    labeled neighbors in the superstep it is first reached (ties to the
+    lowest label — the same two-level majority-vote reduction as
+    labelPropagation, never a degree-sized array on a hub). The result is nearest-seed labeling
     with majority/lowest tie-breaks; unreached vertices keep NULL. The
     classic label-a-million-docs-from-a-thousand-labels primitive.
     First-touch (rather than re-voting every superstep) keeps boundary
@@ -127,7 +162,7 @@ def seeded_label_propagation(
         pregel = pregel.requiredDstColumns(LABEL_ID).sendMsgToSrc(
             Pregel.dst(LABEL_ID)
         )
-    pregel = pregel.aggMsgs(F.mode(Pregel.msg(), deterministic=True))
+    pregel = _majority_vote(pregel)
 
     labels = pregel.run().select(ID, F.col(LABEL_ID).alias(label_col))
     return graph.vertices.join(labels, on=ID, how="inner")

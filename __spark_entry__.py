@@ -2299,28 +2299,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
     verifies the FIRST 50 entries against ``oracle_sql()``.
 
-    Round-8 rotation: the first 50 slots carry (a) the five queries whose
-    oracles are NEW since the round-7 window was recorded — mis
-    (deterministic md5-draw MIS, full-output oracle), random_walks
-    (md5-draw walk engine, full-trace oracle), sampling_convolution
-    (verifies WHICH neighbors were sampled), dp_lsh_topk (portable-LCG
-    hyperplane buckets), louvain_copurchase (bit-exact 2-pass contraction
-    replay), pic (NEW round 8: deterministic Lin-Cohen PIC, closed-form
-    fixed-point oracle on order cliques) — (b) every query whose code
-    round 8 touched: the Pregel checkpoint-cadence retune + the
-    partitioning-preserving superstep-join restructure cover pagerank /
-    pagerank_weighted / pagerank_tol / pagerank_personalized / ppr /
-    katz / eigenvector / seeded_lpa / lpa_clique and the cc/scc/kcore/
-    cycles family, and (c/d) green back-fills across the operator
-    families, all driver-verified in earlier rounds. Cumulative driver
-    evidence after round 7: all previously-oracled registry queries have
-    at least one driver-green row; as of round 8 the rows-only set is
-    EMPTY — dp_ivf_topk's quantizer gained a deterministic hash-seeded
-    medoid mode with a full SQL replay, retiring the last one. Queries past
-    position 50 remain runnable, benchmarked, and under pytest + the
-    local oracle selfcheck (tools/check_oracles.py — full-registry runs
-    green at sf0.01 and sf0.1 under the driver-fidelity dtype-strict
-    comparator).
+    Round-9 rotation: the first 50 slots carry every query whose code or
+    oracle round 9 touched — dp_simhash_pairs (the scale-safe 96-bit
+    default, oracle rewritten to the two-word hamming replay), pic (the
+    range-bucketed gap-cut + weight validation), the pagerank family /
+    ppr / katz / eigenvector (output-join elision + the case-insensitive
+    static-rebase detector), and label_propagation / seeded_lpa /
+    lpa_clique (the two-level majority-vote reduction + the Pregel
+    setMsgReducer hook) — plus the round-8 oracle additions (mis,
+    random_walks, sampling_convolution, dp_lsh_topk, louvain_copurchase,
+    dp_ivf_topk) and green back-fills across the operator families, all
+    driver-verified in earlier rounds. Cumulative driver evidence after
+    round 8: every oracled registry query has at least one driver-green
+    row and the rows-only set is EMPTY. Queries past position 50 remain
+    runnable, benchmarked, and under pytest + the local oracle selfcheck
+    (tools/check_oracles.py — full-registry runs green at sf0.01 and
+    sf0.1 under the driver-fidelity dtype-strict comparator).
     """
     return {
         # ---- round-8 window ----
@@ -2338,7 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 carryovers kept in-window (streaming + skew-CC modes)
         "dp_stream_near_dup": q_dp_stream_near_dup,
         "cc_skew_broadcast": q_cc_skew_broadcast,
-        "transitivity": q_transitivity,
+        # round 9: oracle rewritten (96-bit default) — must re-verify
+        "dp_simhash_pairs": q_dp_simhash_pairs,
         # (c) queries whose runtime code round 8 touched (Pregel superstep
         # join restructure + deterministic PIC + label-propagation engine)
         "pic": q_pic,
@@ -2454,7 +2449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_language_id": q_dp_language_id,
         "dp_fingerprint": q_dp_fingerprint,
         "dp_ngram_pairs": q_dp_ngram_pairs,
-        "dp_simhash_pairs": q_dp_simhash_pairs,
+        # (dp_simhash_pairs moved into the round-9 window above;
+        # transitivity rotated out in exchange — driver-green r8)
+        "transitivity": q_transitivity,
         "dp_embedding_pairs": q_dp_embedding_pairs,
         "dp_repetition": q_dp_repetition,
         "dp_contamination": q_dp_contamination,

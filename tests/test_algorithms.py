@@ -98,6 +98,47 @@ def test_label_propagation(spark):
     assert len(blob1) == 1 and len(blob2) == 1
 
 
+def test_label_propagation_two_level_equals_mode(spark):
+    """The two-level majority vote (count by (id, label) → min_by) must
+    produce EXACTLY the labels of the single-level mode(deterministic)
+    aggregate it replaced — same winner, same ties-to-lowest — on a
+    skewed random directed graph where hub vertices see many duplicate
+    and tied labels."""
+    import pyspark.sql.functions as F
+
+    from graphframes_spark import GraphFrame
+    from graphframes_spark.lib import label_propagation as lpa_mod
+
+    e = (
+        spark.range(4000)
+        .select(
+            F.floor(
+                F.pow(
+                    F.pmod(F.xxhash64("id", F.lit(1)), 997) / 997.0, F.lit(2.0)
+                )
+                * 60
+            ).alias("src"),
+            F.floor(
+                F.pow(
+                    F.pmod(F.xxhash64("id", F.lit(2)), 997) / 997.0, F.lit(2.0)
+                )
+                * 60
+            ).alias("dst"),
+        )
+        .filter("src != dst")
+    )
+    v = spark.range(60).select(F.col("id"))
+    g = GraphFrame(v, e)
+    try:
+        lpa_mod.USE_TWO_LEVEL_MODE = True
+        two = {r["id"]: r["label"] for r in g.labelPropagation(maxIter=4).collect()}
+        lpa_mod.USE_TWO_LEVEL_MODE = False
+        mode = {r["id"]: r["label"] for r in g.labelPropagation(maxIter=4).collect()}
+    finally:
+        lpa_mod.USE_TWO_LEVEL_MODE = True
+    assert two == mode
+
+
 def test_triangle_count(spark):
     from graphframes_spark import GraphFrame
 

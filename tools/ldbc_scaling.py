@@ -1,14 +1,17 @@
-"""Per-operator scaling exponents from the 1x vs 10x LDBC-shape runs.
+"""Per-operator scaling exponents from the LDBC-shape rung runs.
 
-Reads BENCH_ldbc.json (1x wiki-Talk size) and BENCH_ldbc_10x.json and
-prints, per operator, the scaling exponent
-``alpha = log(t_10x / t_1x) / log(E_10x / E_1x)`` — alpha <= 1 means
-at-most-linear scaling in edges (the 100 TB posture target), alpha > 1
-gets root-caused. Uses the min over measured passes for each cell (the
+Reads two or more BENCH_ldbc*.json files (1x wiki-Talk size, 10x, 50x,
+...) and prints, per operator and per adjacent rung pair, the scaling
+exponent ``alpha = log(t_hi / t_lo) / log(E_hi / E_lo)`` plus the
+overall first-to-last exponent — alpha <= 1 means at-most-linear
+scaling in edges (the 100 TB posture target), alpha > 1 gets
+root-caused. Uses the min over measured passes for each cell (the
 sandbox's load spikes only ever ADD time, so min is the honest
-low-noise estimator; see SCALE.md "Measurement protocol").
+low-noise estimator; see SCALE.md "Measurement protocol"). Operators
+absent from a rung (subset runs, SPARK_GRAFT_LDBC_OPS) are skipped for
+the pairs that lack them.
 
-Usage: python tools/ldbc_scaling.py [one_x.json] [ten_x.json]
+Usage: python tools/ldbc_scaling.py [one_x.json ten_x.json [fifty_x.json ...]]
 """
 
 from __future__ import annotations
@@ -19,35 +22,42 @@ import sys
 
 
 def main() -> None:
-    one_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_ldbc.json"
-    ten_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_ldbc_10x.json"
-    with open(one_path) as f:
-        one = json.load(f)
-    with open(ten_path) as f:
-        ten = json.load(f)
+    paths = sys.argv[1:] or ["BENCH_ldbc.json", "BENCH_ldbc_10x.json"]
+    runs = []
+    for p in paths:
+        with open(p) as f:
+            runs.append((p, json.load(f)))
 
-    e1 = one["graph"]["edges_distinct"]
-    e10 = ten["graph"]["edges_distinct"]
-    ratio_e = e10 / e1
-    rows = {}
-    for op in one["queries"]:
-        if op not in ten["queries"]:
+    edges = [d["graph"]["edges_distinct"] for _, d in runs]
+    ops = sorted({op for _, d in runs for op in d["queries"]})
+    per_op: dict[str, dict] = {}
+    for op in ops:
+        cells = []
+        for (p, d), e in zip(runs, edges):
+            if op in d.get("queries", {}):
+                cells.append((e, min(d["passes"][op])))
+        if len(cells) < 2:
             continue
-        t1 = min(one["passes"][op])
-        t10 = min(ten["passes"][op])
-        rows[op] = {
-            "t_1x_min_sec": t1,
-            "t_10x_min_sec": t10,
-            "time_ratio": round(t10 / t1, 2),
-            "scaling_exponent": round(math.log(t10 / t1) / math.log(ratio_e), 3),
+        pairs = {}
+        for (e_lo, t_lo), (e_hi, t_hi) in zip(cells, cells[1:]):
+            key = f"{round(e_hi / e_lo, 1)}x_edges"
+            pairs[key] = {
+                "t_lo_min_sec": t_lo,
+                "t_hi_min_sec": t_hi,
+                "time_ratio": round(t_hi / t_lo, 2),
+                "alpha": round(math.log(t_hi / t_lo) / math.log(e_hi / e_lo), 3),
+            }
+        (e0, t0), (eN, tN) = cells[0], cells[-1]
+        per_op[op] = {
+            "rungs": pairs,
+            "overall_alpha": round(math.log(tN / t0) / math.log(eN / e0), 3),
         }
     print(
         json.dumps(
             {
-                "edges_1x": e1,
-                "edges_10x": e10,
-                "edge_ratio": round(ratio_e, 2),
-                "per_op": rows,
+                "files": [p for p, _ in runs],
+                "edges_per_rung": edges,
+                "per_op": per_op,
             },
             indent=2,
         )

@@ -62,7 +62,7 @@ CDLP_ITERS = 10  # benchmarks/.../LDBCBenchmarkSuite.scala:137-147
 
 def build_session(cpus: int) -> SparkSession:
     mem = os.environ.get("SPARK_GRAFT_LDBC_MEM", "48g")
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("graphframes_spark-ldbc-bench")
         .config("spark.driver.memory", mem)
@@ -81,8 +81,15 @@ def build_session(cpus: int) -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .getOrCreate()
     )
+    # SPARK_GRAFT_LDBC_EXTRA_CONF="k=v;k=v" — ad-hoc conf overrides for
+    # scale experiments (e.g. AQE skew-split thresholds at the 50x rung);
+    # applied last so they win over the fixed defaults above
+    extra = os.environ.get("SPARK_GRAFT_LDBC_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
 
 
 def generate_graph(spark: SparkSession, out_dir: str, scale: float) -> None:

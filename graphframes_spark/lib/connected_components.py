@@ -400,13 +400,27 @@ def _two_phase_loop(
     for iteration in harness.iterations(max_iter):
         if converged:
             break
-        # large-star: connect strictly-larger neighbors to the min neighbor
+        # large-star: connect strictly-larger neighbors to the min neighbor.
+        #
+        # AQE-mode skew note (root-caused at the 250M-edge rung, round 9):
+        # star contraction concentrates the giant component's edges onto
+        # its minimum id — new_ee carries O(component) rows with src=min,
+        # so this join's ee side has one hash partition holding most of
+        # the edge set (42M rows in one task at scale 20; the measured
+        # straggler behind wcc's at-linear 10x->50x segment). AQE's
+        # OptimizeSkewedJoin is the designed mitigation but it only fires
+        # when BOTH join children are shuffle stages; min_nbrs is
+        # persisted and its cached layout already satisfies the join, so
+        # Spark reads it exchange-free and the rule never applies. The
+        # explicit repartition below forces a live (balanced, cheap,
+        # vertex-sized) exchange on the min_nbrs side purely to make the
+        # ee side's hot partition splittable at runtime.
         if manual_skew:
             joined = _skewed_join(
                 ee, min_nbrs1, _collect_hubs(min_nbrs1, broadcast_threshold)
             )
         else:
-            joined = ee.join(min_nbrs1, on=SRC)
+            joined = ee.join(min_nbrs1.repartition(SRC), on=SRC)
         ee = harness.persist(
             joined.select(
                 F.col(DST).alias(SRC), F.col(MIN_NBR).alias(DST)  # src > dst
@@ -422,7 +436,8 @@ def _two_phase_loop(
                 ee, min_nbrs2, _collect_hubs(min_nbrs2, broadcast_threshold)
             )
         else:
-            joined2 = ee.join(min_nbrs2, on=SRC)
+            # same skew-splittability repartition as the large-star join
+            joined2 = ee.join(min_nbrs2.repartition(SRC), on=SRC)
         new_ee = (
             joined2.select(F.col(MIN_NBR).alias(SRC), F.col(DST))
             .filter(F.col(SRC) != F.col(DST))

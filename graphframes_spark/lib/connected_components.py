@@ -407,20 +407,27 @@ def _two_phase_loop(
         # its minimum id — new_ee carries O(component) rows with src=min,
         # so this join's ee side has one hash partition holding most of
         # the edge set (42M rows in one task at scale 20; the measured
-        # straggler behind wcc's at-linear 10x->50x segment). AQE's
-        # OptimizeSkewedJoin is the designed mitigation but it only fires
-        # when BOTH join children are shuffle stages; min_nbrs is
-        # persisted and its cached layout already satisfies the join, so
-        # Spark reads it exchange-free and the rule never applies. The
-        # explicit repartition below forces a live (balanced, cheap,
-        # vertex-sized) exchange on the min_nbrs side purely to make the
-        # ee side's hot partition splittable at runtime.
+        # straggler behind wcc's at-linear 10x->50x scaling segment).
+        # AQE's OptimizeSkewedJoin cannot split it because the persisted
+        # min_nbrs side is read exchange-free from its cache layout and
+        # the rule needs shuffle stages on BOTH children. Forcing a live
+        # repartition(SRC) on the min_nbrs side to unlock the split was
+        # MEASURED AND REVERTED (round 9, SCALE.md): the extra
+        # vertex-sized shuffle per star join costs more than the split
+        # saves — 951s vs 756s baseline at the 250M-edge rung (and
+        # threshold tuning alone changes nothing, 826s vs 768s). The
+        # serialization is bounded: one task processes O(giant component)
+        # contracted rows per iteration while the component count keeps
+        # shrinking, and overall scaling stays sublinear (alpha 0.83 over
+        # 1x->50x). The manual broadcast mode (broadcast_threshold > 0)
+        # remains the escape hatch when a deployment's giant-star task
+        # dominates wall-clock.
         if manual_skew:
             joined = _skewed_join(
                 ee, min_nbrs1, _collect_hubs(min_nbrs1, broadcast_threshold)
             )
         else:
-            joined = ee.join(min_nbrs1.repartition(SRC), on=SRC)
+            joined = ee.join(min_nbrs1, on=SRC)
         ee = harness.persist(
             joined.select(
                 F.col(DST).alias(SRC), F.col(MIN_NBR).alias(DST)  # src > dst
@@ -436,8 +443,7 @@ def _two_phase_loop(
                 ee, min_nbrs2, _collect_hubs(min_nbrs2, broadcast_threshold)
             )
         else:
-            # same skew-splittability repartition as the large-star join
-            joined2 = ee.join(min_nbrs2.repartition(SRC), on=SRC)
+            joined2 = ee.join(min_nbrs2, on=SRC)
         new_ee = (
             joined2.select(F.col(MIN_NBR).alias(SRC), F.col(DST))
             .filter(F.col(SRC) != F.col(DST))

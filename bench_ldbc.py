@@ -58,6 +58,7 @@ from graphframes_spark import GraphFrame  # noqa: E402
 WIKI_TALK_V = 2_394_385
 WIKI_TALK_E = 5_021_410
 CDLP_ITERS = 10  # benchmarks/.../LDBCBenchmarkSuite.scala:137-147
+OP_NAMES = ("wcc", "cdlp", "shortest_paths", "pagerank")
 
 
 def build_session(cpus: int) -> SparkSession:
@@ -125,6 +126,18 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repeats = int(os.environ.get("SPARK_GRAFT_LDBC_REPEATS", "2"))
     scale = float(os.environ.get("SPARK_GRAFT_LDBC_SCALE", "1.0"))
+    # validate the op subset BEFORE paying for graph generation — a typo
+    # would otherwise KeyError minutes into the run
+    op_subset = os.environ.get("SPARK_GRAFT_LDBC_OPS")
+    keep = None
+    if op_subset:
+        keep = [s.strip() for s in op_subset.split(",") if s.strip()]
+        unknown = [k for k in keep if k not in OP_NAMES]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_LDBC_OPS: unknown operator(s) {unknown}; "
+                f"valid names: {', '.join(OP_NAMES)}"
+            )
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -151,9 +164,8 @@ def main() -> None:
                 resetProbability=0.15, maxIter=10
             ).vertices,
         }
-        op_subset = os.environ.get("SPARK_GRAFT_LDBC_OPS")
-        if op_subset:
-            keep = [s.strip() for s in op_subset.split(",") if s.strip()]
+        assert set(ops) == set(OP_NAMES), "OP_NAMES out of sync with ops dict"
+        if keep is not None:
             ops = {name: ops[name] for name in keep}
 
         results: dict[str, list[float]] = {name: [] for name in ops}

@@ -221,21 +221,30 @@ def _distinct_value_gaps(values: DataFrame, n_part: int) -> DataFrame:
     are distinct so no boundary duplicates), so each value's predecessor
     is either its in-bucket lag or, for a bucket's minimum, the previous
     non-empty bucket's max. The boundary maxes are one row per bucket —
-    bounded by ``n_part``, a config constant — so they come to the driver
-    and fold into a literal CASE; the lag window is then PARTITIONED by
-    the range bucket (tests/test_plan_audit.py asserts the physical plan
+    bounded by the bucket cap below — so they come to the driver and
+    fold into a literal CASE; the lag window is then PARTITIONED by the
+    range bucket (tests/test_plan_audit.py asserts the physical plan
     carries no ``Exchange SinglePartition`` feeding a Window).
     localCheckpoint pins the sampled range boundaries so the bucket ids
     are consistent across the two reads.
+
+    The bucket count is ``min(n_part, 256)``, NOT ``n_part`` verbatim:
+    the CASE chain's depth equals the number of non-empty buckets, and a
+    deployment running thousands of shuffle partitions would otherwise
+    produce a multi-thousand-branch expression (Catalyst analysis /
+    codegen blowup risk). Gap correctness is independent of the bucket
+    count — only the window's parallelism changes, and 256-way is ample
+    for the k-1 cut-point scan this feeds.
 
     ``values`` must carry a single column ``_pic_emb``; rows need not be
     distinct (a distinct is applied here).
     """
     from pyspark.sql import Window
 
+    n_buckets = min(max(n_part, 1), 256)
     distinct = (
         values.distinct()
-        .repartitionByRange(n_part, F.col("_pic_emb"))
+        .repartitionByRange(n_buckets, F.col("_pic_emb"))
         .withColumn("_pic_part", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )

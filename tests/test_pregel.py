@@ -280,3 +280,72 @@ def test_static_rebase_eligibility_detection(spark):
     assert re.search(r"\*\s*[)',]", star) or star.endswith("'*'>"), (
         f"star repr changed: {star}"
     )
+
+
+def test_msg_reducer_replaces_default_aggregation(spark):
+    """Public-surface contract of setMsgReducer (pregel.py:142): the
+    reducer sees DF[id, _pregel_msg] with nulls already dropped, returns
+    one row per messaged id, and the update expressions read the reduced
+    value through Pregel.msg(). The reduction here — number of DISTINCT
+    messages per vertex — is one a single aggMsgs expression could only
+    express as count_distinct/collect_set (ObjectHashAggregate), while
+    the reducer form runs as two codegen hash aggregates: the same
+    engine-level motivation as CDLP's two-level majority vote, exercised
+    through a different consumer."""
+    from graphframes_spark.pregel import MSG_COL_NAME
+
+    # star: leaves 1,2,3 message hub 0 with their value; two collide
+    v = spark.createDataFrame([(0, 0), (1, 5), (2, 5), (3, 7)], ["id", "value"])
+    e = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], ["src", "dst"])
+    g = GraphFrame(v, e)
+
+    def distinct_count(msgs):
+        return (
+            msgs.distinct()
+            .groupBy("id")
+            .agg(F.count("*").cast("long").alias(MSG_COL_NAME))
+        )
+
+    result = (
+        g.pregel.withVertexColumn(
+            "n_distinct",
+            F.lit(0).cast("long"),
+            F.coalesce(Pregel.msg(), F.lit(0).cast("long")),
+        )
+        .sendMsgToDst(Pregel.src("value"))
+        .setMsgReducer(distinct_count)  # note: no aggMsgs set
+        .setMaxIter(1)
+        .run()
+    )
+    got = {(r["id"], r["n_distinct"]) for r in result.collect()}
+    assert got == {(0, 2), (1, 0), (2, 0), (3, 0)}
+
+
+def test_msg_reducer_wins_over_agg_msgs(spark):
+    """When both are set, the reducer is used and aggMsgs is ignored
+    (documented in the setMsgReducer docstring)."""
+    from graphframes_spark.pregel import MSG_COL_NAME
+
+    v = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
+    e = spark.createDataFrame([(1, 0), (2, 0)], ["src", "dst"])
+    g = GraphFrame(v, e)
+
+    def always_42(msgs):
+        return msgs.groupBy("id").agg(
+            F.lit(42).cast("long").alias(MSG_COL_NAME)
+        )
+
+    result = (
+        g.pregel.withVertexColumn(
+            "got",
+            F.lit(0).cast("long"),
+            F.coalesce(Pregel.msg(), F.lit(0).cast("long")),
+        )
+        .sendMsgToDst(F.lit(1).cast("long"))
+        .aggMsgs(F.sum(Pregel.msg()))  # would give 2; reducer must win
+        .setMsgReducer(always_42)
+        .setMaxIter(1)
+        .run()
+    )
+    got = {(r["id"], r["got"]) for r in result.collect()}
+    assert got == {(0, 42), (1, 0), (2, 0)}

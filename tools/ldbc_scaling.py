@@ -28,7 +28,17 @@ def main() -> None:
         with open(p) as f:
             runs.append((p, json.load(f)))
 
+    # order rungs by edge count, whatever order the files were passed in
+    # (out-of-order inputs would otherwise yield negative/garbage alphas)
+    runs.sort(key=lambda r: r[1]["graph"]["edges_distinct"])
     edges = [d["graph"]["edges_distinct"] for _, d in runs]
+    for (p_lo, _), (p_hi, _), e_lo, e_hi in zip(runs, runs[1:], edges, edges[1:]):
+        if e_lo == e_hi:
+            raise SystemExit(
+                f"rungs {p_lo} and {p_hi} have the same edges_distinct "
+                f"({e_lo}); scaling exponents need distinct edge counts "
+                "per rung — drop one of the files."
+            )
     ops = sorted({op for _, d in runs for op in d["queries"]})
     per_op: dict[str, dict] = {}
     for op in ops:

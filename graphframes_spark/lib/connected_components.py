@@ -9,8 +9,16 @@ stable Decimal(38,0) sum of min-neighbor assignments (a cheap aggregate
 instead of DataFrame equality).
 
 Scale notes: each iteration is two join+agg rounds over the shrinking
-edge set; hub skew is handled by AQE skew-join; the surrogate-long-ID
-mapping keeps shuffle keys to 8 bytes regardless of the user ID type.
+edge set; input hub skew is handled by AQE skew-join; the skew the
+ALGORITHM ITSELF creates — star contraction funnels the giant
+component's edges onto its minimum id, which AQE cannot split because
+the cached min-neighbor side presents no live shuffle stage — is
+handled by the giant-star hybrid: keys whose degree exceeds
+max(floor, factor·total/n_part) are detected from the aggregate the
+convergence probe already computes and routed through a broadcast
+join, everything else stays on the plain AQE shuffle join. The
+surrogate-long-ID mapping keeps shuffle keys to 8 bytes regardless of
+the user ID type.
 """
 
 from __future__ import annotations
@@ -117,10 +125,45 @@ def _min_nbrs(ee: DataFrame, with_cnt: bool = False) -> DataFrame:
     )
 
 
-def _min_nbr_sum(min_nbrs: DataFrame):
-    return min_nbrs.select(
-        F.sum(F.col(MIN_NBR).cast("decimal(38,0)"))
-    ).first()[0]
+def _min_nbr_stats(min_nbrs: DataFrame):
+    """(checksum, total_cnt) in ONE action over the persisted aggregate:
+    the Decimal(38,0) assignment sum (the convergence probe) plus the
+    total symmetrized row count (the denominator for giant-star
+    detection — an even share per shuffle partition is total/n_part)."""
+    row = min_nbrs.select(
+        F.sum(F.col(MIN_NBR).cast("decimal(38,0)")), F.sum(F.col(CNT))
+    ).first()
+    return row[0], row[1] or 0
+
+
+# Defensive cap on the per-iteration giant-star hub set (the math bound
+# is min(total/threshold, n_part/factor) keys — a handful — but a
+# misconfigured floor shouldn't be able to broadcast millions of keys).
+MAX_GIANT_HUBS = 4096
+
+
+def _giant_star_hubs(
+    min_nbrs_with_cnt: DataFrame, total_cnt: int, threshold: int
+) -> list:
+    """Driver-side list of join keys whose symmetrized degree exceeds
+    ``threshold`` — the giant-star roots that would otherwise serialize
+    one hash partition of the large-star join. At most
+    ``total_cnt / threshold`` keys can qualify (each holds more than a
+    ``threshold`` share of ``total_cnt``), so with the relative
+    threshold this is bounded by ``n_part / factor`` keys regardless of
+    graph size. The ``total_cnt <= threshold`` early-out skips the scan
+    entirely on graphs too small for any key to qualify — small inputs
+    pay zero extra actions."""
+    if total_cnt <= threshold:
+        return []
+    return [
+        r[0]
+        for r in min_nbrs_with_cnt.filter(F.col(CNT) > threshold)
+        .orderBy(F.col(CNT).desc())
+        .limit(MAX_GIANT_HUBS)
+        .select(SRC)
+        .collect()
+    ]
 
 
 def _graphx_cc(
@@ -311,6 +354,18 @@ def connected_components(
     into a shuffle join for normal keys unioned with a broadcast join
     for hub keys. Kept primarily as the measured baseline for the AQE
     ablation (BENCH_ablation). Two-phase algorithm only.
+
+    The default AQE mode additionally runs the GIANT-STAR HYBRID: keys
+    whose symmetrized degree exceeds
+    ``max(spark.graphframes_spark.cc.giantStarFloor (1e6),
+    giantStarFactor (4) × total_rows / shuffle_partitions)`` — the
+    contraction roots whose large-star join task would otherwise hold
+    ``factor``× the even per-task share — are detected each iteration
+    from the convergence probe's aggregate (no extra shuffle; one
+    bounded collect) and routed through a broadcast join while AQE
+    keeps handling everything else. Set ``giantStarFactor=0`` to
+    disable. Results are identical either way — only the join strategy
+    for the detected keys changes.
     """
     from graphframes_spark.util import GraphFramesError
 
@@ -366,6 +421,8 @@ def _two_phase_loop(
     storage_level: Optional[StorageLevel],
     broadcast_threshold: int,
 ) -> DataFrame:
+    from graphframes_spark.harness import get_conf
+
     spark = graph.spark
     manual_skew = broadcast_threshold != -1
     harness = IterationHarness(
@@ -375,6 +432,20 @@ def _two_phase_loop(
         if storage_level is not None
         else StorageLevel.MEMORY_AND_DISK_DESER,
     )
+    # Giant-star hybrid (AQE mode only): a key qualifies as a giant-star
+    # root when its symmetrized degree exceeds
+    # max(floor, factor * total_rows / shuffle_partitions) — i.e. the key
+    # ALONE would make its large-star join task `factor`x the even share.
+    # factor <= 0 disables detection (plain AQE joins everywhere).
+    giant_factor = int(get_conf(spark, "cc.giantStarFactor", "4"))
+    giant_floor = int(get_conf(spark, "cc.giantStarFloor", "1000000"))
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 1)
+
+    def _detect_giants(min_nbrs: DataFrame, total_cnt: int) -> list:
+        if manual_skew or giant_factor <= 0:
+            return []
+        threshold = max(giant_floor, giant_factor * total_cnt // n_part)
+        return _giant_star_hubs(min_nbrs, total_cnt, threshold)
 
     idx_v = indexed_vertices(graph.vertices)
     vv = idx_v.select(F.col(LONG_ID).alias(ID), F.col(ATTR))
@@ -392,8 +463,9 @@ def _two_phase_loop(
     )
     ee = harness.persist(ee)
 
-    min_nbrs1 = harness.persist(_min_nbrs(ee, with_cnt=manual_skew))
-    prev_sum = _min_nbr_sum(min_nbrs1)
+    min_nbrs1 = harness.persist(_min_nbrs(ee, with_cnt=True))
+    prev_sum, total_cnt = _min_nbr_stats(min_nbrs1)
+    giant_hubs = _detect_giants(min_nbrs1, total_cnt)
     harness.rotate()  # ee, min_nbrs1 become "previous"; kept until round ends
 
     converged = prev_sum is None  # no edges at all
@@ -402,30 +474,37 @@ def _two_phase_loop(
             break
         # large-star: connect strictly-larger neighbors to the min neighbor.
         #
-        # AQE-mode skew note (root-caused at the 250M-edge rung, round 9):
-        # star contraction concentrates the giant component's edges onto
-        # its minimum id — new_ee carries O(component) rows with src=min,
-        # so this join's ee side has one hash partition holding most of
-        # the edge set (42M rows in one task at scale 20; the measured
-        # straggler behind wcc's at-linear 10x->50x scaling segment).
-        # AQE's OptimizeSkewedJoin cannot split it because the persisted
-        # min_nbrs side is read exchange-free from its cache layout and
-        # the rule needs shuffle stages on BOTH children. Forcing a live
-        # repartition(SRC) on the min_nbrs side to unlock the split was
-        # MEASURED AND REVERTED (round 9, SCALE.md): the extra
-        # vertex-sized shuffle per star join costs more than the split
-        # saves — 951s vs 756s baseline at the 250M-edge rung (and
-        # threshold tuning alone changes nothing, 826s vs 768s). The
-        # serialization is bounded: one task processes O(giant component)
-        # contracted rows per iteration while the component count keeps
-        # shrinking, and overall scaling stays sublinear (alpha 0.83 over
-        # 1x->50x). The manual broadcast mode (broadcast_threshold > 0)
-        # remains the escape hatch when a deployment's giant-star task
-        # dominates wall-clock.
+        # AQE-mode giant-star hybrid (root-caused round 9, built round
+        # 10): star contraction concentrates the giant component's edges
+        # onto its minimum id — new_ee carries O(component) rows with
+        # src=min, so this join's ee side has one hash partition holding
+        # most of the edge set (42M rows in one task at the 250M-edge
+        # rung; the measured straggler behind wcc's at-linear 10x->50x
+        # scaling segment). AQE's OptimizeSkewedJoin cannot split it
+        # because the persisted min_nbrs side is read exchange-free from
+        # its cache layout and the rule needs shuffle stages on BOTH
+        # children. Two blanket fixes were MEASURED AND REJECTED in round
+        # 9 (SCALE.md): a live repartition(SRC) on the min_nbrs side
+        # unlocks the AQE split but its extra vertex-sized shuffle per
+        # star join costs more than the split saves (951s vs 756s at the
+        # 250M-edge rung), and skew-threshold tuning alone is a no-op.
+        # The hybrid routes ONLY the detected giant-star keys (degree >
+        # max(floor, factor*total/n_part), collected off the convergence
+        # action's aggregate — at most n_part/factor keys) through the
+        # existing broadcast split (_skewed_join): their ee rows stay in
+        # their map-side layout instead of hashing into one partition,
+        # while every other key keeps the plain shuffle join under AQE.
+        # The broadcast side is the hub keys' min_nbr rows — a handful —
+        # and the semi/anti hub tests are themselves broadcast joins, so
+        # no new shuffle appears on either side. The manual broadcast
+        # mode (broadcast_threshold > 0) remains the all-or-nothing
+        # reference-semantics mode for ablations.
         if manual_skew:
             joined = _skewed_join(
                 ee, min_nbrs1, _collect_hubs(min_nbrs1, broadcast_threshold)
             )
+        elif giant_hubs:
+            joined = _skewed_join(ee, min_nbrs1, giant_hubs)
         else:
             joined = ee.join(min_nbrs1, on=SRC)
         ee = harness.persist(
@@ -456,10 +535,12 @@ def _two_phase_loop(
             new_ee = harness.checkpoint(new_ee, eager=True)
         ee = harness.persist(new_ee)
 
-        min_nbrs1 = harness.persist(_min_nbrs(ee, with_cnt=manual_skew))
-        curr_sum = _min_nbr_sum(min_nbrs1)
+        min_nbrs1 = harness.persist(_min_nbrs(ee, with_cnt=True))
+        curr_sum, total_cnt = _min_nbr_stats(min_nbrs1)
         if curr_sum == prev_sum:
             converged = True
+        else:
+            giant_hubs = _detect_giants(min_nbrs1, total_cnt)
         prev_sum = curr_sum
         harness.rotate()
 

@@ -181,3 +181,87 @@ def test_cc_manual_skew_join_rejects_bad_args(spark):
         g.connectedComponents(broadcastThreshold=0)
     with pytest.raises(GraphFramesError):
         g.connectedComponents(algorithm="graphx", broadcastThreshold=5)
+
+
+@pytest.fixture()
+def giant_star_conf(spark):
+    """Force giant-star detection on test-sized graphs: floor 10 rows,
+    factor 1 (any key above the even per-partition share qualifies)."""
+    keys = {
+        "spark.graphframes_spark.cc.giantStarFloor": "10",
+        "spark.graphframes_spark.cc.giantStarFactor": "1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_cc_giant_star_hybrid_matches_plain_aqe(spark, hub_graph, giant_star_conf):
+    """Round-10 giant-star hybrid: with the detection thresholds forced
+    low, hub 0 (degree 10^5) is detected from the convergence probe's
+    aggregate and its large-star join rows take the broadcast route
+    while AQE handles the rest. The component partition must be
+    identical to both the plain-AQE run and the graphx reference."""
+    hybrid = hub_graph.connectedComponents()
+    assert hybrid.select("component").distinct().count() == 1
+    gx = hub_graph.connectedComponents(algorithm="graphx")
+    joined = hybrid.withColumnRenamed("component", "h").join(
+        gx.withColumnRenamed("component", "g"), on="id"
+    )
+    assert joined.filter(F.col("h") != F.col("g")).count() == 0
+
+
+def test_cc_giant_star_hybrid_multi_component(spark, giant_star_conf):
+    """Forced-low thresholds on a multi-component graph with isolated
+    vertices: several keys qualify as 'giants' at once; the partition
+    must stay exact."""
+    v = spark.range(0, 40)
+    edges = (
+        # two stars big enough to trip the 10-row floor after symmetrize
+        [(0, i) for i in range(1, 14)]
+        + [(20, i) for i in range(21, 34)]
+        + [(1, 2), (21, 22), (36, 37)]
+    )
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    g = GraphFrame(v, e)
+    out = g.connectedComponents()
+    comps = {}
+    for r in out.collect():
+        comps.setdefault(r["component"], set()).add(r["id"])
+    groups = sorted(sorted(m) for m in comps.values())
+    assert groups == (
+        [list(range(0, 14)), [14], [15], [16], [17], [18], [19]]
+        + [list(range(20, 34)), [34], [35], [36, 37], [38], [39]]
+    )
+
+
+def test_giant_star_hub_detection_bounds(spark):
+    """Unit contract of _giant_star_hubs: early-out when no key can
+    qualify (total <= threshold — zero extra actions on small graphs),
+    detection of the heavy key otherwise, and the defensive cap."""
+    from graphframes_spark.lib.connected_components import (
+        MAX_GIANT_HUBS,
+        _giant_star_hubs,
+    )
+
+    mn = spark.createDataFrame(
+        [(0, 0, 90), (1, 0, 6), (2, 0, 4)], ["src", "min_nbr", "cnt"]
+    )
+    # total <= threshold: early-out, no job at all
+    assert _giant_star_hubs(mn, total_cnt=100, threshold=100) == []
+    # only the heavy key exceeds the threshold
+    assert _giant_star_hubs(mn, total_cnt=100, threshold=50) == [0]
+    # cap: a frame with more qualifying keys than the cap stays bounded
+    many = spark.range(0, MAX_GIANT_HUBS + 10).select(
+        F.col("id").alias("src"),
+        F.lit(0).alias("min_nbr"),
+        F.lit(100).alias("cnt"),
+    )
+    got = _giant_star_hubs(many, total_cnt=10**9, threshold=50)
+    assert len(got) == MAX_GIANT_HUBS

@@ -265,3 +265,37 @@ def test_giant_star_hub_detection_bounds(spark):
     )
     got = _giant_star_hubs(many, total_cnt=10**9, threshold=50)
     assert len(got) == MAX_GIANT_HUBS
+
+
+def test_cc_giant_star_detection_disable_knob(spark, hub_graph):
+    """giantStarFactor=0 must disable detection entirely (plain AQE joins)
+    even when the floor is forced low enough to trigger — the documented
+    escape hatch — and results stay exact."""
+    import graphframes_spark.lib.connected_components as cc_mod
+
+    calls = []
+    orig = cc_mod._skewed_join
+
+    def spy(a, b, hubs):
+        calls.append(list(hubs))
+        return orig(a, b, hubs)
+
+    keys = {
+        "spark.graphframes_spark.cc.giantStarFloor": "10",
+        "spark.graphframes_spark.cc.giantStarFactor": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    cc_mod._skewed_join = spy
+    try:
+        out = hub_graph.connectedComponents()
+        assert out.select("component").distinct().count() == 1
+        assert calls == [], "factor=0 must not route any key through broadcast"
+    finally:
+        cc_mod._skewed_join = orig
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -30,6 +30,19 @@ def get_conf(spark: SparkSession, key: str, default: str) -> str:
         return default
 
 
+def shuffle_partitions(spark: SparkSession, default: int = 200) -> int:
+    """Current ``spark.sql.shuffle.partitions`` as an int, tolerant of
+    non-numeric platform values (some managed runtimes set it to
+    ``"auto"``); falls back to ``defaultParallelism`` then ``default``."""
+    try:
+        return max(int(spark.conf.get("spark.sql.shuffle.partitions", str(default))), 1)
+    except (ValueError, TypeError):
+        try:
+            return max(int(spark.sparkContext.defaultParallelism), 1)
+        except Exception:
+            return max(default, 1)
+
+
 @contextmanager
 def aqe_disabled(spark: SparkSession) -> Iterator[None]:
     """Disable AQE for the duration of a randomized computation.

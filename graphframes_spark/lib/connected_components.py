@@ -156,14 +156,24 @@ def _giant_star_hubs(
     pay zero extra actions."""
     if total_cnt <= threshold:
         return []
-    return [
-        r[0]
-        for r in min_nbrs_with_cnt.filter(F.col(CNT) > threshold)
+    rows = (
+        min_nbrs_with_cnt.filter(F.col(CNT) > threshold)
         .orderBy(F.col(CNT).desc())
-        .limit(MAX_GIANT_HUBS)
+        .limit(MAX_GIANT_HUBS + 1)
         .select(SRC)
         .collect()
-    ]
+    )
+    if len(rows) > MAX_GIANT_HUBS:
+        warnings.warn(
+            f"giant-star detection matched more than {MAX_GIANT_HUBS} keys at "
+            f"threshold {threshold}; truncating to the {MAX_GIANT_HUBS} heaviest "
+            "(the rest stay on the shuffle path). Check cc.giantStarFactor/"
+            "cc.giantStarFloor — a threshold this low broadcasts far more keys "
+            "than skew mitigation needs.",
+            stacklevel=2,
+        )
+        rows = rows[:MAX_GIANT_HUBS]
+    return [r[0] for r in rows]
 
 
 def _graphx_cc(
@@ -421,7 +431,7 @@ def _two_phase_loop(
     storage_level: Optional[StorageLevel],
     broadcast_threshold: int,
 ) -> DataFrame:
-    from graphframes_spark.harness import get_conf
+    from graphframes_spark.harness import get_conf, shuffle_partitions
 
     spark = graph.spark
     manual_skew = broadcast_threshold != -1
@@ -434,12 +444,17 @@ def _two_phase_loop(
     )
     # Giant-star hybrid (AQE mode only): a key qualifies as a giant-star
     # root when its symmetrized degree exceeds
-    # max(floor, factor * total_rows / shuffle_partitions) — i.e. the key
-    # ALONE would make its large-star join task `factor`x the even share.
+    # max(floor, factor * total_rows / shuffle_partitions). NOTE the
+    # denominator convention: total_rows is the SYMMETRIZED row count
+    # (both orientations), which is 2x the oriented ee rows that feed the
+    # large-star join — so relative to the oriented even per-task share
+    # the effective multiplier is 2*factor. The round-10 measurements
+    # (SCALE.md) were tuned with this convention; changing it would shift
+    # the fire threshold, so it is documented rather than "fixed".
     # factor <= 0 disables detection (plain AQE joins everywhere).
     giant_factor = int(get_conf(spark, "cc.giantStarFactor", "4"))
     giant_floor = int(get_conf(spark, "cc.giantStarFloor", "1000000"))
-    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 1)
+    n_part = shuffle_partitions(spark)
 
     def _detect_giants(min_nbrs: DataFrame, total_cnt: int) -> list:
         if manual_skew or giant_factor <= 0:

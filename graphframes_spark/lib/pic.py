@@ -189,9 +189,9 @@ def _deterministic_pic(
         ID, F.round(F.col("_pic_v") / F.lit(float(total_v)), 10).alias("_pic_emb")
     )
 
-    n_part = max(
-        int(graph.spark.conf.get("spark.sql.shuffle.partitions", "200")), 1
-    )
+    from graphframes_spark.harness import shuffle_partitions
+
+    n_part = shuffle_partitions(graph.spark)
     gaps = _distinct_value_gaps(emb.select("_pic_emb"), n_part)
     # at most k-1 cut points: a bounded driver collect (like the hub lists
     # in connected_components), turned into a literal CASE expression so

@@ -168,9 +168,12 @@ HOT_LOOP_QUERIES = [
 
 
 def _sweep(spark, names):
+    import os as _os
     import sys as _sys
 
-    _sys.path.insert(0, ".")
+    _repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    if _repo_root not in _sys.path:
+        _sys.path.insert(0, _repo_root)
     import __spark_entry__ as em
     from tools.audit_object_hash import PlanCapture, matched_fragments
 

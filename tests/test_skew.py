@@ -263,8 +263,14 @@ def test_giant_star_hub_detection_bounds(spark):
         F.lit(0).alias("min_nbr"),
         F.lit(100).alias("cnt"),
     )
-    got = _giant_star_hubs(many, total_cnt=10**9, threshold=50)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = _giant_star_hubs(many, total_cnt=10**9, threshold=50)
     assert len(got) == MAX_GIANT_HUBS
+    # truncation must be diagnosable, not silent (round-11 ADVICE)
+    assert any("truncating" in str(w.message) for w in caught)
 
 
 def test_cc_giant_star_detection_disable_knob(spark, hub_graph):

@@ -147,6 +147,68 @@ def build_session(cpus: int) -> SparkSession:
     )
 
 
+def _read_proc_stat() -> tuple[float, float]:
+    """(total_jiffies, busy_jiffies) machine-wide from /proc/stat line 1."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()[1:]
+    vals = [float(x) for x in parts]
+    total = sum(vals)
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)  # idle + iowait
+    return total, total - idle
+
+
+def _read_pid_jiffies(pid: int) -> float:
+    """utime+stime jiffies of one process (its threads included)."""
+    try:
+        with open(f"/proc/{pid}/stat") as fh:
+            parts = fh.read().rsplit(")", 1)[1].split()
+        return float(parts[11]) + float(parts[12])  # fields 14,15 (utime,stime)
+    except OSError:
+        return 0.0
+
+
+def _jvm_pid(spark: SparkSession) -> int:
+    try:
+        return int(
+            spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+        )
+    except Exception:
+        return 0
+
+
+class LoadMonitor:
+    """Per-query load context (round-11: the +8.4% round-10 headline drift
+    was uninterpretable without it). Splits machine-wide busy CPU during
+    each measured query into this benchmark's own usage (the Spark JVM +
+    this Python driver) and everything else — `cotenant_cores` > ~1 core
+    during a measurement window means the number was taken under external
+    load and round-over-round deltas need the paired protocol, not a raw
+    comparison."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._pids = [p for p in (_jvm_pid(spark), os.getpid()) if p]
+        self._clk = os.sysconf("SC_CLK_TCK")
+        self._ncpu = os.cpu_count() or 1
+
+    def start(self) -> tuple:
+        total, busy = _read_proc_stat()
+        return (total, busy, sum(_read_pid_jiffies(p) for p in self._pids))
+
+    def finish(self, token: tuple) -> dict:
+        t0, b0, s0 = token
+        total, busy = _read_proc_stat()
+        self_j = sum(_read_pid_jiffies(p) for p in self._pids)
+        dt = max(total - t0, 1e-9) / self._ncpu  # jiffies -> per-cpu ticks
+        busy_cores = (busy - b0) / dt
+        self_cores = (self_j - s0) / dt
+        return {
+            "load1": round(os.getloadavg()[0], 2),
+            "busy_cores": round(busy_cores, 2),
+            "self_cores": round(self_cores, 2),
+            "cotenant_cores": round(max(busy_cores - self_cores, 0.0), 2),
+        }
+
+
 def run_query(spark: SparkSession, name: str, sf_dir: str) -> float:
     fn = entry_mod.queries()[name]
     start = time.perf_counter()
@@ -172,12 +234,16 @@ def main() -> None:
         for name in names:
             run_query(spark, name, sf_dir)
 
+    monitor = LoadMonitor(spark)
     samples: dict[str, list[float]] = {name: [] for name in names}
+    load_ctx: dict[str, list[dict]] = {name: [] for name in names}
     supersteps: dict[str, list[float]] = {}
     for rep in range(repeats):
         for name in names:
             pregel_mod.LAST_RUN_SUPERSTEP_SECONDS.clear()
+            tok = monitor.start()
             samples[name].append(run_query(spark, name, sf_dir))
+            load_ctx[name].append(monitor.finish(tok))
             if pregel_mod.LAST_RUN_SUPERSTEP_SECONDS:
                 supersteps[name] = [
                     round(s, 3) for s in pregel_mod.LAST_RUN_SUPERSTEP_SECONDS
@@ -200,6 +266,26 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # run-level load summary for the compact stdout line: median over all
+    # per-query measurement windows — a single number that says whether
+    # this suite ran quiet (cotenant_cores ~0) or contended
+    all_ctx = [c for per_q in load_ctx.values() for c in per_q]
+
+    def _median(vals: list[float]) -> float:
+        vs = sorted(vals)
+        mid = len(vs) // 2
+        return vs[mid] if len(vs) % 2 else (vs[mid - 1] + vs[mid]) / 2
+
+    load_summary = {
+        "load1_median": round(_median([c["load1"] for c in all_ctx]), 2),
+        "load1_max": round(max(c["load1"] for c in all_ctx), 2),
+        "cotenant_cores_median": round(
+            _median([c["cotenant_cores"] for c in all_ctx]), 2
+        ),
+        "cotenant_cores_max": round(
+            max(c["cotenant_cores"] for c in all_ctx), 2
+        ),
+    }
     # Full detail (spread, superstep traces, raw samples) goes to a
     # sidecar file; the stdout line must stay well under the driver's
     # 2000-char stdout-tail capture or BENCH_r{N}.json ends up with a
@@ -212,6 +298,8 @@ def main() -> None:
         "spread": spread,
         "supersteps": supersteps,
         "samples": {k: [round(x, 3) for x in v] for k, v in samples.items()},
+        "load": load_summary,
+        "load_per_query": load_ctx,
         "sf": sf_val,
     }
     sidecar = os.path.join(
@@ -224,6 +312,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "load": load_summary,
         "sf": sf_val,
     }
     line = json.dumps(compact)

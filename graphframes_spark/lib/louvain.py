@@ -25,12 +25,21 @@ Distributed design (synchronous local moving + contraction):
 - **Labels** are finally re-anchored to ``min(original member id)`` per
   community, so the output is stable across runs and platforms.
 
-Scale posture: each round is one edge⋈assignment join (shuffle on the
-edge key — the same shape as a Pregel superstep), one (vertex,
-candidate-community) aggregation, and one vertex-sized join; each pass
-shrinks the graph, so later passes are near-free. State is
-local-checkpointed per round to keep lineage flat. No driver-side data
-beyond the 1-row convergence counter.
+Scale posture (round-11 plan, A/B-measured 11.6% over the round-10 one
+on louvain_copurchase at sf0.1 — BENCH_louvain_ab_r11.json): each round
+is one adjacency⋈assignment join whose edge side is persisted
+PRE-PARTITIONED on the join key (the exchange survives the cache, so
+only the vertex-sized state reshuffles per round), one (vertex,
+candidate-community) aggregation, a Σ_tot hash aggregate of the state,
+and one community-keyed join; the legacy candidate-injection
+re-aggregate and per-round k⋈assignment Σ_tot join are gone (the stay
+option is resolved inside the decide aggregate, with a closed-form
+fallback when a vertex's own community is absent from its neighbors).
+Each pass shrinks the graph, so later passes are near-free. State is
+local-checkpointed per round to keep lineage flat — the per-round state
+is referenced three times per round, so lazy lineage would grow the
+logical tree 3^rounds. No driver-side data beyond the 1-row convergence
+counter.
 
 Weighted-graph semantics: ``2m = Σ_i k_i`` with ``k_i`` the weighted
 degree (self-loops counting twice, the standard convention), so the
@@ -87,10 +96,191 @@ def _local_moving(
     m: float,
     max_rounds: int,
 ) -> tuple[DataFrame, int]:
-    """One Louvain phase-1 on the canonical edge list.
+    """One Louvain phase-1 on the canonical edge list (round-11 plan).
 
     Returns (assignment DF[id, community], rounds_with_moves). Community
     ids are vertex ids (each vertex starts in its own singleton).
+
+    Decision-identical to :func:`_local_moving_legacy` (same gains, same
+    stay-on-tie/min-id tie-breaks, same alternating direction gate — the
+    DuckDB oracle replays that contract bit-exactly) but restructured for
+    two fewer shuffles per round and a smaller working set:
+
+    - **No candidate-injection re-aggregate.** The legacy plan unioned an
+      explicit own-community row into the neighbor-community aggregate and
+      re-grouped (a second candidate-sized shuffle) purely so the stay
+      option was a candidate row. Here the stay gain is computed directly:
+      the per-u aggregation keeps ``max(gain) where c == own`` alongside
+      the best move candidate, and vertices whose own community is absent
+      from their neighbors fall back to the closed form
+      ``0 − k_u·(tot_own − k_u)/2m`` (exactly the k_uc=0 row the legacy
+      union injected). Move-vs-stay then compares strictly (ties stay),
+      preserving the legacy ``(−gain, stay-bit, c)`` struct-min order.
+    - **No per-round vertex-sized k⋈assignment join for Σ_tot.** The loop
+      state carries ``k`` alongside the community (DF[id, community, k],
+      one checkpoint per round as before), so sigma is a single map-side
+      partial-aggregatable hash aggregate of the checkpointed state — and
+      both of its consumers shuffle it on the same key, so the exchange is
+      planned once and reused.
+    - **Stationary vertices leave the loop after round 1.** A vertex with
+      no non-self-loop incident edge can never move and is invisible to
+      every other vertex's candidate set (its singleton community is
+      never a neighbor community). It never appears in the per-round
+      aggregate (which is driven by the adjacency), so from round 2 on
+      the loop state is naturally the edge-incident vertices only; the
+      stationary rest is recovered with one anti-join at the end instead
+      of riding every round's joins as in the legacy plan.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    two_m = 2.0 * m
+    k = (
+        vertices.select(ID)
+        .join(_weighted_degrees(cedges), on=ID, how="left")
+        .select(ID, F.coalesce(F.col("k"), F.lit(0.0)).alias("k"))
+    )
+    nonloop = cedges.filter(F.col("a") != F.col("b"))
+    # adj is persisted (not localCheckpointed) and pre-partitioned on the
+    # per-round join key: the cache manager substitutes an InMemoryRelation
+    # that CARRIES outputPartitioning — a checkpoint's ExistingRDD scan
+    # does not — so every round's adjacency⋈state join skips the
+    # edge-sized exchange. Safe here because adj is built ONCE per pass
+    # (shallow logical plan, linear growth per round); the per-round STATE
+    # must stay localCheckpoint-based — each round references it three
+    # times (sigma, vstate, the adjacency join), so a lazy lineage would
+    # grow the logical tree 3^rounds.
+    adj = (
+        nonloop.select(F.col("a").alias("u"), F.col("b").alias("v"), "w")
+        .unionByName(
+            nonloop.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+        )
+        .repartition(F.col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    # round-1 state covers ALL vertices; stationary ones contribute only
+    # never-referenced singleton rows to sigma and drop out of the state
+    # after round 1 (the decide aggregate is adjacency-driven)
+    st = (
+        k.select(F.col(ID), F.col(ID).alias(COMMUNITY), F.col("k"))
+        .localCheckpoint(eager=True)
+    )
+
+    from pyspark.sql import Observation
+
+    moves_happened = 0
+    for rnd in range(max_rounds):
+        sigma = (
+            st.groupBy(F.col(COMMUNITY).alias("c")).agg(F.sum("k").alias("tot"))
+        )
+        # per-vertex frame carrying everything the decide step needs:
+        # own community, weighted degree, own community's Σ_tot
+        vstate = st.join(
+            sigma, st[COMMUNITY] == sigma["c"]
+        ).select(
+            F.col(ID).alias("u"),
+            F.col(COMMUNITY).alias("own"),
+            F.col("k").alias("k_u"),
+            F.col("tot").alias("tot_own"),
+        )
+        # neighbor-community attachment k_{u,c}
+        nbr = (
+            adj.join(
+                st.select(F.col(ID).alias("v"), F.col(COMMUNITY).alias("c")),
+                on="v",
+            )
+            .groupBy("u", "c")
+            .agg(F.sum("w").alias("k_uc"))
+        )
+        # the gain expression mirrors the legacy/oracle operation order
+        # exactly: k_uc − k_u·(tot − [c==own]·k_u)/2m, one multiply, one
+        # divide — bit-identical decisions on integer-valued doubles
+        scored = (
+            nbr.join(sigma, on="c")
+            .join(vstate, on="u")
+            .withColumn(
+                "gain",
+                F.col("k_uc")
+                - F.col("k_u")
+                * (
+                    F.col("tot")
+                    - F.when(F.col("c") == F.col("own"), F.col("k_u")).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.lit(two_m),
+            )
+        )
+        # grouped by u ALONE so the output (→ next round's checkpointed
+        # state) is hash-partitioned by vertex id — the next round's
+        # state-side join exchanges vanish. own/k_u/tot_own are constant
+        # within a u-group; max() carries them deterministically.
+        aggd = scored.groupBy("u").agg(
+            F.min(
+                F.when(
+                    F.col("c") != F.col("own"),
+                    F.struct((-F.col("gain")).alias("ng"), F.col("c").alias("c")),
+                )
+            ).alias("bm"),
+            F.max(
+                F.when(F.col("c") == F.col("own"), F.col("gain"))
+            ).alias("sg"),
+            F.max("own").alias("own"),
+            F.max("k_u").alias("k_u"),
+            F.max("tot_own").alias("tot_own"),
+        )
+        stay_gain = F.coalesce(
+            F.col("sg"),
+            F.lit(0.0)
+            - F.col("k_u") * (F.col("tot_own") - F.col("k_u")) / F.lit(two_m),
+        )
+        # oscillation guard (Sotera DGA rule), applied to the single best
+        # move candidate — a gate-blocked best move falls back to stay,
+        # never to the runner-up (legacy/oracle semantics)
+        if rnd % 2 == 0:
+            allowed = F.col("bm").getField("c") < F.col("own")
+        else:
+            allowed = F.col("bm").getField("c") > F.col("own")
+        mv = (
+            F.col("bm").isNotNull()
+            & ((-F.col("bm").getField("ng")) > stay_gain)
+            & allowed
+        )
+        new_comm = F.when(mv, F.col("bm").getField("c")).otherwise(F.col("own"))
+        decided = aggd.select(
+            F.col("u").alias(ID),
+            new_comm.alias(COMMUNITY),
+            F.col("k_u").alias("k"),
+            mv.alias("_moved"),
+        )
+        obs = Observation()
+        decided = decided.observe(obs, F.count_if(F.col("_moved")).alias("n"))
+        # one action per round (the Observation rides the checkpoint)
+        decided = decided.localCheckpoint(eager=True)
+        moved = obs.get.get("n", 0)
+        st = decided.drop("_moved")
+        if moved == 0:
+            break
+        moves_happened += 1
+    # the checkpointed final state fully backs the returned assignment
+    adj.unpersist()
+    loop_asg = st.select(ID, COMMUNITY)
+    stationary = vertices.select(ID).join(
+        loop_asg.select(ID), on=ID, how="left_anti"
+    ).select(F.col(ID), F.col(ID).alias(COMMUNITY))
+    return loop_asg.unionByName(stationary), moves_happened
+
+
+def _local_moving_legacy(
+    cedges: DataFrame,
+    vertices: DataFrame,
+    m: float,
+    max_rounds: int,
+) -> tuple[DataFrame, int]:
+    """Round-10 local-moving plan, retained as the measured A/B ablation
+    baseline for the round-11 restructure (select with
+    ``spark.graphframes_spark.louvain.impl=legacy``). Decision-identical
+    to :func:`_local_moving`; costs one candidate-sized re-aggregate and
+    one vertex-sized Σ_tot join more per round.
     """
     two_m = 2.0 * m
     # complete over ALL vertices (zero-degree fill): the inner joins
@@ -281,6 +471,11 @@ def louvain(
     if weight_col is not None and weight_col not in graph.edges.columns:
         raise GraphFramesError(f"edges have no weight column {weight_col!r}")
 
+    from graphframes_spark.harness import get_conf
+
+    impl = get_conf(graph.spark, "louvain.impl", "v11")
+    local_moving = _local_moving_legacy if impl == "legacy" else _local_moving
+
     cedges = _canonical_edges(graph, weight_col).localCheckpoint(eager=True)
     m = cedges.agg(F.sum("w")).collect()[0][0]
     vertices = graph.vertices.select(ID)
@@ -293,7 +488,7 @@ def louvain(
     level_vertices = vertices
     level_count = None  # lazily counted; carried across passes
     for _ in range(max_passes):
-        asg, moves = _local_moving(
+        asg, moves = local_moving(
             cedges, level_vertices, m, max_rounds_per_pass
         )
         total = (

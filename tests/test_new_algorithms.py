@@ -925,6 +925,31 @@ def test_louvain_weighted_overrides_topology(spark):
     assert got[1] == got[2]
 
 
+def test_louvain_v11_plan_matches_legacy(spark):
+    """The round-11 local-moving restructure is decision-identical to the
+    retained legacy plan (same gains, tie-breaks, direction gates): both
+    impls must produce the same assignment on a graph with isolated
+    vertices, self-loops, float weights, and a bridge."""
+    v = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 1.5), (3, 4, 1.0), (4, 5, 1.0),
+         (3, 5, 2.0), (2, 3, 0.5), (6, 6, 3.0), (7, 8, 1.0)],
+        ["src", "dst", "weight"],
+    )  # vertex 9 isolated, vertex 6 self-loop only
+    g = GraphFrame(v, e)
+    key = "spark.graphframes_spark.louvain.impl"
+    try:
+        spark.conf.set(key, "v11")
+        new = sorted(map(tuple, g.louvain(weightCol="weight").collect()))
+        spark.conf.set(key, "legacy")
+        old = sorted(map(tuple, g.louvain(weightCol="weight").collect()))
+    finally:
+        spark.conf.unset(key)
+    assert new == old
+    got = dict(new)
+    assert got[9] == 9 and got[6] == 6  # stationary vertices keep their id
+
+
 def test_louvain_edge_free_and_validation(spark):
     v = spark.createDataFrame([(0,), (1,)], ["id"])
     e = spark.createDataFrame([], "src long, dst long")

@@ -168,17 +168,25 @@ def main() -> None:
         if keep is not None:
             ops = {name: ops[name] for name in keep}
 
+        from bench import LoadMonitor
+
+        monitor = LoadMonitor(spark)
         results: dict[str, list[float]] = {name: [] for name in ops}
+        load_ctx: dict[str, list[dict]] = {name: [] for name in ops}
         for it in range(1 + repeats):  # first pass = warmup
             for name, fn in ops.items():
+                tok = monitor.start()
                 t0 = time.time()
                 fn().write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
+                ctx = monitor.finish(tok)
                 if it > 0:
                     results[name].append(round(dt, 3))
+                    load_ctx[name].append(ctx)
                 print(
                     f"# {name} pass{it}{' (warmup)' if it == 0 else ''}: "
-                    f"{dt:.1f}s",
+                    f"{dt:.1f}s (load1 {ctx['load1']}, cotenant "
+                    f"{ctx['cotenant_cores']} cores)",
                     file=sys.stderr,
                 )
 
@@ -232,6 +240,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": avg,
                     "passes": results,
+                    "load_per_pass": load_ctx,
                     "graph": {
                         "vertices": int(WIKI_TALK_V * scale),
                         "edges_distinct": n_edges,

@@ -307,6 +307,44 @@ def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_g.incrementalConnectedComponents(prev).select("id", "component")
 
 
+def q_cc_incremental_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components over STRING vertex ids
+    (round 11): the delta-update contract extended through the label
+    domain — prev_components carries useLabelsAsComponents-style labels
+    (component = lexicographically-min member id), the contracted CC
+    runs label-mode, and min-labels compose lexicographically. Same
+    old/new split as cc_incremental ('o'-prefixed orders by
+    o_orderkey % 5); the updated assignment must equal the from-scratch
+    closed form ('c' < 'o', so every order sits with its customer)."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("id")
+    ).unionByName(
+        orders.select(F.concat(F.lit("o"), F.col("o_orderkey")).alias("id"))
+    )
+    prev = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("id"),
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("component"),
+    ).unionByName(
+        orders.select(
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("id"),
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                F.concat(F.lit("o"), F.col("o_orderkey")),  # new: singleton
+            )
+            .otherwise(F.concat(F.lit("c"), F.col("o_custkey")))
+            .alias("component"),
+        )
+    )
+    new_e = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("dst"),
+    )
+    delta_g = GraphFrame(v, new_e)
+    return delta_g.incrementalConnectedComponents(prev).select("id", "component")
+
+
 def q_cc_skew_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manual broadcast/skew-join connected components (reference
     TwoPhase.scala:160-173, GraphFrame.scala:1106-1126): AQE disabled,
@@ -348,6 +386,29 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.select(
         F.col("id"), F.explode(F.col("distances")).alias("landmark", "distance")
     )
+
+
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function (lib/hyperball.py — beyond-
+    reference, Boldi-Rosa-Vigna 2011) on the per-user event chain:
+    reach(v, t) = min(t, #events after v in its chain) + 1, closed-form
+    in SQL via row_number. Balls are ≤ maxHops+1 = 5 elements, so every
+    HLL sketch stays in coupon (exact) mode at ANY scale factor and the
+    estimates are exact integers — the same sketch-exactness pattern as
+    triangle_count_approx."""
+    g = _events_chain_graph(spark, sf_dir)
+    return g.hyperBall(maxHops=4).select("id", "hops", "reach")
+
+
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective diameter of the event chain via one HyperBall run
+    (lib/hyperball.py): smallest t with N(t) >= q·N(t_max). The chain
+    neighborhood function is closed-form (Σ_v min(t, tail_v) + 1), and
+    the engine's early stop lands at min(maxHops, max tail + 1) — both
+    replayed exactly in SQL. q=0.6 lands mid-curve (ED=5) at every SF,
+    so the check discriminates the quantile cut, not just the cap."""
+    g = _events_chain_graph(spark, sf_dir)
+    return g.effectiveDiameter(quantile=0.6, maxHops=8)
 
 
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2375,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_minhash_dedup": q_dp_minhash_dedup,
         "random_walks_det": q_random_walks_det,
         "cc_incremental": q_cc_incremental,
+        "cc_incremental_string": q_cc_incremental_string,
         # ------------- past the driver's 50-entry correctness window:
         # rotated out this round (all driver-green in the r7 window)
         "dp_pack": q_dp_pack,
@@ -2397,6 +2459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "betweenness": q_betweenness,
         "harmonic_centrality": q_harmonic_centrality,
+        "hyperball": q_hyperball,
+        "effective_diameter": q_effective_diameter,
         "eccentricity": q_eccentricity,
         "clustering_coefficient": q_clustering_coefficient,
         "reciprocity": q_reciprocity,

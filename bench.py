@@ -115,6 +115,10 @@ HEADLINE = [
     # and the hash-seeded-medoid IVF quantizer — both newly full-oracled)
     "pic",
     "dp_ivf_topk",
+    # round-11 additions: string-id incremental CC (label-domain
+    # delta-update) and the HLL-sketch neighborhood function
+    "cc_incremental_string",
+    "hyperball",
 ]
 
 

@@ -19,7 +19,9 @@ quality/token stats as the linear baseline.
 
 Prints ONE JSON line; run with ``python bench_dp_scale.py [> BENCH_dp_scale.json]``.
 Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_DP_BASE_DOCS (default
-50000 docs at 1x).
+50000 docs at 1x), SPARK_GRAFT_DP_OPS (comma-separated op subset —
+the multi-million-doc rungs time only the dedup capstones),
+SPARK_GRAFT_DP_REPEATS (default 3).
 """
 
 from __future__ import annotations
@@ -123,6 +125,13 @@ def ops(docs):
         "cross_dedup": lambda: cross_corpus_dedup(
             incoming, reference, method="exact"
         ),
+        # the one-call near-dup capstone (banding + exact-Jaccard verify +
+        # CC grouping + keep-best window) — the full pipeline a 100 TB
+        # dedup job actually runs, so it gets its own scaling cell
+        "neardup_corpus": lambda: dedup_corpus(
+            docs, id_col="doc_id", method="minhash",
+            num_perm=32, num_bands=8, threshold=0.8,
+        ),
     }
 
 
@@ -133,6 +142,23 @@ def main() -> None:
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    op_subset = os.environ.get("SPARK_GRAFT_DP_OPS")
+    keep = None
+    if op_subset:
+        keep = [x.strip() for x in op_subset.split(",") if x.strip()]
+
+    def select_ops(docs):
+        all_ops = ops(docs)
+        if keep is None:
+            return all_ops
+        unknown = [k for k in keep if k not in all_ops]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_DP_OPS: unknown op(s) {unknown}; "
+                f"valid: {', '.join(all_ops)}"
+            )
+        return {k: all_ops[k] for k in keep}
+
     work = tempfile.mkdtemp(prefix="dp_scale_bench_")
     timings: dict[str, dict[str, float]] = {}
     try:
@@ -141,7 +167,7 @@ def main() -> None:
             generate_corpus(spark, path, base_docs * s)
         # warmup at the smallest size (JIT + codegen caches)
         docs1 = spark.read.parquet(f"{work}/docs_1x")
-        for fn in ops(docs1).values():
+        for fn in select_ops(docs1).values():
             fn().write.format("noop").mode("overwrite").save()
         # interleaved repeats + per-cell median: this sandbox shows
         # multi-x transient load spikes (a back-to-back protocol once
@@ -151,7 +177,7 @@ def main() -> None:
         for rep in range(repeats):
             for s in scales:
                 docs = spark.read.parquet(f"{work}/docs_{s}x")
-                for name, fn in ops(docs).items():
+                for name, fn in select_ops(docs).items():
                     t0 = time.time()
                     fn().write.format("noop").mode("overwrite").save()
                     dt = round(time.time() - t0, 3)

@@ -636,6 +636,51 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey + {ORDER_OFFSET}, o_custkey FROM orders
         """,
+        # HyperBall on the per-user chain: reach(v,t) = min(t, tail)+1,
+        # emitted for t = 1..min(4, max tail + 1) — the engine's early
+        # stop replayed via the t <= t_break filter. Sketches stay in
+        # coupon (exact) mode (balls <= 5), so estimates are exact.
+        "hyperball": """
+            WITH seq AS (
+                SELECT event_id,
+                       count(*) OVER (PARTITION BY user_id)
+                         - row_number() OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                           ) AS tail
+                FROM events
+            ),
+            tb AS (SELECT least(4, max(tail) + 1) AS t_break FROM seq)
+            SELECT s.event_id AS id, CAST(t.t AS INT) AS hops,
+                   CAST(least(t.t, s.tail) + 1 AS BIGINT) AS reach
+            FROM seq s
+            CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS t) t
+            WHERE t.t <= (SELECT t_break FROM tb)
+        """,
+        # effective diameter of the chain: N(t) = Σ min(t, tail)+1
+        # over t = 1..min(8, max tail + 1); smallest t with
+        # N(t) >= 0.6·max_t N(t) (q=0.6 lands mid-curve at every SF)
+        "effective_diameter": """
+            WITH seq AS (
+                SELECT count(*) OVER (PARTITION BY user_id)
+                         - row_number() OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                           ) AS tail
+                FROM events
+            ),
+            tb AS (SELECT least(8, max(tail) + 1) AS t_break FROM seq),
+            curve AS (
+                SELECT t.t AS hops,
+                       sum(least(t.t, s.tail) + 1) AS n_t
+                FROM seq s
+                CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS t) t
+                WHERE t.t <= (SELECT t_break FROM tb)
+                GROUP BY t.t
+            ),
+            mx AS (SELECT max(n_t) AS n_max FROM curve)
+            SELECT CAST(min(hops) AS INT) AS effective_diameter,
+                   CAST(max(mx.n_max) AS BIGINT) AS neighborhood_pairs
+            FROM curve, mx WHERE curve.n_t >= 0.6 * mx.n_max
+        """,
         "shortest_paths": """
             WITH seq AS (
                 SELECT event_id, user_id,
@@ -822,6 +867,13 @@ def oracle_sql() -> dict[str, str]:
             FROM nation n
         """,
         "cc_string_labels": """
+            SELECT 'c' || c_custkey AS id, 'c' || c_custkey AS component FROM customer
+            UNION ALL
+            SELECT 'o' || o_orderkey, 'c' || o_custkey FROM orders
+        """,
+        # string-id incremental delta-update must equal the from-scratch
+        # label-domain assignment (same closed form as cc_string_labels)
+        "cc_incremental_string": """
             SELECT 'c' || c_custkey AS id, 'c' || c_custkey AS component FROM customer
             UNION ALL
             SELECT 'o' || o_orderkey, 'c' || o_custkey FROM orders

@@ -919,8 +919,12 @@ class GraphFrame:
         components touched by a cross-component new edge, so the cost is
         proportional to the delta rather than the accumulated edge set.
         Output is identical to a from-scratch run on old ∪ new edges
-        (min-id labels compose across contraction). Integral ids only.
-        Beyond-reference operator (no graphframes equivalent)."""
+        (min-id labels compose across contraction). Integral-id graphs
+        take any ``connectedComponents`` assignment; non-integral (e.g.
+        string) ids take a ``useLabelsAsComponents=True`` assignment
+        (labels compose by lexicographic min; surrogate longs are not
+        stable across runs). Beyond-reference operator (no graphframes
+        equivalent)."""
         from graphframes_spark.lib.connected_components import (
             incremental_connected_components,
         )
@@ -928,6 +932,36 @@ class GraphFrame:
         return incremental_connected_components(
             self, prevComponents, checkpoint_interval=checkpointInterval
         )
+
+    def hyperBall(
+        self,
+        maxHops: int = 10,
+        lgConfigK: int = 12,
+        isDirected: bool = True,
+    ) -> DataFrame:
+        """Approximate per-vertex neighborhood function (HyperBall,
+        Boldi-Rosa-Vigna 2011): DF[id, hops, reach] — the estimated
+        count of distinct vertices reachable within each hop level,
+        via fixed-size HLL sketch state (hub-safe, JVM-side
+        datasketches expressions; exact while sketches stay in coupon
+        mode). Beyond-reference operator."""
+        from graphframes_spark.lib.hyperball import hyperball
+
+        return hyperball(self, maxHops, lgConfigK, isDirected)
+
+    def effectiveDiameter(
+        self,
+        quantile: float = 0.9,
+        maxHops: int = 20,
+        lgConfigK: int = 12,
+        isDirected: bool = True,
+    ) -> DataFrame:
+        """Smallest hop count reaching ``quantile`` of the final
+        neighborhood-function mass (classic 90%-effective diameter).
+        One HyperBall run + a curve aggregation. Beyond-reference."""
+        from graphframes_spark.lib.hyperball import effective_diameter
+
+        return effective_diameter(self, quantile, maxHops, lgConfigK, isDirected)
 
     def stronglyConnectedComponents(self, maxIter: int = 20) -> DataFrame:
         from graphframes_spark.lib.scc import strongly_connected_components

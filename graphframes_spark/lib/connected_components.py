@@ -253,18 +253,35 @@ def incremental_connected_components(
     final join propagates merged labels back through the previous
     assignment. Label stability: min-id labels compose (min over merged
     supernodes = min over their members), so the output is identical to
-    a from-scratch run on old ∪ new edges. Integral vertex ids only —
-    the refinement/min-label argument needs components in the id
-    domain.
+    a from-scratch run on old ∪ new edges.
+
+    Components must live in the ID DOMAIN — the refinement/min-label
+    argument needs labels that are member ids. Integral-id graphs get
+    that from any ``connectedComponents`` run. Non-integral (e.g.
+    string) ids are supported since round 11 THROUGH THE LABEL DOMAIN:
+    pass an assignment produced with ``useLabelsAsComponents=True``
+    (component = lexicographically-min member id — ``min`` on strings
+    composes across contraction exactly like numeric min; the surrogate
+    long domain would NOT work here because
+    ``monotonically_increasing_id`` surrogates are not stable across
+    separate runs, GraphFrame.scala:1024-1043's recipe pins them only
+    within one session's partitioning); the contracted CC runs with
+    ``use_labels_as_components=True`` so merged labels stay in the id
+    domain, and the invariant guard compares lexicographically.
     """
     from graphframes_spark.graphframe import GraphFrame
     from graphframes_spark.util import GraphFramesError
 
-    if not has_integral_id_type(graph.vertices):
+    labels_mode = not has_integral_id_type(graph.vertices)
+    id_type = graph.vertices.schema[ID].dataType
+    comp_type = prev_components.schema[COMPONENT].dataType
+    if labels_mode and comp_type != id_type:
         raise GraphFramesError(
-            "incremental connected components requires integral vertex ids "
-            "(components must live in the id domain); run the full "
-            "connectedComponents on string-id graphs."
+            "incremental connected components on non-integral ids needs "
+            "prev_components in the LABEL domain (component type "
+            f"{id_type.simpleString()}, got {comp_type.simpleString()}): "
+            "produce it with connectedComponents(useLabelsAsComponents="
+            "True). Surrogate long components are not stable across runs."
         )
     prev = prev_components.select(
         F.col(ID), F.col(COMPONENT).alias("_prev_comp")
@@ -276,8 +293,9 @@ def incremental_connected_components(
     # the returned plan, and the caller's actions) — without the cut the
     # delta-proportional cost contract collapses into repeated
     # full-size joins. The min-member-id invariant guard (component must
-    # never exceed the member id — a necessary condition for labels
-    # produced by connectedComponents on integral ids) rides the same
+    # never exceed the member id — numeric order on integral ids,
+    # lexicographic on strings; a necessary condition for labels produced
+    # by connectedComponents / useLabelsAsComponents=True) rides the same
     # materialization job via Observation: zero extra scans.
     from pyspark.sql import Observation
 
@@ -331,6 +349,7 @@ def incremental_connected_components(
     merged = connected_components(
         GraphFrame(touched, mapped),
         checkpoint_interval=checkpoint_interval,
+        use_labels_as_components=labels_mode,
     ).select(F.col(ID).alias("_comp"), F.col(COMPONENT).alias("_merged"))
     return assign.join(merged, on="_comp", how="left").select(
         ID,

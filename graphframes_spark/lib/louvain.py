@@ -210,9 +210,9 @@ def _local_moving(
                 / F.lit(two_m),
             )
         )
-        # grouped by u ALONE so the output (→ next round's checkpointed
-        # state) is hash-partitioned by vertex id — the next round's
-        # state-side join exchanges vanish. own/k_u/tot_own are constant
+        # grouped by u alone: the preceding join-on-u already hash-
+        # partitioned scored by u, which satisfies this clustering — no
+        # exchange before the aggregate. own/k_u/tot_own are constant
         # within a u-group; max() carries them deterministically.
         aggd = scored.groupBy("u").agg(
             F.min(

@@ -1510,12 +1510,82 @@ def test_incremental_cc_empty_delta(spark):
     assert inc == {r["id"]: r["component"] for r in prev.collect()}
 
 
-def test_incremental_cc_rejects_string_ids(spark):
+def test_incremental_cc_string_ids_matches_full_recompute(spark):
+    """Round-11: string-id incremental CC through the label domain —
+    merge of two previous components, a brand-new vertex attaching, and
+    untouched components keeping their (lexicographic-min) label; must
+    equal a from-scratch useLabelsAsComponents run on old ∪ new."""
+    names = ["ant", "bee", "cat", "dog", "eel", "fox", "gnu", "hen"]
+    v_old = spark.createDataFrame([(n,) for n in names], ["id"])
+    e_old = spark.createDataFrame(
+        [("ant", "bee"), ("bee", "cat"), ("dog", "eel"), ("fox", "gnu")],
+        ["src", "dst"],
+    )
+    prev = GraphFrame(v_old, e_old).connectedComponents(
+        useLabelsAsComponents=True
+    )
+    # new batch: merge {ant,bee,cat} with {dog,eel}; attach brand-new
+    # vertex "ibex" to fox; {hen} untouched
+    v_new = spark.createDataFrame([(n,) for n in names + ["ibex"]], ["id"])
+    e_new = spark.createDataFrame(
+        [("cat", "dog"), ("ibex", "fox")], ["src", "dst"]
+    )
+    inc = {
+        r["id"]: r["component"]
+        for r in GraphFrame(v_new, e_new)
+        .incrementalConnectedComponents(prev)
+        .collect()
+    }
+    full = {
+        r["id"]: r["component"]
+        for r in GraphFrame(v_new, e_old.union(e_new))
+        .connectedComponents(useLabelsAsComponents=True)
+        .collect()
+    }
+    assert inc == full
+    assert inc["hen"] == "hen"  # untouched singleton keeps its label
+    assert inc["ibex"] == "fox"  # new vertex joins lexicographic-min comp
+    assert inc["eel"] == "ant"  # merged component takes the global min
+
+
+def test_incremental_cc_string_ids_empty_delta_and_new_singleton(spark):
+    v_old = spark.createDataFrame([("x",), ("y",)], ["id"])
+    e_old = spark.createDataFrame([("x", "y")], ["src", "dst"])
+    prev = GraphFrame(v_old, e_old).connectedComponents(
+        useLabelsAsComponents=True
+    )
+    v_new = spark.createDataFrame([("x",), ("y",), ("z",)], ["id"])
+    empty = spark.createDataFrame([], "src string, dst string")
+    inc = {
+        r["id"]: r["component"]
+        for r in GraphFrame(v_new, empty)
+        .incrementalConnectedComponents(prev)
+        .collect()
+    }
+    assert inc == {"x": "x", "y": "x", "z": "z"}
+
+
+def test_incremental_cc_string_ids_rejects_surrogate_domain(spark):
+    """A long-typed assignment (the surrogate-domain output of a plain
+    connectedComponents run on string ids) must be rejected loudly:
+    surrogates are not stable across runs, so composing with them would
+    be silently wrong."""
     v = spark.createDataFrame([("a",), ("b",)], ["id"])
     e = spark.createDataFrame([("a", "b")], ["src", "dst"])
-    prev = spark.createDataFrame([("a", "a"), ("b", "a")], ["id", "component"])
-    with pytest.raises(GraphFramesError):
+    prev = spark.createDataFrame([("a", 0), ("b", 0)], ["id", "component"])
+    with pytest.raises(GraphFramesError, match="LABEL domain"):
         GraphFrame(v, e).incrementalConnectedComponents(prev)
+
+
+def test_incremental_cc_string_ids_rejects_relabeled_assignment(spark):
+    """The min-member invariant guard must also fire lexicographically."""
+    v = spark.createDataFrame([("a",), ("b",)], ["id"])
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    bad_prev = spark.createDataFrame(
+        [("a", "b"), ("b", "b")], ["id", "component"]
+    )
+    with pytest.raises(GraphFramesError, match="min-member-id"):
+        GraphFrame(v, e).incrementalConnectedComponents(bad_prev).collect()
 
 
 def test_incremental_cc_rejects_relabeled_assignment(spark):
@@ -1544,3 +1614,63 @@ def test_manual_skew_mode_hub_cap(spark, monkeypatch):
     )
     with pytest.raises(GraphFramesError, match="hub set"):
         GraphFrame(v, e).connectedComponents(broadcastThreshold=1)
+
+
+# ----------------------------------------------------------- hyperball
+
+
+def test_hyperball_directed_chain(spark):
+    """0->1->2->3: reach(v,t) = min(t, 3-v)+1; early stop emits levels
+    1..diameter+1 = 1..4."""
+    v = spark.range(0, 4).select("id")
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    rows = GraphFrame(v, e).hyperBall(maxHops=10).collect()
+    got = {(r["id"], r["hops"]): r["reach"] for r in rows}
+    assert max(h for (_, h) in got) == 4  # stopped at diameter+1
+    for vid in range(4):
+        for t in range(1, 5):
+            assert got[(vid, t)] == min(t, 3 - vid) + 1
+
+
+def test_hyperball_undirected_clique_and_star(spark):
+    v = spark.range(0, 5).select("id")
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(5) for j in range(5) if i < j], ["src", "dst"]
+    )
+    got = {
+        (r["id"], r["hops"]): r["reach"]
+        for r in GraphFrame(v, clique).hyperBall(maxHops=5, isDirected=False).collect()
+    }
+    assert all(reach == 5 for (_, t), reach in got.items() if t == 1)
+    assert max(h for (_, h) in got) == 2  # complete after 1 hop, stop at 2
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], ["src", "dst"])
+    got = {
+        (r["id"], r["hops"]): r["reach"]
+        for r in GraphFrame(v, star).hyperBall(maxHops=5, isDirected=False).collect()
+    }
+    assert got[(0, 1)] == 5  # hub sees everyone at 1 hop
+    assert got[(1, 1)] == 2 and got[(1, 2)] == 5  # leaf: hub, then all
+
+
+def test_hyperball_edge_free_and_validation(spark):
+    v = spark.range(0, 3).select("id")
+    e = spark.createDataFrame([], "src long, dst long")
+    rows = GraphFrame(v, e).hyperBall(maxHops=7).collect()
+    assert {r["hops"] for r in rows} == {1}  # immediate stop
+    assert all(r["reach"] == 1 for r in rows)
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e).hyperBall(maxHops=0)
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e).hyperBall(lgConfigK=3)
+
+
+def test_effective_diameter_chain(spark):
+    """0->1->...->9 directed chain: N(t) = sum(min(t, 9-v)+1);
+    N(9)=55, first t with N(t) >= 49.5 is t=7 (N(7)=52)."""
+    v = spark.range(0, 10).select("id")
+    e = spark.createDataFrame([(i, i + 1) for i in range(9)], ["src", "dst"])
+    row = GraphFrame(v, e).effectiveDiameter(maxHops=15).collect()[0]
+    assert row["neighborhood_pairs"] == 55
+    assert row["effective_diameter"] == 7
+    with pytest.raises(GraphFramesError):
+        GraphFrame(v, e).effectiveDiameter(quantile=0.0)

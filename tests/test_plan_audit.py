@@ -48,6 +48,10 @@ ALLOWED_QUADRATIC = {
     # dp_stream_contamination: same 1-row packed-bloom-bitset broadcast
     # as dp_bloom_decontam (attach_bloom), via the streaming operator
     "dp_stream_contamination",
+    # effective_diameter: the final N(t_max) is a 1-row aggregate
+    # cross-joined onto the (≤ max_hops)-row neighborhood curve — the
+    # scalar-normalizer shape, not a data x data cartesian
+    "effective_diameter",
 }
 
 

@@ -151,14 +151,20 @@ def build_session(cpus: int) -> SparkSession:
     )
 
 
-def _read_proc_stat() -> tuple[float, float]:
-    """(total_jiffies, busy_jiffies) machine-wide from /proc/stat line 1."""
+def _read_proc_stat() -> tuple[float, float, float]:
+    """(total_jiffies, busy_jiffies, steal_jiffies) machine-wide from
+    /proc/stat line 1. ``steal`` is CPU the hypervisor gave to another
+    guest while this VM wanted it — co-tenancy at the HOST level, which
+    loadavg and the in-VM busy split cannot see (round 11: idle-machine
+    benches still showed sporadic 2-4x query outliers; cumulative steal
+    was ~25% of user time over the session)."""
     with open("/proc/stat") as fh:
         parts = fh.readline().split()[1:]
     vals = [float(x) for x in parts]
     total = sum(vals)
     idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)  # idle + iowait
-    return total, total - idle
+    steal = vals[7] if len(vals) > 7 else 0.0
+    return total, total - idle, steal
 
 
 def _read_pid_jiffies(pid: int) -> float:
@@ -195,12 +201,12 @@ class LoadMonitor:
         self._ncpu = os.cpu_count() or 1
 
     def start(self) -> tuple:
-        total, busy = _read_proc_stat()
-        return (total, busy, sum(_read_pid_jiffies(p) for p in self._pids))
+        total, busy, steal = _read_proc_stat()
+        return (total, busy, steal, sum(_read_pid_jiffies(p) for p in self._pids))
 
     def finish(self, token: tuple) -> dict:
-        t0, b0, s0 = token
-        total, busy = _read_proc_stat()
+        t0, b0, st0, s0 = token
+        total, busy, steal = _read_proc_stat()
         self_j = sum(_read_pid_jiffies(p) for p in self._pids)
         dt = max(total - t0, 1e-9) / self._ncpu  # jiffies -> per-cpu ticks
         busy_cores = (busy - b0) / dt
@@ -210,6 +216,7 @@ class LoadMonitor:
             "busy_cores": round(busy_cores, 2),
             "self_cores": round(self_cores, 2),
             "cotenant_cores": round(max(busy_cores - self_cores, 0.0), 2),
+            "steal_cores": round((steal - st0) / dt, 2),
         }
 
 
@@ -289,6 +296,10 @@ def main() -> None:
         "cotenant_cores_max": round(
             max(c["cotenant_cores"] for c in all_ctx), 2
         ),
+        "steal_cores_median": round(
+            _median([c["steal_cores"] for c in all_ctx]), 2
+        ),
+        "steal_cores_max": round(max(c["steal_cores"] for c in all_ctx), 2),
     }
     # Full detail (spread, superstep traces, raw samples) goes to a
     # sidecar file; the stdout line must stay well under the driver's

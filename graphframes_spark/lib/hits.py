@@ -41,16 +41,29 @@ def _l2_normalized(
     ``df`` is persisted first: it feeds both the 1-row norm aggregate and
     the normalized projection, and without the persist the upstream
     join+agg would execute twice per iteration.
+
+    The norm is collected to the driver (a bounded 1-row aggregate, the
+    same cost class as Pregel's convergence probes) and re-embedded as a
+    literal rather than attached via ``crossJoin(broadcast(agg))``. The
+    broadcast variant was measured pathological (round 11): the
+    BroadcastExchange subtree executes the SAME lazily-persisted ``df``
+    pipeline as a separate job concurrently with the stage that scans it,
+    so both race to populate the cache — per-stage metrics showed
+    executor time ≫ CPU time (tasks blocked on block locks) and
+    occasional 3-4× end-to-end outliers (6s → 20-35s at sf0.1). The
+    driver action materializes the cache exactly once, sequentially, and
+    the division by an identical double is bit-exact either way.
     """
     df = harness.persist(df)
     norm = df.agg(
         F.sqrt(F.sum(F.col("_raw") * F.col("_raw"))).alias("_n")
+    ).first()[0]
+    norm_val = float(norm) if norm is not None else 0.0
+    normalized = (
+        (F.col("_raw") / F.lit(norm_val)) if norm_val > 0 else F.lit(0.0)
     )
-    return df.crossJoin(F.broadcast(norm)).select(
-        F.col(key_alias).alias(ID),
-        F.when(F.col("_n") > 0, F.col("_raw") / F.col("_n"))
-        .otherwise(F.lit(0.0))
-        .alias(out_col),
+    return df.select(
+        F.col(key_alias).alias(ID), normalized.alias(out_col)
     )
 
 

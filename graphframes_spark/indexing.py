@@ -45,9 +45,23 @@ def indexed_vertices(vertices: DataFrame) -> DataFrame:
 
 
 def indexed_edges(edges: DataFrame, idx_vertices: DataFrame) -> DataFrame:
-    """DF[new_src: long, new_dst: long, attr: struct<original edge columns>]."""
+    """DF[new_src: long, new_dst: long, attr: struct<original edge columns>].
+
+    Integral endpoint ids take the reference's direct-cast fast path
+    (GraphFrame.scala:1053-1062): the surrogate "mapping" is just
+    ``cast(id as long)``, so joining the edge list against it twice would
+    spend two vertex-sized shuffle joins computing a cast. Non-integral
+    ids keep the mapping joins.
+    """
     attr = F.struct(*[edges[c] for c in edges.columns]).alias(ATTR)
     packed = edges.select(F.col(SRC), F.col(DST), attr)
+    vertex_id_type = idx_vertices.schema[ATTR].dataType[ID].dataType
+    if isinstance(vertex_id_type, _INTEGRAL_TYPES):
+        return packed.select(
+            F.col(SRC).cast("long").alias(LONG_SRC),
+            F.col(DST).cast("long").alias(LONG_DST),
+            F.col(ATTR),
+        )
     if LONG_ID in idx_vertices.columns:
         mapping = idx_vertices.select(
             F.col(ATTR)[ID].alias(ID), F.col(LONG_ID)

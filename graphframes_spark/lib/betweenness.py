@@ -99,8 +99,20 @@ def betweenness_centrality(
             cand.join(settled.select(ID, "_s"), on=[ID, "_s"], how="left_anti")
             .withColumn("_dist", F.lit(d))
         )
-        new = harness.persist(new)
-        if new.isEmpty():
+        # one action per layer: the frontier is eagerly checkpointed and
+        # the emptiness probe rides it as an Observation. The previous
+        # ``persist + isEmpty`` shape executed the join+agg+anti-join
+        # pipeline once for the probe (shuffles cannot short-circuit
+        # under limit-1) and then again when later actions pulled the
+        # rows the probe's partial cache did not cover — measured
+        # 0.3-1.3s per layer at sf0.1 on the region-tree fixture.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new = harness.checkpoint(
+            new.observe(obs, F.count(F.lit(1)).alias("n")), eager=True
+        )
+        if (obs.get.get("n") or 0) == 0:
             break
         depth = d
         settled = harness.commit(settled.unionByName(new.select(settled.columns)))

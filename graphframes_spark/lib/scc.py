@@ -30,7 +30,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphframes_spark.harness import IterationHarness
+from graphframes_spark.harness import IterationHarness, get_conf
 from graphframes_spark.indexing import has_integral_id_type, indexed_edges, indexed_vertices
 from graphframes_spark.pregel import Pregel
 from graphframes_spark.util import ATTR, DST, ID, LONG_DST, LONG_ID, LONG_SRC, SRC
@@ -160,15 +160,56 @@ def strongly_connected_components(graph: "GraphFrame", max_iter: int = 20) -> Da
         # checkpointed state (cached scan), not a separate anti-join job.
         pre_trim_v = work_v
         n_before = n_pre_trim = work_v.count()
+        # trim shape (round 11): "fused" computes has-out/has-in in ONE
+        # exploded-endpoint aggregate (map-side partial max) and keeps
+        # vertices with both flags via a single semi-join — one Exchange
+        # and one join per fixpoint round instead of two distinct
+        # shuffles over the edge endpoints plus two semi-joins. The
+        # quiet-machine interleaved A/B at sf0.1 read fused at -4.4%
+        # median with 7/12 pairs negative (BENCH_scc_ab_r11.json) — a
+        # statistical wash with no measured upside, and the explode
+        # doubles the pre-aggregate row count, so the measured legacy
+        # shape stays the default; "fused" remains selectable for an
+        # at-scale A/B where the edge-endpoint exchange dominates
+        # (spark.graphframes_spark.scc.trim).
+        fused_trim = get_conf(spark, "scc.trim", "legacy") == "fused"
         while True:
-            srcs = work_e.select(F.col(SRC).alias(ID)).distinct()
-            dsts = work_e.select(F.col(DST).alias(ID)).distinct()
-            non_trivial = harness.checkpoint(
-                work_v.join(srcs, on=ID, how="left_semi").join(
-                    dsts, on=ID, how="left_semi"
-                ),
-                eager=True,
-            )
+            if fused_trim:
+                keep = (
+                    work_e.select(
+                        F.explode(
+                            F.array(
+                                F.struct(
+                                    F.col(SRC).alias(ID),
+                                    F.lit(1).alias("_o"),
+                                    F.lit(0).alias("_i"),
+                                ),
+                                F.struct(
+                                    F.col(DST).alias(ID),
+                                    F.lit(0).alias("_o"),
+                                    F.lit(1).alias("_i"),
+                                ),
+                            )
+                        ).alias("_x")
+                    )
+                    .select("_x.*")
+                    .groupBy(ID)
+                    .agg(F.max("_o").alias("_ho"), F.max("_i").alias("_hi"))
+                    .filter((F.col("_ho") == 1) & (F.col("_hi") == 1))
+                    .select(ID)
+                )
+                non_trivial = harness.checkpoint(
+                    work_v.join(keep, on=ID, how="left_semi"), eager=True
+                )
+            else:
+                srcs = work_e.select(F.col(SRC).alias(ID)).distinct()
+                dsts = work_e.select(F.col(DST).alias(ID)).distinct()
+                non_trivial = harness.checkpoint(
+                    work_v.join(srcs, on=ID, how="left_semi").join(
+                        dsts, on=ID, how="left_semi"
+                    ),
+                    eager=True,
+                )
             n_after = non_trivial.count()
             if n_after == n_before:
                 break

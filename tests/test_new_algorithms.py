@@ -1674,3 +1674,61 @@ def test_effective_diameter_chain(spark):
     assert row["effective_diameter"] == 7
     with pytest.raises(GraphFramesError):
         GraphFrame(v, e).effectiveDiameter(quantile=0.0)
+
+
+# ---------------------------------------------- round-11 knob equivalence
+
+
+def test_scc_fused_trim_matches_legacy(spark):
+    """The round-11 fused endpoint-aggregate trim must keep the exact
+    kept-vertex set (and thus the assignment) of the legacy
+    two-distincts + two-semi-joins shape, including multi-round trim
+    cascades (chain tails that only become trimmable after their
+    predecessor is trimmed) and trim-only vertices with no edges."""
+    v = spark.createDataFrame([(i,) for i in range(9)], ["id"])
+    # cycle {0,1,2}; tail 2->3->4 (multi-round trim: 4 first, then 3);
+    # in-only 5 <- 0; out-only 6 -> 0; mutual pair {7,8}
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (0, 5), (6, 0), (7, 8), (8, 7)],
+        ["src", "dst"],
+    )
+    g = GraphFrame(v, e)
+    key = "spark.graphframes_spark.scc.trim"
+    try:
+        spark.conf.set(key, "fused")
+        new = sorted(map(tuple, g.stronglyConnectedComponents(10).collect()))
+        spark.conf.set(key, "legacy")
+        old = sorted(map(tuple, g.stronglyConnectedComponents(10).collect()))
+    finally:
+        spark.conf.unset(key)
+    assert new == old
+    comp = dict(new)
+    assert comp[0] == comp[1] == comp[2]
+    assert comp[7] == comp[8]
+    assert len({comp[3], comp[4], comp[5], comp[6]}) == 4
+
+
+def test_svdpp_narrow_phase1_matches_triplet(spark):
+    """The round-11 narrow phase-1 build (edges joined against dst state
+    only) must reproduce the legacy full-triplet phase 1 bit-for-bit:
+    the dropped src-state join adds no columns and filters nothing, so
+    every latent factor, bias, norm and the loss are identical."""
+    v = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 12]], ["id"])
+    e = spark.createDataFrame(
+        [(1, 10, 4.0), (1, 11, 2.0), (2, 10, 5.0), (2, 11, 1.0),
+         (2, 12, 3.0), (3, 12, 2.5)],
+        ["src", "dst", "weight"],
+    )
+    g = GraphFrame(v, e)
+    key = "spark.graphframes_spark.svdpp.phase1"
+    try:
+        spark.conf.set(key, "narrow")
+        df_n, loss_n = g.svdPlusPlus(rank=3, maxIter=2)
+        new = sorted(map(tuple, df_n.collect()))
+        spark.conf.set(key, "triplet")
+        df_t, loss_t = g.svdPlusPlus(rank=3, maxIter=2)
+        old = sorted(map(tuple, df_t.collect()))
+    finally:
+        spark.conf.unset(key)
+    assert loss_n == loss_t
+    assert new == old

@@ -108,6 +108,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.setCheckpointDir("/tmp/dump_plans_ckpt")
+    # knob-gated variants: DUMP_PLANS_CONF="k=v,k=v" (keys get the
+    # spark.graphframes_spark. prefix if unqualified)
+    for kv in filter(None, os.environ.get("DUMP_PLANS_CONF", "").split(",")):
+        k, v = kv.split("=", 1)
+        if not k.startswith("spark."):
+            k = "spark.graphframes_spark." + k
+        spark.conf.set(k, v)
 
     import __spark_entry__ as entry
 

@@ -18,6 +18,7 @@ from typing import TYPE_CHECKING, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from graphframes_spark.indexing import has_integral_id_type, indexed_edges, indexed_vertices
 from graphframes_spark.util import ATTR, DST, ID, LONG_DST, LONG_ID, LONG_SRC, SRC
@@ -122,30 +123,51 @@ def _deterministic_pic(
     from graphframes_spark.pregel import Pregel
     from graphframes_spark.util import GraphFramesError
 
-    if graph.edges.isEmpty():
-        return (
-            graph.vertices.select(ID)
-            .withColumn("cluster", F.lit(0).cast("int"))
-            .limit(0)
-        )
-
     from graphframes_spark.graphframe import GraphFrame
 
     w_expr = (
         F.col(weight_col).cast("double") if weight_col is not None else F.lit(1.0)
     )
+    # The affinity matrix is scanned by every consumer below (the stats
+    # aggregate, the rowsum degree aggregate, and each fused power-
+    # iteration window) — persist the projected edge list once so the
+    # caller's build pipeline executes a single time instead of once per
+    # consumer. The stats action doubles as the cache populator AND the
+    # emptiness probe (count == 0), replacing the former isEmpty() call
+    # that executed the whole edge pipeline for one boolean.
+    # ``spark.graphframes_spark.pic.materialize=legacy`` keeps the
+    # unpersisted re-execute-per-consumer shape as the A/B ablation
+    # baseline (round-11 protocol).
+    from graphframes_spark.harness import get_conf
+
+    materialize = get_conf(graph.spark, "pic.materialize", "edges") != "legacy"
+    edge_cols = [SRC, DST] + ([weight_col] if weight_col is not None else [])
+    edges = graph.edges.select(*edge_cols)
+    if materialize:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     # one edge scan yields the affinity total (== the vertex rowsum total,
-    # since edgeless vertices contribute 0) and the validity check
-    stats = graph.edges.agg(
-        F.sum(w_expr).alias("_t"), F.min(w_expr).alias("_m")
+    # since edgeless vertices contribute 0), the validity check, and the
+    # edge count (emptiness probe)
+    stats = edges.agg(
+        F.sum(w_expr).alias("_t"),
+        F.min(w_expr).alias("_m"),
+        F.count(F.lit(1)).alias("_n"),
     ).collect()[0]
+    if stats["_n"] == 0:
+        edges.unpersist()
+        return (
+            graph.vertices.select(ID)
+            .withColumn("cluster", F.lit(0).cast("int"))
+            .limit(0)
+        )
     if stats["_m"] is not None and stats["_m"] < 0:
+        edges.unpersist()
         raise GraphFramesError(
             "power_iteration_clustering(deterministic=True) requires "
             "non-negative edge weights (Lin-Cohen affinities are "
             f"similarities); found min weight {stats['_m']}"
         )
-    rowsum = graph.edges.groupBy(F.col(SRC).alias(ID)).agg(
+    rowsum = edges.groupBy(F.col(SRC).alias(ID)).agg(
         F.sum(w_expr).alias("_pic_s")
     )
     v = graph.vertices.select(ID).join(rowsum, on=ID, how="left_outer").select(
@@ -153,11 +175,12 @@ def _deterministic_pic(
     )
     total = stats["_t"] or 0.0
     if total <= 0.0:
+        edges.unpersist()
         return graph.vertices.select(ID).withColumn(
             "cluster", F.lit(0).cast("int")
         )
 
-    prepared = GraphFrame(v, graph.edges)
+    prepared = GraphFrame(v, edges)
     msg = (
         Pregel.src("_pic_v") * Pregel.edge(weight_col).cast("double")
         if weight_col is not None
@@ -179,6 +202,9 @@ def _deterministic_pic(
         .run()
         .select(ID, "_pic_v")
     )
+    # run() has materialized the final state (harness.finish), so every
+    # later consumer reads the pregel result, never the edge cache
+    edges.unpersist()
 
     total_v = ranks.agg(F.sum("_pic_v")).collect()[0][0] or 0.0
     if total_v <= 0.0:

@@ -205,6 +205,46 @@ def test_pic_deterministic_empty_edges(spark):
     assert set(res.columns) == {"id", "cluster"}
 
 
+def test_pic_materialize_matches_legacy(spark):
+    """The round-11 affinity-matrix materialization (edges persisted once,
+    emptiness probe folded into the stats aggregate) is output-identical
+    to the legacy re-execute-per-consumer shape, weighted and unweighted."""
+    sizes = [3, 5]
+    ids, edges, off = [], [], 0
+    for s in sizes:
+        members = list(range(off, off + s))
+        ids += members
+        edges += [(a, b, 1.5) for a in members for b in members if a != b]
+        off += s
+    v = spark.createDataFrame([(i,) for i in ids], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    g = GraphFrame(v, e)
+    key = "spark.graphframes_spark.pic.materialize"
+    try:
+        spark.conf.set(key, "edges")
+        new = sorted(
+            map(tuple, g.powerIterationClustering(
+                k=2, maxIter=6, weightCol="w", deterministic=True).collect())
+        )
+        new_uw = sorted(
+            map(tuple, g.powerIterationClustering(
+                k=2, maxIter=6, deterministic=True).collect())
+        )
+        spark.conf.set(key, "legacy")
+        old = sorted(
+            map(tuple, g.powerIterationClustering(
+                k=2, maxIter=6, weightCol="w", deterministic=True).collect())
+        )
+        old_uw = sorted(
+            map(tuple, g.powerIterationClustering(
+                k=2, maxIter=6, deterministic=True).collect())
+        )
+    finally:
+        spark.conf.unset(key)
+    assert new == old
+    assert new_uw == old_uw
+
+
 def test_pic_string_ids(friends):
     res = friends.powerIterationClustering(k=2, maxIter=10)
     assert set(res.columns) == {"id", "cluster"}

@@ -76,6 +76,18 @@ def hyperball(
         )
     from pyspark.sql import Observation
 
+    from graphframes_spark.harness import get_conf
+
+    # ``selfloop`` (default, round 11): the self-union B_t(v) ⊇ B_{t-1}(v)
+    # is delivered through an appended (v, v) self-loop edge, so each hop
+    # is ONE join + ONE sketch-merging aggregate — the legacy shape's
+    # separate vertex-keyed left join + pairwise hll_union is gone (one
+    # fewer shuffle join per hop). HLL union is order- and
+    # duplicate-insensitive (coupon mode: a hash set; dense mode: per-
+    # register max), so the estimates are identical either way; the
+    # legacy shape stays selectable as the A/B ablation baseline via
+    # spark.graphframes_spark.hyperball.impl=legacy.
+    self_loop = get_conf(graph.spark, "hyperball.impl", "selfloop") != "legacy"
     edges = graph.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
     if not is_directed:
         edges = edges.unionByName(
@@ -83,7 +95,14 @@ def hyperball(
                 F.col(DST).alias(SRC), F.col(SRC).alias(DST)
             ).filter(F.col(SRC) != F.col(DST))
         )
-    edges = edges.distinct().localCheckpoint(eager=True)
+    edges = edges.distinct()
+    if self_loop:
+        edges = edges.unionByName(
+            graph.vertices.select(
+                F.col(ID).alias(SRC), F.col(ID).alias(DST)
+            )
+        )
+    edges = edges.localCheckpoint(eager=True)
 
     # B_0 = {v}: one trivial group per vertex builds the singleton sketch.
     # Its total seeds the convergence probe so a hop that changes nothing
@@ -110,20 +129,32 @@ def hyperball(
             .agg(F.hll_union_agg(F.col("_nsk")).alias("_nsk"))
         )
         obs = Observation()
-        state = (
-            state.join(nbr, on=ID, how="left")
-            .select(
-                ID,
-                F.when(F.col("_nsk").isNull(), F.col("_sk"))
-                .otherwise(F.hll_union(F.col("_sk"), F.col("_nsk")))
-                .alias("_sk"),
+        if self_loop:
+            # the (v, v) self-loop already merged B_{t-1}(v) into the
+            # aggregate, and it guarantees one group per vertex
+            state = (
+                nbr.select(ID, F.col("_nsk").alias("_sk"))
+                .observe(
+                    obs,
+                    F.sum(F.hll_sketch_estimate(F.col("_sk"))).alias("_total"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .observe(
-                obs,
-                F.sum(F.hll_sketch_estimate(F.col("_sk"))).alias("_total"),
+        else:
+            state = (
+                state.join(nbr, on=ID, how="left")
+                .select(
+                    ID,
+                    F.when(F.col("_nsk").isNull(), F.col("_sk"))
+                    .otherwise(F.hll_union(F.col("_sk"), F.col("_nsk")))
+                    .alias("_sk"),
+                )
+                .observe(
+                    obs,
+                    F.sum(F.hll_sketch_estimate(F.col("_sk"))).alias("_total"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
         total = obs.get.get("_total", 0)
         levels.append(
             state.select(

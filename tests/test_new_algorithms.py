@@ -1704,6 +1704,35 @@ def test_hyperball_edge_free_and_validation(spark):
         GraphFrame(v, e).hyperBall(lgConfigK=3)
 
 
+def test_hyperball_selfloop_matches_legacy(spark):
+    """The round-11 self-loop shape (self-union delivered through an
+    appended (v, v) edge, removing the per-hop vertex-keyed left join)
+    must reproduce the legacy join shape's estimates exactly — HLL union
+    is order- and duplicate-insensitive, so every (id, hops, reach) row
+    and the early-exit hop must match."""
+    v = spark.range(0, 12).select("id")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(7)], ["src", "dst"])
+    star = spark.createDataFrame([(11, d) for d in range(8, 11)], ["src", "dst"])
+    e = chain.unionByName(star)  # chain + star + isolated vertices
+    g = GraphFrame(v, e)
+    key = "spark.graphframes_spark.hyperball.impl"
+    try:
+        spark.conf.set(key, "selfloop")
+        new_d = sorted(map(tuple, g.hyperBall(maxHops=10).collect()))
+        new_u = sorted(
+            map(tuple, g.hyperBall(maxHops=10, isDirected=False).collect())
+        )
+        spark.conf.set(key, "legacy")
+        old_d = sorted(map(tuple, g.hyperBall(maxHops=10).collect()))
+        old_u = sorted(
+            map(tuple, g.hyperBall(maxHops=10, isDirected=False).collect())
+        )
+    finally:
+        spark.conf.unset(key)
+    assert new_d == old_d
+    assert new_u == old_u
+
+
 def test_effective_diameter_chain(spark):
     """0->1->...->9 directed chain: N(t) = sum(min(t, 9-v)+1);
     N(9)=55, first t with N(t) >= 49.5 is t=7 (N(7)=52)."""

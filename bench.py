@@ -11,7 +11,21 @@ from a transient load spike (this bit round 3: a 39% phantom regression).
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_WARMUP (default 1),
-SPARK_GRAFT_REPEATS (default 3).
+SPARK_GRAFT_REPEATS (default 3), SPARK_GRAFT_MAX_RETRIES (default 3,
+per query; 0 disables weather retries).
+
+Weather-proofing (round 12): round 11's driver run was destroyed by
+mid-run hypervisor steal (steal_cores_max 5.18, cotenant_cores_max
+12.02 recorded in BENCH_r11.json itself) — 64/68 "regressions" on
+mostly-untouched code. The monitor that convicted that run now ACTS on
+what it measures: any sample whose window shows steal_cores > 0.4 or
+cotenant_cores > 1.0 is marked contaminated, and after the normal
+repeats each query re-samples (bounded by SPARK_GRAFT_MAX_RETRIES)
+until it holds >= 2 clean samples. The reported median prefers clean
+samples; queries that exhaust the retry budget are listed in
+``contaminated_queries`` in the output JSON so the comparison layer can
+discount them. The timed action (noop sink), interleaving, env-var
+contract and the one-line JSON are unchanged — additions only.
 
 Prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
@@ -228,11 +242,29 @@ def run_query(spark: SparkSession, name: str, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
+# A measurement window is contaminated when the hypervisor stole this
+# much CPU or other processes burned this much during it (r11 quiet
+# records: steal_median 0.0 / max 0.3 — 0.4 clears honest jitter; the
+# contaminated driver run peaked at 5.18 steal / 12.02 cotenant cores).
+STEAL_THRESHOLD = 0.4
+COTENANT_THRESHOLD = 1.0
+#: clean samples each query should hold before the median is trusted
+CLEAN_TARGET = 2
+
+
+def _is_clean(ctx: dict) -> bool:
+    return (
+        ctx["steal_cores"] <= STEAL_THRESHOLD
+        and ctx["cotenant_cores"] <= COTENANT_THRESHOLD
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    max_retries = int(os.environ.get("SPARK_GRAFT_MAX_RETRIES", "3"))
     names = sys.argv[1:] or HEADLINE
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -261,17 +293,57 @@ def main() -> None:
                 ]
         print(f"# rep {rep + 1}/{repeats} done", file=sys.stderr)
 
+    # ---- weather retries: re-sample queries whose windows were contaminated
+    # (round-robin so a transient load burst doesn't eat one query's whole
+    # retry budget; each query bounded by max_retries extra samples)
+    clean_target = min(CLEAN_TARGET, repeats) if repeats else 0
+    retries: dict[str, int] = {name: 0 for name in names}
+    for _retry_pass in range(max_retries):
+        needy = [
+            name
+            for name in names
+            if sum(_is_clean(c) for c in load_ctx[name]) < clean_target
+            and retries[name] < max_retries
+        ]
+        if not needy:
+            break
+        print(
+            f"# weather retry pass: {len(needy)} contaminated queries",
+            file=sys.stderr,
+        )
+        for name in needy:
+            retries[name] += 1
+            pregel_mod.LAST_RUN_SUPERSTEP_SECONDS.clear()
+            tok = monitor.start()
+            samples[name].append(run_query(spark, name, sf_dir))
+            load_ctx[name].append(monitor.finish(tok))
+            if pregel_mod.LAST_RUN_SUPERSTEP_SECONDS:
+                supersteps[name] = [
+                    round(s, 3) for s in pregel_mod.LAST_RUN_SUPERSTEP_SECONDS
+                ]
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    contaminated: list[str] = []
     for name in names:
-        reps = sorted(samples[name])
+        clean = [
+            s for s, c in zip(samples[name], load_ctx[name]) if _is_clean(c)
+        ]
+        if len(clean) < clean_target:
+            contaminated.append(name)
+        # median over clean samples when any exist (the whole point of the
+        # retries); all samples only when every window was contaminated
+        reps = sorted(clean or samples[name])
         mid = len(reps) // 2
         median = reps[mid] if len(reps) % 2 else (reps[mid - 1] + reps[mid]) / 2
         timings[name] = round(median, 3)
-        spread[name] = [round(reps[0], 3), round(reps[-1], 3)]
+        all_sorted = sorted(samples[name])
+        spread[name] = [round(all_sorted[0], 3), round(all_sorted[-1], 3)]
+        flag = " CONTAMINATED" if name in contaminated else ""
         print(
             f"# {name}: median {timings[name]}s "
-            f"(min {spread[name][0]} max {spread[name][1]})",
+            f"(min {spread[name][0]} max {spread[name][1]}, "
+            f"{len(clean)}/{len(samples[name])} clean){flag}",
             file=sys.stderr,
         )
 
@@ -315,6 +387,8 @@ def main() -> None:
         "samples": {k: [round(x, 3) for x in v] for k, v in samples.items()},
         "load": load_summary,
         "load_per_query": load_ctx,
+        "contaminated_queries": contaminated,
+        "weather_retries": {k: v for k, v in retries.items() if v},
         "sf": sf_val,
     }
     sidecar = os.path.join(
@@ -328,6 +402,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "load": load_summary,
+        "contaminated_queries": contaminated,
         "sf": sf_val,
     }
     line = json.dumps(compact)

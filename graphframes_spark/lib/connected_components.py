@@ -387,9 +387,12 @@ def connected_components(
     The default AQE mode additionally runs the GIANT-STAR HYBRID: keys
     whose symmetrized degree exceeds
     ``max(spark.graphframes_spark.cc.giantStarFloor (1e6),
-    giantStarFactor (4) × total_rows / shuffle_partitions)`` — the
-    contraction roots whose large-star join task would otherwise hold
-    ``factor``× the even per-task share — are detected each iteration
+    giantStarFactor (4) × symmetrized_rows / shuffle_partitions)`` —
+    both the per-key degree and the total are counted over the
+    SYMMETRIZED edge relation (both orientations), so the contract is
+    "a key hotter than ``factor``× the even symmetrized per-task
+    share"; relative to the ORIENTED rows feeding the large-star join
+    the effective multiplier is 2×``factor`` — detected each iteration
     from the convergence probe's aggregate (no extra shuffle; one
     bounded collect) and routed through a broadcast join while AQE
     keeps handling everything else. Set ``giantStarFactor=0`` to

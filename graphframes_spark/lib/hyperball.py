@@ -67,6 +67,19 @@ def hyperball(
     either direction). ``lg_config_k`` sizes the HLL sketches
     (4..21; 12 ≈ 1.6% relative standard error, exact below the coupon
     capacity).
+
+    Precondition: every edge endpoint must appear in ``graph.vertices``
+    (the standard GraphFrame integrity contract — check with
+    ``validate()``). The default self-loop delivery keys per-hop state
+    on edge src values, so an src id absent from the vertex table would
+    get a row (with a ball missing itself) where the legacy shape
+    (``spark.graphframes_spark.hyperball.impl=legacy``) drops it; with
+    the precondition held, both shapes are identical.
+
+    State checkpointing follows the engine-wide policy: local
+    checkpoints by default, reliable checkpoints (executor-readable
+    dir) when ``spark.graphframes.useLocalCheckpoints=false`` — same
+    knob as Pregel.
     """
     if max_hops < 1:
         raise GraphFramesError(f"hyperball maxHops must be >= 1, got {max_hops}")
@@ -76,7 +89,11 @@ def hyperball(
         )
     from pyspark.sql import Observation
 
-    from graphframes_spark.harness import get_conf
+    from graphframes_spark.harness import IterationHarness, get_conf
+
+    # checkpoint-policy holder only (interval 1: every hop's state is both
+    # the probe carrier and a two-consumer input, so it always materializes)
+    harness = IterationHarness(graph.spark, checkpoint_interval=1)
 
     # ``selfloop`` (default, round 11): the self-union B_t(v) ⊇ B_{t-1}(v)
     # is delivered through an appended (v, v) self-loop edge, so each hop
@@ -102,7 +119,7 @@ def hyperball(
                 F.col(ID).alias(SRC), F.col(ID).alias(DST)
             )
         )
-    edges = edges.localCheckpoint(eager=True)
+    edges = harness.checkpoint(edges, eager=True)
 
     # B_0 = {v}: one trivial group per vertex builds the singleton sketch.
     # Its total seeds the convergence probe so a hop that changes nothing
@@ -115,8 +132,8 @@ def hyperball(
         .observe(
             obs0, F.sum(F.hll_sketch_estimate(F.col("_sk"))).alias("_total")
         )
-        .localCheckpoint(eager=True)
     )
+    state = harness.checkpoint(state, eager=True)
     levels: list[DataFrame] = []
     prev_total = obs0.get.get("_total", 0)
     for hop in range(1, max_hops + 1):
@@ -138,8 +155,8 @@ def hyperball(
                     obs,
                     F.sum(F.hll_sketch_estimate(F.col("_sk"))).alias("_total"),
                 )
-                .localCheckpoint(eager=True)
             )
+            state = harness.checkpoint(state, eager=True)
         else:
             state = (
                 state.join(nbr, on=ID, how="left")
@@ -153,8 +170,8 @@ def hyperball(
                     obs,
                     F.sum(F.hll_sketch_estimate(F.col("_sk"))).alias("_total"),
                 )
-                .localCheckpoint(eager=True)
             )
+            state = harness.checkpoint(state, eager=True)
         total = obs.get.get("_total", 0)
         levels.append(
             state.select(

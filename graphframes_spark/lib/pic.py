@@ -125,9 +125,19 @@ def _deterministic_pic(
 
     from graphframes_spark.graphframe import GraphFrame
 
-    w_expr = (
-        F.col(weight_col).cast("double") if weight_col is not None else F.lit(1.0)
-    )
+    # The weight is projected to a reserved name (``_pic_w``) so a
+    # weightCol named 'src' or 'dst' — degenerate but valid input —
+    # never makes later column references ambiguous; the cast happens
+    # in the projection, so message values are bit-identical to casting
+    # at use sites.
+    if weight_col is not None:
+        base_edges = graph.edges.select(
+            SRC, DST, F.col(weight_col).cast("double").alias("_pic_w")
+        )
+        w_expr = F.col("_pic_w")
+    else:
+        base_edges = graph.edges.select(SRC, DST)
+        w_expr = F.lit(1.0)
     # The affinity matrix is scanned by every consumer below (the stats
     # aggregate, the rowsum degree aggregate, and each fused power-
     # iteration window) — persist the projected edge list once so the
@@ -141,10 +151,31 @@ def _deterministic_pic(
     from graphframes_spark.harness import get_conf
 
     materialize = get_conf(graph.spark, "pic.materialize", "edges") != "legacy"
-    edge_cols = [SRC, DST] + ([weight_col] if weight_col is not None else [])
-    edges = graph.edges.select(*edge_cols)
+    edges = base_edges
     if materialize:
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    try:
+        return _deterministic_pic_body(
+            graph, k, max_iter, weight_col, edges, w_expr
+        )
+    finally:
+        # always released, including on exceptions mid-build/mid-run
+        # (unpersist is idempotent, so the early release below is fine)
+        edges.unpersist()
+
+
+def _deterministic_pic_body(
+    graph: "GraphFrame",
+    k: int,
+    max_iter: int,
+    weight_col: Optional[str],
+    edges: DataFrame,
+    w_expr,
+) -> DataFrame:
+    from graphframes_spark.pregel import Pregel
+    from graphframes_spark.util import GraphFramesError
+
+    from graphframes_spark.graphframe import GraphFrame
     # one edge scan yields the affinity total (== the vertex rowsum total,
     # since edgeless vertices contribute 0), the validity check, and the
     # edge count (emptiness probe)
@@ -154,14 +185,12 @@ def _deterministic_pic(
         F.count(F.lit(1)).alias("_n"),
     ).collect()[0]
     if stats["_n"] == 0:
-        edges.unpersist()
         return (
             graph.vertices.select(ID)
             .withColumn("cluster", F.lit(0).cast("int"))
             .limit(0)
         )
     if stats["_m"] is not None and stats["_m"] < 0:
-        edges.unpersist()
         raise GraphFramesError(
             "power_iteration_clustering(deterministic=True) requires "
             "non-negative edge weights (Lin-Cohen affinities are "
@@ -175,14 +204,13 @@ def _deterministic_pic(
     )
     total = stats["_t"] or 0.0
     if total <= 0.0:
-        edges.unpersist()
         return graph.vertices.select(ID).withColumn(
             "cluster", F.lit(0).cast("int")
         )
 
     prepared = GraphFrame(v, edges)
     msg = (
-        Pregel.src("_pic_v") * Pregel.edge(weight_col).cast("double")
+        Pregel.src("_pic_v") * Pregel.edge("_pic_w")
         if weight_col is not None
         else Pregel.src("_pic_v")
     )

@@ -125,12 +125,18 @@ def _scratch_dir(spark) -> str:
             "connectedComponents which needs only localCheckpoint."
         )
     tmp = tempfile.mkdtemp(prefix="gfs-randomized-contraction-")
-    warnings.warn(
-        "randomized_contraction is spilling representative tables to a "
-        f"driver-local temp dir ({tmp}); set a checkpoint dir on shared "
-        "storage for multi-node clusters.",
-        RuntimeWarning,
-    )
+    if not master:
+        # master unknown (e.g. Spark Connect with no conf visibility):
+        # a driver-local dir would silently break remote executors, so
+        # warn; on an explicit local[*] master the temp dir is simply
+        # correct (executors ARE the driver process) and a warning
+        # would be noise.
+        warnings.warn(
+            "randomized_contraction is spilling representative tables to a "
+            f"driver-local temp dir ({tmp}); set a checkpoint dir on shared "
+            "storage for multi-node clusters.",
+            RuntimeWarning,
+        )
     return tmp
 
 

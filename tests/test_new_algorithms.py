@@ -4,6 +4,7 @@ aggregateNeighbors, graphx-style CC. Modeled on the reference suites
 AggregateNeighborsSuite.scala, python/tests/test_graphframes.py)."""
 
 import math
+import warnings
 
 import pytest
 from pyspark.sql import functions as F
@@ -416,10 +417,16 @@ def test_rc_scratch_dir_refuses_nonlocal_master_without_checkpoint():
 
     with pytest.raises(RuntimeError, match="checkpoint"):
         _scratch_dir(FakeSpark("spark://head:7077"))
-    # local masters still fall back to a (warned) driver temp dir
-    with pytest.warns(RuntimeWarning):
+    # explicit local master: driver temp dir is simply correct (executors
+    # ARE the driver process) — no warning noise
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         d = _scratch_dir(FakeSpark("local[4]"))
     assert "randomized-contraction" in d
+    # unknown master (no conf visibility): temp dir with a warning
+    with pytest.warns(RuntimeWarning):
+        d2 = _scratch_dir(FakeSpark(""))
+    assert "randomized-contraction" in d2
 
     class FakeSCWithCkpt(FakeSC):
         def getCheckpointDir(self):

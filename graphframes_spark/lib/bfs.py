@@ -33,16 +33,36 @@ def bfs(
     edge_filter: Optional[Union[str, Column]] = None,
     max_path_length: int = 10,
 ) -> DataFrame:
+    from graphframes_spark.harness import get_conf
+
     spark = graph.spark
     v = graph.vertices
+    # round-12 action folding (guide §1.4): "fold" (default) answers the
+    # three seed probes in ONE aggregate pass and rides each hop's target
+    # probe on the checkpoint's materialization job via Observation;
+    # "take" keeps the legacy per-probe take(1) actions (ablation arm).
+    fold = get_conf(spark, "bfs.probe", "fold") != "take"
 
     from_df = v.filter(from_expr)
     to_df = v.filter(to_expr)
-    if not from_df.take(1) or not to_df.take(1):
-        return v.limit(0)
+    if fold:
+        from_col = F.expr(from_expr) if isinstance(from_expr, str) else from_expr
+        to_col = F.expr(to_expr) if isinstance(to_expr, str) else to_expr
+        seed = v.select(
+            F.count_if(from_col).alias("_nf"),
+            F.count_if(to_col).alias("_nt"),
+            F.count_if(from_col & to_col).alias("_nb"),
+        ).first()
+        if not seed or not seed["_nf"] or not seed["_nt"]:
+            return v.limit(0)
+        both = bool(seed["_nb"])
+    else:
+        if not from_df.take(1) or not to_df.take(1):
+            return v.limit(0)
+        both = bool(from_df.filter(to_expr).take(1))
 
-    from_equals_to = from_df.filter(to_expr)
-    if from_equals_to.take(1):
+    if both:
+        from_equals_to = from_df.filter(to_expr)
         return from_equals_to.select(
             nest_as_col(from_equals_to, "from"), nest_as_col(from_equals_to, "to")
         )
@@ -84,10 +104,37 @@ def bfs(
                 check = check & (joined[f"v{i}"][ID] != joined[next_vertex][ID])
             paths = joined.filter(check)
 
-        # each hop runs a take(1) probe (an action), so the frontier is
-        # re-executed per hop: an eager checkpoint makes hop h cost one
-        # extension join instead of replaying hops 1..h, and keeps the
-        # per-hop Catalyst planning depth constant
+        if fold:
+            # ONE action per hop: the target-set membership is attached as
+            # a flag via a left-outer join (vertex ids are unique, so row
+            # counts are untouched) and counted by an Observation riding
+            # the eager checkpoint's materialization job — the legacy
+            # separate take(1) probe re-executed the frontier pipeline
+            # once per hop.
+            from pyspark.sql import Observation
+
+            from graphframes_spark.pregel import _observed_count
+
+            obs = Observation()
+            tagged = (
+                paths.join(
+                    to_ids.withColumn("_bfs_hit", F.lit(1)),
+                    paths[next_vertex][ID] == F.col("_to_id"),
+                    "left_outer",
+                )
+                .drop("_to_id")
+                .observe(obs, F.count(F.col("_bfs_hit")).alias("hits"))
+            )
+            tagged = tagged.localCheckpoint(eager=True)
+            if _observed_count(obs, "hits") > 0:
+                found = tagged.filter(F.col("_bfs_hit").isNotNull()).drop(
+                    "_bfs_hit"
+                ).withColumnRenamed(next_vertex, "to")
+                break
+            paths = tagged.drop("_bfs_hit")
+            continue
+
+        # legacy per-hop shape: checkpoint, then a separate take(1) probe
         paths = paths.localCheckpoint(eager=True)
 
         candidate = paths.join(

@@ -98,19 +98,11 @@ def minhash_signature(shingle_col: Column, num_perm: int) -> Column:
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str,
-    sig_col: str,
-    num_bands: int,
-    rows_per_band: int,
+def _band_table(
+    df: DataFrame, id_col: str, sig_col: str, num_bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing at least one LSH
-    band: explode each signature into ``num_bands`` band hashes, self-join
-    on (band index, band hash). The join key space is the band-hash
-    domain — buckets stay small for honest thresholds; AQE splits any
-    pathological bucket."""
-    bands = df.select(
+    """DF[_id, band, bhash] — one md5 band hash per (document, band)."""
+    return df.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array(
@@ -134,6 +126,10 @@ def lsh_candidate_pairs(
             )
         ).alias("_b"),
     ).select("_id", "_b.band", "_b.bhash")
+
+
+def _band_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from a band table."""
     left = bands.select(F.col("_id").alias("id_a"), "band", "bhash")
     right = bands.select(F.col("_id").alias("id_b"), "band", "bhash")
     return (
@@ -142,6 +138,31 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    num_bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing at least one LSH
+    band: explode each signature into ``num_bands`` band hashes, self-join
+    on (band index, band hash). The join key space is the band-hash
+    domain — buckets stay small for honest thresholds; AQE splits any
+    pathological bucket.
+
+    Scale note (measured round 12): Catalyst does NOT dedup the two
+    sides of this self-join — neither static ReuseExchange nor AQE stage
+    reuse fires on them (the self-join dedup mints fresh exprIds on one
+    side) — so once the band table outgrows the broadcast threshold the
+    plan builds the exploded band table twice and shuffles it twice.
+    Building it once, persisted pre-partitioned on the join key, was
+    measured and REJECTED at both sf0.1 and a 2M-doc SMJ-regime rung
+    (BENCH_dedup_band_r12.json): the band-table cache traffic costs more
+    than the duplicate build+exchange it removes."""
+    return _band_pairs(_band_table(df, id_col, sig_col, num_bands, rows_per_band))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -201,9 +222,24 @@ def minhash_lsh_dedup(
             for p in range(num_perm)
         ]
     )
+    from graphframes_spark.harness import get_conf
+
+    spark = df.sparkSession
     sigs = mins.select(
         ID, F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("_sig")
     ).persist()
+    # Band-join shape: Catalyst never dedups the two sides of the banding
+    # self-join (no ReuseExchange / AQE stage reuse fires — measured,
+    # round 12), so past the broadcast threshold the band table is built
+    # and shuffled twice. The obvious fix — build it once, persisted
+    # pre-partitioned on the join key so the join runs exchange-free —
+    # was MEASURED AND REJECTED (BENCH_dedup_band_r12.json): −25% at
+    # sf0.1 (where the legacy join broadcasts and has no exchange at
+    # all) and −9..−13% at the 2M-doc rung where the join IS a
+    # SortMergeJoin (verified from the plan): the cache write + two
+    # cache reads of the band table cost more than the one exchange and
+    # one Generate they remove. The narrow band rows are cheap to
+    # shuffle; the double build is cheap to recompute.
     cands = lsh_candidate_pairs(sigs, ID, "_sig", num_bands, rows_per_band)
     cands = cands.persist()
 
@@ -215,6 +251,13 @@ def minhash_lsh_dedup(
         F.col(id_col).alias(ID),
         shingles(tokenize(F.col(text_col)), shingle_len).alias("_sh"),
     ).join(cand_ids, on=ID, how="left_semi")
+    # the verify join consumes cand_sh TWICE (sh_a and sh_b) and Catalyst
+    # does not dedup the two subtrees, so the candidate slice's
+    # tokenize+shingle pass would run twice; persist it (candidate-sized,
+    # a tiny fraction of the corpus) so it runs once. dedup.candShingles=
+    # recompute keeps the cache-free legacy shape (ablation arm).
+    if get_conf(spark, "dedup.candShingles", "persist") == "persist":
+        cand_sh = cand_sh.persist()
     sh_a = cand_sh.select(F.col(ID).alias("id_a"), F.col("_sh").alias("_sh_a"))
     sh_b = cand_sh.select(F.col(ID).alias("id_b"), F.col("_sh").alias("_sh_b"))
     edges = (
@@ -233,6 +276,7 @@ def minhash_lsh_dedup(
     out = GraphFrame(v, edges).connectedComponents()
     sigs.unpersist()
     cands.unpersist()
+    cand_sh.unpersist()
     return out.select(ID, COMPONENT)
 
 

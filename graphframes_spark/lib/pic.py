@@ -140,17 +140,24 @@ def _deterministic_pic(
         w_expr = F.lit(1.0)
     # The affinity matrix is scanned by every consumer below (the stats
     # aggregate, the rowsum degree aggregate, and each fused power-
-    # iteration window) — persist the projected edge list once so the
-    # caller's build pipeline executes a single time instead of once per
-    # consumer. The stats action doubles as the cache populator AND the
-    # emptiness probe (count == 0), replacing the former isEmpty() call
-    # that executed the whole edge pipeline for one boolean.
-    # ``spark.graphframes_spark.pic.materialize=legacy`` keeps the
-    # unpersisted re-execute-per-consumer shape as the A/B ablation
-    # baseline (round-11 protocol).
+    # iteration window). ``pic.materialize=edges`` persists the projected
+    # edge list once so the caller's build pipeline executes a single
+    # time instead of once per consumer — built round 11 on the 100 TB
+    # argument, A/B'd as a local wash then. **Round 12's mandated
+    # at-scale A/B reversed it** (BENCH_rung_knobs_r12.json): at a
+    # 15M-edge LDBC-shaped rung the cached arm is −13% (−20.2/−6.1% per
+    # pair, steal ≤1.3) — for scan-backed affinity pipelines the cache
+    # write+read costs more than the ~6 cheap re-projections it saves,
+    # the same verdict the dedup band-table cache got. The default is
+    # therefore ``legacy`` (re-execute per consumer); select ``edges``
+    # when the affinity build is genuinely expensive (multi-join
+    # pipelines) rather than a projected scan. The emptiness-probe fold
+    # (stats count doubles as the probe; the former isEmpty() executed
+    # the whole edge pipeline for one boolean) is unconditional and
+    # independent of this knob.
     from graphframes_spark.harness import get_conf
 
-    materialize = get_conf(graph.spark, "pic.materialize", "edges") != "legacy"
+    materialize = get_conf(graph.spark, "pic.materialize", "legacy") == "edges"
     edges = base_edges
     if materialize:
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK_DESER)

@@ -169,9 +169,14 @@ def strongly_connected_components(graph: "GraphFrame", max_iter: int = 20) -> Da
         # median with 7/12 pairs negative (BENCH_scc_ab_r11.json) — a
         # statistical wash with no measured upside, and the explode
         # doubles the pre-aggregate row count, so the measured legacy
-        # shape stays the default; "fused" remains selectable for an
-        # at-scale A/B where the edge-endpoint exchange dominates
-        # (spark.graphframes_spark.scc.trim).
+        # shape stays the default; "fused" remains selectable
+        # (spark.graphframes_spark.scc.trim). Round 12's mandated
+        # at-scale A/B (15M-edge LDBC-shaped rung, maxIter=10,
+        # BENCH_rung_knobs_r12.json): fused +7.4% median, pairs
+        # -2.2/+17.8% under steal 0.7-2.1 cores — directionally
+        # positive where the endpoint exchange dominates, not decisive
+        # enough to flip the sf0.1-measured default. Knob KEPT with the
+        # at-scale number on record.
         fused_trim = get_conf(spark, "scc.trim", "legacy") == "fused"
         while True:
             if fused_trim:
